@@ -1,0 +1,93 @@
+"""Local replica of the driver's oracle check: run every REGISTRY query on
+Spark and its oracle on DuckDB at a given sf dir; compare row count, sorted
+schema, and order-insensitive values.
+
+Usage: python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from wms_data_pipeline_spark.plans.queries import REGISTRY
+from wms_data_pipeline_spark.schemas import TESTDATA_TABLES
+from wms_data_pipeline_spark.session import get_spark
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    if hasattr(v, "isoformat"):
+        s = v.isoformat()
+        return s[:-6] if s.endswith("+00:00") else s
+    return repr(v)
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(_canon(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or list(REGISTRY)
+    spark = get_spark("parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name in names:
+        spec = REGISTRY[name]
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
+            continue
+        try:
+            ddf = con.sql(spec.oracle)
+            dcols = [d[0] for d in ddf.description]
+            drows = ddf.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
+            continue
+        if len(srows) != len(drows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
+            continue
+        s_set = _rowset(scols, [tuple(r) for r in srows])
+        d_set = _rowset(dcols, drows)
+        if s_set != d_set:
+            failures.append(name)
+            diff = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]
+            print(f"FAIL {name}: value mismatch; first diffs: {diff}")
+            continue
+        print(f"ok   {name}: {len(srows)} rows match")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} pass")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

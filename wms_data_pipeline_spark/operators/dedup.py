@@ -1,0 +1,183 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, cheapest first:
+- **exact** — hash-groupBy on a content hash (one shuffle on the hash).
+- **near-dup via MinHash+LSH** — per-doc signatures are map-side
+  (array_min over transformed shingle arrays — NO explode/shuffle);
+  candidate pairs come from a self-join on (band, band_hash) buckets; exact
+  Jaccard verifies candidates. This is the 100 TB path: the only shuffle is
+  on band buckets, and the quadratic blow-up is confined to same-bucket
+  groups.
+- **SimHash** — 64-bit bitwise-majority fingerprint; hamming-close docs are
+  near-dups. Map-side signature, bucket by simhash prefix for candidates.
+- **exact n-gram Jaccard** — the verifier (and a standalone all-pairs op for
+  bounded subsets).
+
+Hashes use the cross-engine ``hex64(md5(...))`` convention (operators/text.py)
+so DuckDB oracles reproduce results bit-for-bit. Salted per-permutation
+hashing (``md5(i || ':' || shingle)``) replaces the classic (a*h+b) mod p
+permutation family — same independence argument, no overflow, one expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from wms_data_pipeline_spark.operators.text import tokens_of
+
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 4  # rows per band = NUM_PERM / BANDS
+
+
+def shingles_of(colname: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as a distinct array, map-side. Guarded so short
+    docs yield an empty array (``sequence(0, -1)`` would yield ``[0,-1]``)."""
+    toks = tokens_of(colname)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda j: F.concat_ws(" ", *[F.element_at(toks, j + i + 1) for i in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_col(shingles: Column, perm: int) -> Column:
+    """One MinHash permutation: min over shingles of the salted 60-bit hash."""
+    salted = F.transform(
+        shingles,
+        lambda s: F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(perm)), s)), 1, 15), 16, 10
+        ).cast("bigint"),
+    )
+    return F.array_min(salted)
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    colname: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    shingle_n: int = 3,
+    keep_shingles: bool = False,
+) -> DataFrame:
+    """Append ``mh_0 … mh_{num_perm-1}`` minhash columns. No explode and no
+    key shuffle; at 100 TB this is a pure map stage.
+
+    Two deliberate physical choices for a CPU-bound expression stage:
+    - repartition a small input (one row group → one task would pin the
+      whole stage to a single core; at real scale the scan already has
+      thousands of splits and this collapses to a no-op);
+    - checkpoint the shingle array before fanning out to ``num_perm``
+      minhash expressions — Catalyst's CollapseProject would otherwise
+      inline the O(len²) shingle build into every one of the 16 columns.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    out = df.withColumn("__shingles", shingles_of(colname, shingle_n))
+    out = out.localCheckpoint(eager=False)
+    for p in range(num_perm):
+        out = out.withColumn(f"mh_{p}", minhash_col(F.col("__shingles"), p))
+    return out if keep_shingles else out.drop("__shingles")
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two array-set columns (arrays assumed distinct)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    colname: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, Jaccard-verified.
+
+    Plan shape: map (signatures) → explode ``bands`` band rows per doc →
+    shuffle on (band, band_hash) → self-join within buckets → distinct pairs
+    → verify with exact Jaccard on shingle sets. Output:
+    (id_a, id_b, jaccard_sim) with id_a < id_b, sim >= threshold.
+    """
+    rows_per_band = num_perm // bands
+    # Materialize the signature stage: downstream references it 3× (band
+    # buckets, both join sides of the verify). At cluster scale this is a
+    # persisted/checkpointed intermediate table; localCheckpoint is the
+    # single-node equivalent.
+    sig = with_minhash_signature(
+        df, colname, num_perm, shingle_n, keep_shingles=True
+    ).localCheckpoint(eager=False)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.sha2(
+                F.concat_ws(
+                    "_", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ),
+                256,
+            ).alias("bhash"),
+        )
+        for b in range(bands)
+    ]
+    bucketed = sig.select(
+        F.col(id_col), F.col("__shingles"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "__shingles", "bk.band", "bk.bhash")
+
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sh_a"), "band", "bhash"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sh_b"), "band", "bhash"
+    )
+    pairs = (
+        a.join(b, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def simhash_col(colname: str = "text", bits: int = 16) -> Column:
+    """SimHash fingerprint: bit j is the sign of the sum over tokens of
+    (2*bit_j(hex64(token)) - 1). Map-side; returns a bigint."""
+    # Closure factory, NOT a default arg: pyspark derives the HOF lambda's
+    # arity from its signature, so `lambda s, t, j=j` would be called with a
+    # third Column. bitwiseAND with a mask rather than shiftright, which
+    # breaks inside higher-order-function lambdas.
+    def _merge(mask: int):
+        return lambda s, t: s + F.when(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+            .cast("bigint")
+            .bitwiseAND(F.lit(mask))
+            != F.lit(0),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(-1).cast("long"))
+
+    acc = None
+    for j in range(bits):
+        bit_sum = F.aggregate(tokens_of(colname), F.lit(0).cast("long"), _merge(1 << j))
+        term = F.when(bit_sum > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", colname: str = "text"
+) -> DataFrame:
+    """Exact dedup: keep the min-id row per SHA-256(text). One shuffle on the
+    content hash — identical keys co-locate regardless of input layout."""
+    w = Window.partitionBy(F.sha2(F.col(colname), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )

@@ -1,0 +1,181 @@
+"""Idempotent merge sinks (SURVEY §2.1 ops 19-21).
+
+Reference semantics (services/staging/app/staging_repo.py):
+- **history append, global dedup** (:25-58): INSERT … ON CONFLICT
+  ``(id, updated_at, payload_hash)`` DO NOTHING — re-runs are no-ops; the
+  same key with a *different* payload_hash keeps both versions.
+- **latest-state conditional upsert, newer-wins** (:62-99): ON CONFLICT (id)
+  DO UPDATE … WHERE ``excluded.updated_at > target.updated_at`` — strictly
+  newer replaces, equal-or-older is ignored (out-of-order safe).
+- batching/transaction scope (:18-23, 53-57) is subsumed by Spark's
+  partition-parallel writes + per-job atomic commit.
+
+Two layers here:
+1. Pure DataFrame transforms (``history_merge``/``latest_merge``) — the
+   semantics, testable and composable (also used by streaming foreachBatch).
+2. ``ParquetTable`` — a minimal versioned-directory table giving atomic
+   publish + time-travel-free single-writer MERGE on plain parquet, keeping
+   the engine dependency-free. On a real lake this is a Delta/Iceberg MERGE
+   (``whenNotMatchedInsertAll`` / ``whenMatchedUpdateAll(condition=…)``)
+   behind the same function signatures.
+
+Scale notes: both merges shuffle once on the business key. ``history_merge``
+uses a left-anti join (broadcast-able when the incoming batch is small
+relative to history — Catalyst/AQE decides); ``latest_merge`` is a windowed
+keep-max over (existing ∪ batch). For 100 TB latest-state tables the real
+deployment partitions the table by a stable bucket of ``id`` so the merge
+rewrites only touched partitions — with Delta/Iceberg that's MERGE + dynamic
+partition/file pruning; the pure-parquet fallback here rewrites the table and
+is meant for control/latest tables that are orders of magnitude smaller than
+the fact history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+HISTORY_KEY: tuple[str, ...] = ("id", "updated_at", "payload_hash")  # init_dw.sql:31-40
+LATEST_KEY: str = "id"  # init_dw.sql:42-50
+
+
+def history_merge(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    key: Sequence[str] = HISTORY_KEY,
+) -> tuple[DataFrame, DataFrame]:
+    """Op 19 semantics: returns ``(new_history_rows, full_history)``.
+
+    ``new_history_rows`` = batch rows whose 3-col key is absent from existing
+    history (the ON CONFLICT DO NOTHING survivors); duplicates *within* the
+    batch also collapse to one row. ``full_history`` = existing ∪ new.
+    """
+    batch_dedup = batch.dropDuplicates(list(key))
+    if existing is None:
+        return batch_dedup, batch_dedup
+    inserted = batch_dedup.join(existing.select(*key), on=list(key), how="left_anti")
+    return inserted, existing.unionByName(inserted)
+
+
+def latest_merge(
+    existing: DataFrame | None,
+    batch: DataFrame,
+    key: str = LATEST_KEY,
+    ts_col: str = "updated_at",
+    tiebreak_col: str | None = "payload_hash",
+) -> DataFrame:
+    """Op 20 semantics: newer-wins latest state.
+
+    Strict ``>`` — an incoming row with ``updated_at`` equal to (or older
+    than) the stored row must NOT replace it (pinned by the reference's
+    integration test test_staging_repo.py:29-73). We encode that by ordering
+    existing rows ABOVE batch rows at equal timestamps (``__is_existing``
+    desc), so the stored row survives ties. ``tiebreak_col`` makes intra-batch
+    equal-timestamp conflicts deterministic.
+    """
+    b = batch.withColumn("__is_existing", F.lit(0))
+    if existing is not None:
+        merged = existing.withColumn("__is_existing", F.lit(1)).unionByName(b)
+    else:
+        merged = b
+    order = [F.col(ts_col).desc(), F.col("__is_existing").desc()]
+    if tiebreak_col and tiebreak_col in batch.columns:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_existing")
+    )
+
+
+class ParquetTable:
+    """Versioned-directory parquet table: atomic publish via
+    write-new-version-then-flip, mirroring the reference's tmp→rename
+    publish (writer_landing.py:38-42) at table granularity.
+
+    Layout: ``<root>/v=<N>/part-*.parquet`` + ``<root>/_VERSION`` pointer.
+    Single-writer discipline assumed (reference has the same: one staging
+    run per entity); multi-writer needs Delta/Iceberg optimistic concurrency
+    (SURVEY §7.3 hard part 3).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- version plumbing ---------------------------------------------------
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_VERSION")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.root, f"v={v}")
+
+    def read(self) -> DataFrame | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.spark.read.parquet(self._version_path(v))
+
+    def _publish(self, df: DataFrame) -> int:
+        v = (self.current_version() or 0) + 1
+        path = self._version_path(v)
+        df.write.mode("error").parquet(path)
+        tmp = self._pointer + ".tmp"
+        os.makedirs(self.root, exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer)  # atomic flip
+        old = v - 1
+        if old >= 1:
+            shutil.rmtree(self._version_path(old), ignore_errors=True)
+        return v
+
+    # -- merge API ----------------------------------------------------------
+    def append_history(self, batch: DataFrame, key: Sequence[str] = HISTORY_KEY) -> int:
+        """Op 19: append batch rows not already in history; returns inserted
+        count (the reference returns executemany rowcounts,
+        staging_repo.py:52-58)."""
+        existing = self.read()
+        inserted, full = history_merge(existing, batch, key)
+        n = inserted.count()
+        if existing is None:
+            self._publish(inserted)
+        elif n:
+            self._publish(full)
+        return n
+
+    def upsert_latest(
+        self,
+        batch: DataFrame,
+        key: str = LATEST_KEY,
+        ts_col: str = "updated_at",
+    ) -> int:
+        """Op 20: newer-wins upsert; returns affected-row count (rows whose
+        stored image changed — insert or strictly-newer update)."""
+        existing = self.read()
+        result = latest_merge(existing, batch, key, ts_col).localCheckpoint()
+        if existing is None:
+            affected = result.count()
+        else:
+            # affected = rows in result differing from existing (new id, or newer ts)
+            old = existing.select(F.col(key).alias("__k"), F.col(ts_col).alias("__old_ts"))
+            affected = (
+                result.join(old, on=result[key] == old["__k"], how="left")
+                .filter(F.col("__old_ts").isNull() | (F.col(ts_col) > F.col("__old_ts")))
+                .count()
+            )
+        self._publish(result)
+        return affected

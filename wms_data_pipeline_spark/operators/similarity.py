@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query set
+  against the corpus; all arithmetic is JVM-side ``zip_with``/``aggregate``
+  in double precision. Per-partition it's a scan + local heap (window
+  row_number under AQE); no corpus shuffle. The right baseline, and at 100 TB
+  still the right VERIFIER for any ANN structure.
+- ``lsh_bucket`` / ``ann_topk_lsh`` — random-hyperplane LSH: sign-bit sketch
+  over deterministic pseudo-random hyperplanes (hyperplane component (i,j) =
+  hex64(md5("i:j")) mapped to [-1,1] — reproducible everywhere, no RNG
+  state). Candidates = same-bucket vectors, optionally multi-probe via
+  several independent tables. Scale path: bucket column becomes the
+  partition/cluster key; each query touches one bucket per table instead of
+  the corpus.
+
+IVF (k-means coarse quantizer) is the other classic scale path; its
+assignment step is the same broadcast-dot-product pattern — deferred until
+a round with MLlib integration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from wms_data_pipeline_spark.operators.text import hex64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float-array columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine per query. ``queries`` must be small (it is
+    broadcast); output: (query_id, vec_id, cosine_sim) with deterministic
+    tie-break on vec_id, score rounded to 6dp so downstream comparisons are
+    stable across summation orders."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j =
+    (hex64(md5("t:p:j")) % 2001 - 1000) / 1000 ∈ [-1, 1]. Computed driver-side
+    in Python (md5 is md5 everywhere) and shipped as an array literal, so the
+    per-row work is one zip_with/aggregate, not 64 scalar expressions."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"{table}:{plane}:{j}".encode()).hexdigest()[:15], 16)
+        out.append((h % 2001 - 1000) / 1000.0)
+    return out
+
+
+def lsh_bucket(
+    vec_col: Column, n_planes: int = 8, dim: int = 64, table: int = 0
+) -> Column:
+    """Sign-bit LSH bucket id (0 .. 2^n_planes-1) for one hash table.
+    Map-side only; the bucket is a plain long usable as a cluster/partition
+    key at scale."""
+    acc = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(table, p, dim)])
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                plane,
+                lambda x, h: F.coalesce(x.cast("double"), F.lit(0.0)) * h,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+    with the query in ANY of ``n_tables`` tables; exact cosine re-ranks the
+    candidates. Recall is tunable via planes/tables (unit-tested against
+    ``cosine_topk``)."""
+    c = corpus
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    for t in range(n_tables):
+        c = c.withColumn(f"__b{t}", lsh_bucket(F.col(vec_col), n_planes, dim, t))
+        q = q.withColumn(f"__b{t}", lsh_bucket(F.col("__qvec"), n_planes, dim, t))
+    cond = None
+    for t in range(n_tables):
+        m = c[f"__b{t}"] == q[f"__b{t}"]
+        cond = m if cond is None else (cond | m)
+    cand = c.join(F.broadcast(q), on=cond).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(c[vec_col], q["__qvec"]), 6).alias("cosine_sim"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure JVM expressions (regexp/array functions inside whole-stage codegen)
+— no Python UDFs in any hot path; these run map-side with zero shuffle, so
+they scale linearly to 100 TB of documents.
+
+Cross-engine-hashable convention: where an operator needs a hash that the
+DuckDB oracle must reproduce, it uses ``hex64(md5(x))`` = first 15 hex chars
+of md5 as a bigint (60 bits, always positive) — identical in Spark
+(``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+(``('0x'||substr(md5(x),1,15))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"\\S+"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deterministic and SQL-expressible; a production lang-ID model
+#: would ride the same mapInPandas plumbing as operators/multimodal.py.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est"),
+    "zh": ("的", "了", "是", "我", "不", "在", "人"),
+}
+
+
+def hex64(col: Column | str) -> Column:
+    """Cross-engine 60-bit hash (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens_of(colname: str = "text") -> Column:
+    """Whitespace tokenization as an array column (map-side, no shuffle)."""
+    return F.regexp_extract_all(F.col(colname), F.lit(r"\S+"), F.lit(0))
+
+
+def token_count(colname: str = "text") -> Column:
+    """Whitespace token count; a BPE-ish proxy (``bpe_token_estimate``)
+    approximates subword counts as ceil(chars/4) the way LLM cost
+    estimators do."""
+    return F.size(tokens_of(colname))
+
+
+def bpe_token_estimate(colname: str = "text") -> Column:
+    return F.ceil(F.length(F.col(colname)) / F.lit(4.0)).cast("long")
+
+
+def stopword_count(colname: str, stopwords: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens_of(colname), lambda t: F.array_contains(arr, t)))
+
+
+def quality_features(df: DataFrame, colname: str = "text") -> DataFrame:
+    """Quality scoring features: length, token stats, punctuation/digit/
+    stopword ratios, and a composite ``quality_score`` in [0,1]. Formula is
+    fixed (documented here) so the oracle can reproduce it:
+
+    score = 0.3*min(n_tokens/100,1) + 0.3*(1-punct_ratio) +
+            0.2*min(stop_ratio*5,1) + 0.2*(1-digit_ratio), rounded to 6dp.
+    """
+    n_chars = F.length(F.col(colname))
+    n_tok = token_count(colname)
+    punct = F.length(F.regexp_replace(F.col(colname), r"[^.,;:!?'\"()\[\]{}-]", ""))
+    digits = F.length(F.regexp_replace(F.col(colname), r"[^0-9]", ""))
+    stop = stopword_count(colname, LANG_STOPWORDS["en"])
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    punct_ratio = punct / safe_chars
+    digit_ratio = digits / safe_chars
+    stop_ratio = stop / safe_tok
+    score = (
+        F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - digit_ratio)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("digit_ratio", F.round(digit_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality_score", F.round(score, 6))
+    )
+
+
+def lang_id(df: DataFrame, colname: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID: argmax over per-language stopword counts,
+    ties broken by fixed language order (en, es, de, fr, zh); zero hits →
+    'und'. Deterministic, JVM-only, SQL-reproducible."""
+    langs = list(LANG_STOPWORDS)
+    counts = [stopword_count(colname, LANG_STOPWORDS[l]).alias(f"__c_{l}") for l in langs]
+    tmp = df.select("*", *counts)
+    best = F.greatest(*[F.col(f"__c_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier langs win ties: apply last
+        pred = F.when((F.col(f"__c_{l}") == best) & (best > 0), F.lit(l)).otherwise(pred)
+    return tmp.withColumn(out_col, pred).drop(*[f"__c_{l}" for l in langs])
+
+
+def fingerprint(df: DataFrame, colname: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: SHA-256 over whitespace-normalized lowercase
+    text (collapse runs, trim). Stable under reflow — the exact-dedup key
+    for noisy corpora."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(colname)), r"\s+", " "))
+    return df.withColumn(out_col, F.sha2(norm, 256))

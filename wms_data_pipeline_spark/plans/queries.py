@@ -1,0 +1,898 @@
+"""Named query registry: every operator the engine claims, as a
+(spark_fn, duckdb_oracle_sql) pair consumed by __spark_entry__.py.
+
+Naming convention: ``wm_*`` = the reference's incremental-ELT algebra
+(SURVEY §2.1); ``rel_*`` = relational surface (§2.3); ``dd_*`` = dedup ops;
+``sim_*`` = similarity search; ``txt_*`` = text analysis; ``mm_*`` =
+multimodal plumbing.
+
+Oracle-parity rules used throughout (see also operators/text.py hex64):
+- every computed column aliased identically on both sides;
+- double aggregates rounded (2dp money, 4dp averages, 6dp ratios/sims) so
+  summation-order ulps can't flip the comparison;
+- DuckDB integer SUM/list_sum returns HUGEINT → always ::BIGINT in oracles;
+- row_number() is BIGINT in DuckDB, int in Spark → cast Spark side to long;
+- session timezone forced to UTC inside each query fn (the driver's session
+  may not have it set).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wms_data_pipeline_spark.operators import dedup as dd
+from wms_data_pipeline_spark.operators import multimodal as mm
+from wms_data_pipeline_spark.operators import relational as rel
+from wms_data_pipeline_spark.operators import similarity as sim
+from wms_data_pipeline_spark.operators import text as txt
+from wms_data_pipeline_spark.operators.incremental import incremental_filter
+from wms_data_pipeline_spark.operators.merge import history_merge, latest_merge
+from wms_data_pipeline_spark.operators.normalize import dedup_keep_last
+from wms_data_pipeline_spark.operators.payload import with_payload_and_hash
+from wms_data_pipeline_spark.schemas import load_table
+
+# Watermark cut for the events "entity stream" — ~2/3 history, 1/3 batch.
+EVENTS_CUT = "2024-01-20 00:00:00"
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False  # included in bench.py
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline, doc=doc)
+        return fn
+
+    return deco
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _utc(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# wm_* — the reference's incremental-ELT algebra on the events stream table
+# (events.ts ≈ updated_at, events.user_id ≈ id; TESTDATA.md).
+# ===========================================================================
+
+
+@query(
+    "wm_incremental_filter",
+    f"SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    f"WHERE ts > TIMESTAMP '{EVENTS_CUT}'",
+    doc="Op 3: strict watermark predicate, pushed to the parquet scan "
+    "(reference main.py:227-228).",
+)
+def wm_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return incremental_filter(ev, EVENTS_CUT, "ts").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+@query(
+    "wm_watermark_advance",
+    f"SELECT max(ts) AS new_watermark, count(*) AS rows_in FROM events "
+    f"WHERE ts > TIMESTAMP '{EVENTS_CUT}'",
+    doc="Ops 22-23 batch side: new watermark = max(updated_at) of the batch "
+    "(reference run.py:72-75).",
+)
+def wm_watermark_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = incremental_filter(_t(spark, sf_dir, "events"), EVENTS_CUT, "ts")
+    return ev.agg(
+        F.max("ts").alias("new_watermark"), F.count(F.lit(1)).alias("rows_in")
+    )
+
+
+@query(
+    "wm_dedup_keep_last",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1",
+    doc="Op 12: keyed keep-last dedup via one windowed shuffle "
+    "(reference normalize.py:64-65).",
+)
+def wm_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return dedup_keep_last(
+        ev, keys=("user_id", "ts"), arrival_col=None, tiebreak_cols=("event_id",)
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "wm_latest_state",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1",
+    headline=True,
+    doc="Op 20: newer-wins latest-state — snapshot(≤cut) merged with "
+    "batch(>cut) via latest_merge equals latest-per-key over all "
+    "(reference staging_repo.py:62-99).",
+)
+def wm_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    old = ev.filter(F.col("ts") <= F.lit(EVENTS_CUT).cast("timestamp")).select(cols)
+    new = ev.filter(F.col("ts") > F.lit(EVENTS_CUT).cast("timestamp")).select(cols)
+    snapshot = latest_merge(None, old, key="user_id", ts_col="ts", tiebreak_col="event_id")
+    return latest_merge(snapshot, new, key="user_id", ts_col="ts", tiebreak_col="event_id")
+
+
+@query(
+    "wm_history_dedup",
+    "SELECT DISTINCT event_id, ts, user_id, event_type, value, props FROM "
+    "(SELECT * FROM events UNION ALL SELECT * FROM events)",
+    headline=True,
+    doc="Op 19: history append with (id, updated_at, payload_hash) dedup — "
+    "a redelivered batch (lookback overlap) collapses to one copy "
+    "(reference staging_repo.py:25-58).",
+)
+def wm_history_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    redelivered = ev.unionByName(ev)
+    hashed = with_payload_and_hash(redelivered)
+    _, history = history_merge(None, hashed, key=("event_id", "ts", "payload_hash"))
+    return history.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "wm_payload_hash",
+    "SELECT event_id, "
+    "'{\"event_id\":' || event_id || ',\"event_type\":\"' || event_type || "
+    "'\",\"user_id\":' || user_id || '}' AS payload, "
+    "sha256('{\"event_id\":' || event_id || ',\"event_type\":\"' || event_type || "
+    "'\",\"user_id\":' || user_id || '}') AS payload_hash "
+    "FROM events",
+    doc="Ops 15-18: canonical JSON (sorted keys, compact, non-ASCII "
+    "preserved) + SHA-256 — whole-stage-codegen to_json/sha2 replaces the "
+    "reference's row-wise df.apply (payload.py:14-26).",
+)
+def wm_payload_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    return with_payload_and_hash(ev).select("event_id", "payload", "payload_hash")
+
+
+@query(
+    "wm_normalize_time_parse",
+    "SELECT event_id, "
+    "CAST(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS TIMESTAMP) AS parsed_at, "
+    "TRY_CAST('not a timestamp' AS TIMESTAMP) AS bad_at "
+    "FROM events",
+    doc="Op 7: suffix-convention time parsing with coerce-to-null on "
+    "malformed input (reference normalize.py:11-18).",
+)
+def wm_normalize_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("raw_at"),
+        F.lit("not a timestamp").alias("bad_raw_at"),
+    )
+    return ev.select(
+        "event_id",
+        F.try_to_timestamp(F.col("raw_at")).alias("parsed_at"),
+        F.col("bad_raw_at").try_cast("timestamp").alias("bad_at"),
+    )
+
+
+@query(
+    "wm_lineage_columns",
+    "SELECT event_id, 'run-0001' AS _run_id, "
+    "TIMESTAMP '2026-01-30 00:00:00' AS _extracted_at, "
+    f"TIMESTAMP '{EVENTS_CUT}' AS _watermark_effective FROM events",
+    doc="Op 11: constant lineage metadata columns (reference normalize.py:60-62).",
+)
+def wm_lineage_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    return (
+        ev.withColumn("_run_id", F.lit("run-0001"))
+        .withColumn("_extracted_at", F.lit("2026-01-30 00:00:00").cast("timestamp"))
+        .withColumn("_watermark_effective", F.lit(EVENTS_CUT).cast("timestamp"))
+    )
+
+
+# ===========================================================================
+# rel_* — relational surface (§2.3) on the TPC-H-ish star schema.
+# ===========================================================================
+
+
+@query(
+    "rel_q1_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+    "round(avg(l_quantity), 4) AS avg_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 4) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+    headline=True,
+    doc="TPC-H Q1 shape: scan + partial/final hash agg; filter pushed to "
+    "parquet, fully codegen'd.",
+)
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rel_q3_shipping_priority",
+    "SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+    "o.o_orderdate, o.o_orderpriority "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10",
+    headline=True,
+    doc="TPC-H Q3 shape: selective dim filter broadcast into a fact join, "
+    "agg, deterministic top-k (TakeOrderedAndProject).",
+)
+def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return rel.top_k(
+        agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        10,
+        [F.col("revenue").desc(), F.col("o_orderkey")],
+    )
+
+
+@query(
+    "rel_q5_region_revenue",
+    "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY n.n_name",
+    headline=True,
+    doc="TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle once on "
+    "orderkey; AQE reorders/skew-splits at runtime.",
+)
+def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@query(
+    "rel_top_customers",
+    "SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total_spend, "
+    "count(*) AS n_orders FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "GROUP BY c.c_custkey, c.c_name ORDER BY total_spend DESC, c_custkey LIMIT 10",
+    doc="Join + agg + deterministic top-k.",
+)
+def rel_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return rel.top_k(agg, 10, [F.col("total_spend").desc(), F.col("c_custkey")])
+
+
+@query(
+    "rel_window_rank",
+    "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM ("
+    "SELECT o_custkey, o_orderkey, o_totalprice, "
+    "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) WHERE rn <= 3",
+    headline=True,
+    doc="Window functions: top-3 orders per customer (row_number over one "
+    "keyed shuffle).",
+)
+def rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "rel_window_running",
+    "SELECT event_id, user_id, ts, "
+    "round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta_value, "
+    "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value "
+    "FROM events",
+    doc="lag + running sum over an event-time window.",
+)
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_value"),
+        F.round(F.sum("value").over(wsum), 2).alias("running_value"),
+    )
+
+
+@query(
+    "rel_rollup_agg",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+    "round(sum(l_quantity), 2) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+    doc="Grouping sets: ROLLUP hierarchy totals.",
+)
+def rel_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@query(
+    "rel_cube_agg",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders, "
+    "round(sum(o_totalprice), 2) AS sum_price "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+    doc="Grouping sets: CUBE over two dimensions.",
+)
+def rel_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "rel_distinct_agg",
+    "SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, "
+    "count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="Exact multi-distinct aggregation (expand + two-phase agg).",
+)
+def rel_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "rel_semi_join",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer c WHERE EXISTS ("
+    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
+    "AND o.o_orderdate < TIMESTAMP '2000-01-01 00:00:00')",
+    doc="Left-semi join (EXISTS).",
+)
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "rel_anti_join",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    doc="Left-anti join (NOT EXISTS) — customers with no orders.",
+)
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "rel_set_ops",
+    "(SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996 "
+    "INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997) "
+    "EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998",
+    doc="Set operations: INTERSECT + EXCEPT (distinct semantics).",
+)
+def rel_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return o.filter(F.year("o_orderdate") == y).select("o_custkey").distinct()
+
+    return year_keys(1996).intersect(year_keys(1997)).subtract(year_keys(1998))
+
+
+@query(
+    "rel_topk_lineitems",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20",
+    doc="Global top-k: per-partition heap + single reduce, no global sort.",
+)
+def rel_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    return rel.top_k(
+        li, 20, [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    )
+
+
+@query(
+    "rel_json_extract",
+    "SELECT event_type, count(*) AS n, "
+    "round(avg(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k "
+    "FROM events GROUP BY event_type",
+    doc="JSON path over the payload column — the schema-on-read query "
+    "pattern for the reference's payload jsonb (init_dw.sql:34).",
+)
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg(k), 4).alias("avg_k")
+    )
+
+
+@query(
+    "rel_asof_join",
+    "SELECT event_id, ts, user_id, prior_event_id, asof_ts FROM ("
+    "SELECT l.event_id, l.ts, l.user_id, r.event_id AS prior_event_id, r.ts AS asof_ts, "
+    "row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC) AS rn "
+    "FROM (SELECT * FROM events WHERE event_id % 10 = 0) l "
+    "LEFT JOIN (SELECT * FROM events WHERE event_id % 10 <> 0) r "
+    "ON l.user_id = r.user_id AND r.ts <= l.ts) WHERE rn = 1",
+    headline=True,
+    doc="As-of join (DuckDB ASOF JOIN equivalent): for each probe event, the "
+    "most recent other event of the same user at-or-before its timestamp. "
+    "Spark impl: keyed equi-join + range predicate + one window pass "
+    "(operators/relational.py — set a tolerance at scale).",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 10 == 0).select("event_id", "ts", "user_id")
+    others = ev.filter(F.col("event_id") % 10 != 0).select(
+        "user_id", "ts", F.col("event_id").alias("prior_event_id")
+    )
+    out = rel.asof_join(
+        probes,
+        others,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["prior_event_id"],
+    )
+    return out.select("event_id", "ts", "user_id", "prior_event_id", "asof_ts")
+
+
+@query(
+    "rel_sessionize",
+    "WITH g AS (SELECT user_id, CASE WHEN ts - lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+    "THEN 1 ELSE 0 END AS ns FROM events) "
+    "SELECT user_id, CAST(sum(ns) + 1 AS BIGINT) AS n_sessions, "
+    "count(*) AS n_events FROM g GROUP BY user_id",
+    headline=True,
+    doc="Batch sessionization (30-min gap); streaming twin is "
+    "session_window (streaming/pipeline.py).",
+)
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sess = rel.sessionize(ev, key="user_id", ts_col="ts", gap="30 minutes")
+    return sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ===========================================================================
+# dd_* — dedup operators on documents.
+# ===========================================================================
+
+_HEX64_DUCK = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_SHINGLES_DUCK = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2]))"
+)
+_TOKS_DUCK = "regexp_extract_all(text, '\\S+')"
+
+
+def _minhash_sig_duck(num_perm: int) -> str:
+    mh = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _HEX64_DUCK.format(x=f"'{p}:' || s")
+        + f")) AS mh_{p}"
+        for p in range(num_perm)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM t) "
+        f"SELECT doc_id, {mh} FROM s"
+    )
+
+
+@query(
+    "dd_exact_dedup",
+    "SELECT doc_id, sha256(text) AS text_sha256, lang, source FROM documents "
+    "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1",
+    headline=True,
+    doc="Exact dedup: keep min-id per content hash; one shuffle on the hash.",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, id_col="doc_id", colname="text").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text_sha256"), "lang", "source"
+    )
+
+
+@query(
+    "dd_minhash_signature",
+    _minhash_sig_duck(dd.DEFAULT_NUM_PERM),
+    doc="MinHash signatures (16 salted-md5 permutations over 3-word "
+    "shingles), computed map-side with zero shuffle (array_min over a "
+    "transformed array — no explode).",
+)
+def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dd.with_minhash_signature(docs, "text", dd.DEFAULT_NUM_PERM)
+    return sig.select("doc_id", *[f"mh_{p}" for p in range(dd.DEFAULT_NUM_PERM)])
+
+
+def _neardup_duck(threshold: float, num_perm: int = 16, bands: int = 4) -> str:
+    rows = num_perm // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, sha256({concat}) AS bhash FROM sig".format(
+            b=b,
+            concat=" || '_' || ".join(
+                f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    mh = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _HEX64_DUCK.format(x=f"'{p}:' || s")
+        + f")) AS mh_{p}"
+        for p in range(num_perm)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents), "
+        f"sh_t AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM t), "
+        f"sig AS (SELECT doc_id, sh, {mh} FROM sh_t), "
+        f"b AS ({band_rows}), "
+        "p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM b a JOIN b b2 USING (band, bhash) WHERE a.doc_id < b2.doc_id) "
+        "SELECT id_a, id_b, jaccard_sim FROM ("
+        "SELECT p.id_a, p.id_b, "
+        "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard_sim "
+        "FROM p JOIN sh_t sa ON sa.doc_id = p.id_a JOIN sh_t sb ON sb.doc_id = p.id_b) "
+        f"WHERE jaccard_sim >= {threshold}"
+    )
+
+
+@query(
+    "dd_minhash_neardup_pairs",
+    _neardup_duck(0.5),
+    headline=True,
+    doc="MinHash+LSH near-dup pairs (4 bands × 4 rows), Jaccard-verified at "
+    "0.5 — the 100 TB dedup path: map-side signatures, shuffle only on band "
+    "buckets.",
+)
+def dd_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.minhash_neardup_pairs(docs, threshold=0.5)
+
+
+def _simhash_duck(bits: int = 16) -> str:
+    terms = " + ".join(
+        "(CASE WHEN COALESCE(list_sum(list_transform(toks, t -> "
+        f"2 * ((({_HEX64_DUCK.format(x='t')}) >> {j}) & 1) - 1)), 0) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents) "
+        f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t"
+    )
+
+
+@query(
+    "dd_simhash",
+    _simhash_duck(16),
+    doc="16-bit SimHash fingerprint (bitwise token-hash majority), map-side.",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # hashing is CPU-bound and the input is one small row group — fan out
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return docs.select("doc_id", dd.simhash_col("text", 16).alias("simhash"))
+
+
+@query(
+    "dd_ngram_jaccard",
+    "WITH t AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, greatest(len(regexp_extract_all(text, '\\S+')), 1)), "
+    "j -> regexp_extract_all(text, '\\S+')[j] || ' ' || "
+    "regexp_extract_all(text, '\\S+')[j + 1])) AS sh "
+    "FROM documents WHERE doc_id < 100) "
+    "SELECT id_a, id_b, jaccard_sim FROM ("
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+    "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard_sim "
+    "FROM t a JOIN t b ON a.doc_id < b.doc_id) WHERE jaccard_sim >= 0.05",
+    doc="Exact all-pairs 2-gram Jaccard on a bounded subset (doc_id<100) — "
+    "the verifier primitive; unbounded all-pairs is what LSH avoids.",
+)
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", dd.shingles_of("text", 2).alias("sh"))
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("jaccard_sim", F.round(dd.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard_sim") >= 0.05)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ===========================================================================
+# sim_* — similarity search on embeddings.
+# ===========================================================================
+
+_COS_DUCK = (
+    "round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6)"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    "SELECT query_id, vec_id, cosine_sim FROM ("
+    "SELECT query_id, vec_id, cosine_sim, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn "
+    "FROM (SELECT q.vec_id AS query_id, e.vec_id, "
+    + _COS_DUCK
+    + " AS cosine_sim "
+    "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q)"
+    ") WHERE rn <= 10",
+    headline=True,
+    doc="Exact brute-force cosine top-10 for 5 query vectors: broadcast "
+    "queries × corpus scan, JVM-side zip_with/aggregate arithmetic, "
+    "windowed top-k. The verifier baseline for any ANN variant.",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk(emb, queries, k=10)
+
+
+@query(
+    "sim_ann_lsh_topk",
+    None,  # LSH candidate generation is not reasonably SQL-expressible;
+    # recall vs the exact baseline is pinned in tests/test_similarity.py.
+    doc="Approximate top-k via random-hyperplane LSH buckets (2 tables × 8 "
+    "planes) + exact re-rank of candidates. Bucket id is a map-side long — "
+    "the cluster/partition key at 100 TB.",
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ann_topk_lsh(emb, queries, k=10)
+
+
+# ===========================================================================
+# txt_* — text analysis on documents.
+# ===========================================================================
+
+
+@query(
+    "txt_token_stats",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens, "
+    "CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_token_estimate FROM documents",
+    doc="Token counting: whitespace tokens + BPE-ish chars/4 estimate, "
+    "map-side regexp.",
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        txt.token_count("text").alias("n_tokens"),
+        txt.bpe_token_estimate("text").alias("bpe_token_estimate"),
+    )
+
+
+@query(
+    "txt_tokens_by_lang",
+    "SELECT lang, CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens, "
+    "count(*) AS n_docs, round(avg(len(regexp_extract_all(text, '\\S+'))), 4) AS avg_tokens "
+    "FROM documents GROUP BY lang",
+    headline=True,
+    doc="Corpus token accounting per language.",
+)
+def txt_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = txt.token_count("text")
+    return docs.groupBy("lang").agg(
+        F.sum(n).cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+    )
+
+
+_QUALITY_DUCK = """
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n_chars_x,
+    len(regexp_extract_all(text, '\\S+')) AS n_tok,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS punct,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+    len(list_filter(regexp_extract_all(text, '\\S+'),
+        t -> t IN ('the','a','of','and','to','in','is'))) AS stop
+  FROM documents)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+  round(punct / greatest(n_chars_x, 1), 6) AS punct_ratio,
+  round(digits / greatest(n_chars_x, 1), 6) AS digit_ratio,
+  round(stop / greatest(n_tok, 1), 6) AS stopword_ratio,
+  round(0.3 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - punct / greatest(n_chars_x, 1))
+      + 0.2 * least(stop / greatest(n_tok, 1) * 5, 1.0)
+      + 0.2 * (1.0 - digits / greatest(n_chars_x, 1)), 6) AS quality_score
+FROM f
+"""
+
+
+@query(
+    "txt_quality_score",
+    _QUALITY_DUCK,
+    doc="Quality scoring: length/punct/digit/stopword features + composite "
+    "score (formula pinned in operators/text.py).",
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return txt.quality_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+def _langid_duck() -> str:
+    cases = []
+    counts = []
+    for lang, words in txt.LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        counts.append(
+            f"len(list_filter(regexp_extract_all(text, '\\S+'), t -> t IN ({lst}))) AS c_{lang}"
+        )
+    langs = list(txt.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    for l in langs:
+        cases.append(f"WHEN c_{l} = {best} AND {best} > 0 THEN '{l}'")
+    return (
+        "WITH c AS (SELECT doc_id, " + ", ".join(counts) + " FROM documents) "
+        "SELECT doc_id, CASE " + " ".join(cases) + " ELSE 'und' END AS lang_pred FROM c"
+    )
+
+
+@query(
+    "txt_lang_id",
+    _langid_duck(),
+    doc="Stopword-hit language ID heuristic (argmax, fixed tie order).",
+)
+def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return txt.lang_id(docs).select("doc_id", "lang_pred")
+
+
+@query(
+    "txt_fingerprint",
+    "SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+    "AS fingerprint FROM documents",
+    doc="Whitespace-normalized SHA-256 document fingerprint.",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return txt.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# ===========================================================================
+# mm_* — multimodal binary-column plumbing (decode stubbed, see
+# operators/multimodal.py).
+# ===========================================================================
+
+
+@query(
+    "mm_fake_decode",
+    "SELECT doc_id, octet_length(encode(text)) AS byte_len, 'fake/raw' AS format, "
+    "octet_length(encode(text)) % 640 + 1 AS width, "
+    "(octet_length(encode(text)) * 7) % 480 + 1 AS height, "
+    "sha256(text) AS sha256 FROM documents",
+    doc="Multimodal plumbing: binary content column → Arrow-batched "
+    "mapInPandas decode stage (deterministic fake decoder; real codec slots "
+    "into the same batch shape).",
+)
+def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = mm.with_binary_content(docs, "text")
+    return mm.decode_images(blobs, id_col="doc_id", content_col="content")
+
+
+def headline_queries() -> dict[str, QuerySpec]:
+    return {k: v for k, v in REGISTRY.items() if v.headline}

@@ -1,0 +1,91 @@
+"""Landing-zone writer/reader (SURVEY §2.1 ops 13-14).
+
+Reference: services/extractor/app/writer_landing.py:16-55 (one file per
+(entity, run_id) under ``run_id=<id>``, format whitelist, idempotence guard,
+atomic tmp→rename) and services/staging/app/reader_landing.py:5-26 (parquet
+else CSV, schema contract check, CSV time re-parse).
+
+Spark mapping: the ``run_id=`` dirname is already Hive-style partitioning, so
+Spark discovers and prunes it natively; ``mode("error")`` replaces the
+exists-guard; the output-commit protocol replaces tmp→rename. Empty batches
+still publish an empty (schema-bearing) file set — reference
+writer_landing.py:44-46 pins that.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMATS = ("parquet", "csv")  # whitelist, reference writer_landing.py:20-23
+
+#: Landing schema contract (reference reader_landing.py:17-20).
+CONTRACT_COLS = ("id", "updated_at", "_run_id", "_extracted_at")
+
+#: Time columns that must be re-parsed after a CSV round-trip
+#: (reference reader_landing.py:21-24).
+CSV_TIME_COLS = ("updated_at", "_extracted_at", "_watermark_effective")
+
+
+def landing_path(landing_root: str, entity: str, run_id: str) -> str:
+    return os.path.join(landing_root, entity, f"run_id={run_id}")
+
+
+def write_landing(
+    df: DataFrame,
+    landing_root: str,
+    entity: str,
+    run_id: str,
+    output_format: str = "parquet",
+) -> str:
+    """Op 13. Raises on unknown format and on re-write of the same
+    (entity, run_id) — idempotence guard (reference writer_landing.py:38-39).
+    """
+    if output_format not in FORMATS:
+        raise ValueError(f"unsupported landing format: {output_format!r} (use one of {FORMATS})")
+    path = landing_path(landing_root, entity, run_id)
+    writer = df.write.mode("error")
+    if output_format == "parquet":
+        writer.parquet(path)
+    else:
+        writer.option("header", True).csv(path)
+    return path
+
+
+def read_landing(
+    spark: SparkSession,
+    landing_root: str,
+    entity: str,
+    run_id: str,
+    contract: tuple[str, ...] = CONTRACT_COLS,
+) -> DataFrame:
+    """Op 14: parquet if present, else CSV; verify the schema contract;
+    re-coerce time columns after CSV (header inference yields strings)."""
+    path = landing_path(landing_root, entity, run_id)
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    has_parquet = any(f.endswith(".parquet") for f in os.listdir(path))
+    if has_parquet:
+        df = spark.read.parquet(path)
+    else:
+        df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+        for c in CSV_TIME_COLS:
+            if c in df.columns:
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+        if "id" in df.columns:
+            df = df.withColumn("id", F.col("id").cast("string"))
+    missing = [c for c in contract if c not in df.columns]
+    if missing:
+        raise ValueError(f"landing data at {path} missing contract columns: {missing}")
+    return df
+
+
+def read_landing_all_runs(spark: SparkSession, landing_root: str, entity: str) -> DataFrame:
+    """Scan every run of an entity — ``run_id`` surfaces as a partition
+    column; a filter on it prunes directories (verify: PartitionFilters in
+    ``.explain``)."""
+    return spark.read.option("basePath", os.path.join(landing_root, entity)).parquet(
+        os.path.join(landing_root, entity)
+    )

@@ -1,0 +1,73 @@
+"""Merge-sink property tests — the reference's integration invariants
+(test_staging_repo.py, SURVEY §5): rerun-dedup, newer-wins, equal/older
+rejected."""
+
+from datetime import datetime
+
+import pytest
+
+from wms_data_pipeline_spark.operators.merge import (
+    ParquetTable,
+    history_merge,
+    latest_merge,
+)
+
+
+def _rec(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, updated_at timestamp, payload string, payload_hash string"
+    )
+
+
+T1 = datetime(2026, 1, 1, 10)
+T2 = datetime(2026, 1, 1, 11)
+
+
+def test_history_rerun_is_noop(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "hist"))
+    batch = _rec(spark, [("a", T1, "p", "h1")])
+    assert t.append_history(batch) == 1
+    assert t.append_history(batch) == 0  # redelivery: ON CONFLICT DO NOTHING
+    assert t.read().count() == 1
+
+
+def test_history_same_key_different_hash_keeps_both(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "hist"))
+    t.append_history(_rec(spark, [("a", T1, "p1", "h1")]))
+    assert t.append_history(_rec(spark, [("a", T1, "p2", "h2")])) == 1
+    assert t.read().count() == 2
+
+
+def test_history_intra_batch_dup_collapses(spark):
+    batch = _rec(spark, [("a", T1, "p", "h1"), ("a", T1, "p", "h1")])
+    inserted, full = history_merge(None, batch)
+    assert inserted.count() == 1
+
+
+def test_latest_newer_wins_older_and_equal_rejected(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "latest"))
+    assert t.upsert_latest(_rec(spark, [("a", T2, "new", "h2")])) == 1
+    # strictly older: ignored
+    assert t.upsert_latest(_rec(spark, [("a", T1, "old", "h1")])) == 0
+    assert t.read().collect()[0]["payload"] == "new"
+    # equal timestamp: stored row survives (strict >)
+    assert t.upsert_latest(_rec(spark, [("a", T2, "equal-ts", "h3")])) == 0
+    assert t.read().collect()[0]["payload"] == "new"
+    # strictly newer: replaces
+    assert t.upsert_latest(_rec(spark, [("a", datetime(2026, 1, 2), "newest", "h4")])) == 1
+    assert t.read().collect()[0]["payload"] == "newest"
+
+
+def test_latest_merge_pure_function_tie_prefers_existing(spark):
+    existing = _rec(spark, [("a", T1, "stored", "h1")])
+    batch = _rec(spark, [("a", T1, "incoming", "h2")])
+    out = latest_merge(existing, batch).collect()
+    assert len(out) == 1 and out[0]["payload"] == "stored"
+
+
+def test_latest_insert_new_keys(spark, tmp_path):
+    t = ParquetTable(spark, str(tmp_path / "latest"))
+    t.upsert_latest(_rec(spark, [("a", T1, "pa", "h1")]))
+    n = t.upsert_latest(_rec(spark, [("b", T1, "pb", "h2")]))
+    assert n == 1
+    assert t.read().count() == 2

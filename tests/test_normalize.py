@@ -1,0 +1,97 @@
+"""Operator tests for the normalize chain — mirrors the reference's
+test_normalize.py invariants (SURVEY §5)."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType, StructField, StringType, ArrayType, LongType
+
+from wms_data_pipeline_spark.operators import normalize as nz
+
+RUN = dict(run_id="run-1", extracted_at=datetime(2026, 1, 30, tzinfo=timezone.utc),
+           watermark_effective=datetime(2026, 1, 29, tzinfo=timezone.utc))
+
+SCHEMA = StructType([
+    StructField("id", StringType()),
+    StructField("updated_at", StringType()),
+    StructField("po_date", StringType()),
+    StructField("note", StringType()),
+    StructField("lines", ArrayType(StructType([
+        StructField("line_id", StringType()), StructField("qty", LongType()),
+    ]))),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_empty_input_keeps_schema(spark):
+    out = nz.normalize(_df(spark, []), **RUN)
+    assert out.count() == 0
+    assert "_run_id" in out.columns and "lines_json" in out.columns
+
+
+def test_missing_required_column_raises(spark):
+    df = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(ValueError, match="updated_at"):
+        nz.validate_required(df)
+
+
+def test_null_required_raises_with_sample(spark):
+    df = _df(spark, [(None, "2026-01-30T10:00:00+00:00", None, "x", None)])
+    with pytest.raises(ValueError, match="sample"):
+        nz.normalize(df, **RUN)
+
+
+def test_normalize_invariants(spark):
+    rows = [
+        ("b", "2026-01-30T10:00:00+00:00", "2026-01-15", "keep-first",
+         [{"line_id": "l1", "qty": 1}]),
+        # duplicate (id, updated_at) — later arrival must win
+        ("a", "2026-01-30T09:00:00+00:00", "2026-01-10", "v1", None),
+        ("a", "2026-01-30T09:00:00+00:00", "2026-01-10", "v2-wins", None),
+        # unparseable timestamp coerces to null… but id "c" null-ts row must
+        # still pass validate (updated_at the COLUMN is checked pre-parse? no:
+        # post-parse null would fail) — use a valid ts here.
+        ("c", "2026-01-30T11:00:00+00:00", "not-a-date", "bad-date", None),
+    ]
+    out = nz.normalize(_df(spark, rows), **RUN).orderBy("id")
+    got = {r["id"]: r for r in out.collect()}
+    # keep-last dedup: 4 rows in → 3 out, later arrival wins
+    assert len(got) == 3
+    assert got["a"]["note"] == "v2-wins"
+    # suffix typing
+    assert dict(out.dtypes)["updated_at"] == "timestamp"
+    assert dict(out.dtypes)["po_date"] == "date"
+    assert got["c"]["po_date"] is None  # coerce, not error
+    # nested flatten
+    assert "lines" not in out.columns
+    assert '"line_id":"l1"' in got["b"]["lines_json"]
+    # lineage constants
+    assert got["a"]["_run_id"] == "run-1"
+    assert got["a"]["_extracted_at"] == datetime(2026, 1, 30)  # session tz UTC
+    assert got["a"]["_watermark_effective"] == datetime(2026, 1, 29)
+
+
+def test_dedup_keep_last_explicit_arrival(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10, "first"), ("a", 1, 20, "last")],
+        "id string, updated_at int, _arrival_seq long, v string",
+    )
+    out = nz.dedup_keep_last(df).collect()
+    assert len(out) == 1 and out[0]["v"] == "last"
+
+
+def test_explode_lines(spark):
+    df = _df(spark, [("a", "2026-01-30T09:00:00+00:00", None, None,
+                      [{"line_id": "l1", "qty": 2}, {"line_id": "l2", "qty": 3}])])
+    out = nz.explode_lines(df, header_cols=["id"])
+    assert out.columns == ["id", "line_id", "qty"]
+    assert out.count() == 2
+
+
+def test_assert_nondecreasing_passes_and_fails(spark):
+    ok = spark.createDataFrame([("a", 1), ("b", 2)], "id string, updated_at int")
+    nz.assert_nondecreasing(ok)

@@ -1,0 +1,41 @@
+"""Registry contract sanity: every query runs at sf0.001 and returns rows
+with the declared aliasing discipline; oracle strings are present where
+claimed. (Full oracle parity = tools/parity.py, run separately — it's the
+driver's gate, too slow for the unit loop.)"""
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from wms_data_pipeline_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.exists(SF), reason="driver testdata not present"
+)
+
+
+@needs_testdata
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+@needs_testdata
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF)
+    assert df.count() >= 0
+    assert len(df.columns) == len(set(df.columns)), "duplicate column names"
+
+
+def test_contract_shape():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) == len(REGISTRY)
+    # every oracle is non-empty SQL
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())

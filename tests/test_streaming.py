@@ -1,0 +1,132 @@
+"""Structured Streaming tests: file-source micro-batches → foreachBatch
+merge sinks; tumbling/session windows with watermark."""
+
+import json
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from wms_data_pipeline_spark.operators.merge import ParquetTable
+from wms_data_pipeline_spark.streaming.pipeline import (
+    incremental_merge_stream,
+    session_counts,
+    tumbling_counts,
+)
+
+UPDATES_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("updated_at", TimestampType()),
+        StructField("status", StringType()),
+    ]
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _write_batch(spark, src_dir, rows, schema, name):
+    """The file stream source monitors a flat directory — land each
+    micro-batch as one parquet FILE (write to a scratch dir, move the part
+    file in), not a nested directory."""
+    import glob
+    import shutil
+
+    scratch = os.path.join(src_dir, "..", f"_scratch_{name}")
+    df = spark.createDataFrame(rows, schema)
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, f"{name}.parquet"))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_incremental_merge_stream_newer_wins(spark, tmp_path):
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    os.makedirs(src)
+    t1, t2 = datetime(2026, 1, 1, 10), datetime(2026, 1, 1, 11)
+
+    # micro-batch 1: two entities
+    _write_batch(spark, src, [("a", t1, "NEW"), ("b", t1, "NEW")], UPDATES_SCHEMA, "b1")
+    stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src)
+    q = incremental_merge_stream(stream, wh, "orders", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # micro-batch 2: newer update for a, stale (older) update for b, redelivery of a@t1
+    _write_batch(
+        spark, src,
+        [("a", t2, "PROCESSING"), ("b", datetime(2026, 1, 1, 9), "STALE"), ("a", t1, "NEW")],
+        UPDATES_SCHEMA, "b2",
+    )
+    stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src)
+    q = incremental_merge_stream(stream, wh, "orders", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    latest = {r["id"]: r["status"] for r in ParquetTable(spark, f"{wh}/stg_orders").read().collect()}
+    assert latest == {"a": "PROCESSING", "b": "NEW"}  # newer wins, stale rejected
+    hist = ParquetTable(spark, f"{wh}/stg_orders_history").read()
+    assert hist.count() == 4  # a@t1, b@t1, a@t2, b@t9stale — redelivered a@t1 collapsed
+
+
+def test_tumbling_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        (1, datetime(2026, 1, 1, 10, 1)),
+        (1, datetime(2026, 1, 1, 10, 5)),
+        (2, datetime(2026, 1, 1, 10, 12)),
+    ]
+    _write_batch(spark, src, rows, EVENTS_SCHEMA, "b1")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = tumbling_counts(stream, window="10 minutes", keys=["user_id"])
+    q = (
+        agg.writeStream.format("memory").queryName("tumbling_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["user_id"]): r["n"]
+        for r in spark.sql("SELECT * FROM tumbling_t").collect()
+    }
+    assert got == {
+        (datetime(2026, 1, 1, 10, 0), 1): 2,
+        (datetime(2026, 1, 1, 10, 10), 2): 1,
+    }
+
+
+def test_session_counts(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        (1, datetime(2026, 1, 1, 10, 0)),
+        (1, datetime(2026, 1, 1, 10, 10)),  # same session (gap < 30m)
+        (1, datetime(2026, 1, 1, 12, 0)),   # new session
+    ]
+    _write_batch(spark, src, rows, EVENTS_SCHEMA, "b1")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = session_counts(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("session_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["session_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM session_t").collect()
+    )
+    assert got == [
+        (datetime(2026, 1, 1, 10, 0), 2),
+        (datetime(2026, 1, 1, 12, 0), 1),
+    ]

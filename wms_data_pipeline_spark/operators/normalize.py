@@ -112,8 +112,11 @@ def with_lineage(
 def with_arrival_seq(df: DataFrame, col: str = "_arrival_seq") -> DataFrame:
     """Spark has no implicit arrival order, so "keep last fetched" needs an
     explicit tiebreaker (SURVEY §7.3 hard part 2). At the REST source the
-    page offset is the real sequence (sources/rest.py threads it); for
-    already-materialized input this monotonic id preserves file/row order."""
+    page offset is the real sequence (sources/rest.py threads it, and we
+    keep it); for already-materialized input this monotonic id preserves
+    file/row order."""
+    if col in df.columns:
+        return df
     return df.withColumn(col, F.monotonically_increasing_id())
 
 

@@ -1,0 +1,140 @@
+"""End-to-end pipeline entry points (SURVEY §3).
+
+Entry point A — extractor run (reference services/extractor/app/run.py:15-93):
+    fetch (REST) → normalize → landing write → watermark advance.
+Entry point B — staging run (reference services/staging/app/run.py:28-99):
+    read landing → payload/hash → history merge → latest merge → run log.
+
+All boundaries are Spark I/O; failure ordering preserved from the reference:
+landing is written strictly before the watermark advances (rerun-safe: sinks
+are idempotent, watermark only moves on success), and the staging run log
+records failure with the error text on any exception.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from wms_data_pipeline_spark.control.runlog import RunLog
+from wms_data_pipeline_spark.control.watermark import (
+    WatermarkStore,
+    compute_new_watermark,
+)
+from wms_data_pipeline_spark.operators.incremental import (
+    DEFAULT_LOOKBACK_SECONDS,
+    effective_watermark,
+)
+from wms_data_pipeline_spark.operators.merge import ParquetTable
+from wms_data_pipeline_spark.operators.normalize import normalize
+from wms_data_pipeline_spark.operators.payload import with_payload_and_hash
+from wms_data_pipeline_spark.schemas import ENTITY_RAW_SCHEMAS
+from wms_data_pipeline_spark.sources.landing import read_landing, write_landing
+from wms_data_pipeline_spark.sources.rest import fetch_all
+
+
+@dataclass
+class ExtractResult:
+    entity: str
+    run_id: str
+    rows: int
+    landing_path: str | None
+    new_watermark: datetime
+
+
+def extractor_run(
+    spark: SparkSession,
+    base_url: str,
+    entities: list[str],
+    landing_root: str,
+    control_root: str,
+    pipeline_name: str = "wms_extract",
+    lookback_seconds: int = DEFAULT_LOOKBACK_SECONDS,
+    limit: int = 500,
+    getter: Callable[..., Any] | None = None,
+    output_format: str = "parquet",
+) -> list[ExtractResult]:
+    """Entry point A. One run_id + extracted_at for the whole run
+    (reference run.py:20-21); per entity: watermark − lookback → fetch →
+    normalize → landing → watermark GREATEST-merge."""
+    run_id = uuid.uuid4().hex
+    extracted_at = datetime.now(timezone.utc)
+    wm_store = WatermarkStore(spark, f"{control_root}/etl_watermark")
+    results: list[ExtractResult] = []
+    for entity in entities:
+        saved = wm_store.get(pipeline_name, entity)
+        wm_eff = effective_watermark(saved, lookback_seconds)
+        kwargs = {"getter": getter} if getter is not None else {}
+        rows = fetch_all(
+            base_url, entity, updated_after=wm_eff.isoformat(), limit=limit, **kwargs
+        )
+        schema = ENTITY_RAW_SCHEMAS.get(entity)
+        if schema is not None:
+            # fetch_all threads _arrival_seq (page × row order) through every
+            # row — extend the declared schema rather than mutating it.
+            full_schema = StructType(
+                schema.fields + [StructField("_arrival_seq", LongType())]
+            )
+            raw = spark.createDataFrame(rows, full_schema)
+        elif rows:
+            raw = spark.createDataFrame(rows)
+        else:
+            # no rows and no declared schema: nothing to land; carry forward
+            wm_store.upsert(pipeline_name, entity, saved, run_id)
+            results.append(ExtractResult(entity, run_id, 0, None, saved))
+            continue
+        batch = normalize(raw, run_id, extracted_at, wm_eff)
+        path = write_landing(batch, landing_root, entity, run_id, output_format)
+        max_ts = batch.agg(F.max("updated_at")).collect()[0][0]
+        new_wm = compute_new_watermark(max_ts, saved)
+        wm_store.upsert(pipeline_name, entity, new_wm, run_id)
+        results.append(ExtractResult(entity, run_id, batch.count(), path, new_wm))
+    return results
+
+
+@dataclass
+class StagingResult:
+    entity: str
+    run_id: str
+    rows_in: int
+    inserted_history: int
+    upserted_latest: int
+    status: str
+    error: str | None = None
+
+
+def staging_run(
+    spark: SparkSession,
+    landing_root: str,
+    warehouse_root: str,
+    entity: str,
+    run_id: str,
+    pipeline_name: str = "wms_staging",
+) -> StagingResult:
+    """Entry point B. Counts come from the merge sinks (the reference's
+    executemany rowcounts, staging run.py:68-86); one terminal run-log state
+    (the reference's empty-batch double-finish quirk is not reproduced)."""
+    runlog = RunLog(spark, f"{warehouse_root}/pipeline_run_log")
+    runlog.start(run_id, pipeline_name, entity)
+    try:
+        df = read_landing(spark, landing_root, entity, run_id)
+        rows_in = df.count()
+        if rows_in == 0:
+            runlog.finish_success(run_id, 0, 0, 0)
+            return StagingResult(entity, run_id, 0, 0, 0, "success")
+        staged = with_payload_and_hash(df)
+        history = ParquetTable(spark, f"{warehouse_root}/stg_{entity}_history")
+        latest = ParquetTable(spark, f"{warehouse_root}/stg_{entity}")
+        n_hist = history.append_history(staged)
+        n_latest = latest.upsert_latest(staged)
+        runlog.finish_success(run_id, rows_in, n_hist, n_latest)
+        return StagingResult(entity, run_id, rows_in, n_hist, n_latest, "success")
+    except Exception as e:  # noqa: BLE001 - reference catches everything too
+        runlog.finish_failed(run_id, f"{type(e).__name__}: {e}")
+        return StagingResult(entity, run_id, 0, 0, 0, "failed", error=str(e))

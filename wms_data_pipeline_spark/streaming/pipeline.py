@@ -1,0 +1,104 @@
+"""Structured Streaming pipeline (SURVEY §2.2, §7.1 step 8).
+
+The reference is a scheduled micro-batch pipeline; its streaming semantics
+map one-to-one:
+
+| reference                               | here                           |
+|-----------------------------------------|--------------------------------|
+| persisted watermark + 120 s lookback    | ``withWatermark(ts, "2 minutes")`` |
+| lookback re-read collapsed by PK sinks  | ``foreachBatch`` → idempotent merges |
+| watermark advance = max(updated_at)     | checkpoint offsets             |
+| run log                                 | StreamingQueryListener / observe |
+
+``incremental_merge_stream`` is the effectively-once recipe: an
+at-least-once file/Kafka source, per-micro-batch MERGE into history+latest.
+At 100 TB the source is Kafka/Delta CDF and the sinks are Delta MERGEs; the
+semantics (and this code path's transforms) are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from wms_data_pipeline_spark.operators.merge import ParquetTable
+from wms_data_pipeline_spark.operators.payload import with_payload_and_hash
+
+
+def incremental_merge_stream(
+    stream_df: DataFrame,
+    warehouse_root: str,
+    entity: str,
+    checkpoint_dir: str,
+    ts_col: str = "updated_at",
+    delay: str = "2 minutes",
+) -> StreamingQuery:
+    """readStream → event-time watermark → foreachBatch(history + latest
+    merges). Late rows inside ``delay`` re-enter and collapse in the sinks
+    (the reference's lookback+dedup contract)."""
+    spark = stream_df.sparkSession
+    history = ParquetTable(spark, f"{warehouse_root}/stg_{entity}_history")
+    latest = ParquetTable(spark, f"{warehouse_root}/stg_{entity}")
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        staged = with_payload_and_hash(batch)
+        history.append_history(staged)
+        latest.upsert_latest(staged, ts_col=ts_col)
+
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def tumbling_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    delay: str = "2 minutes",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark; append-mode safe
+    (windows only emit once the watermark passes them)."""
+    keys = keys or []
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            "n",
+        )
+    )
+
+
+def session_counts(
+    stream_df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Session-window aggregation — the streaming twin of
+    operators/relational.sessionize."""
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .groupBy(F.session_window(ts_col, gap), key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key,
+            "n_events",
+        )
+    )

@@ -1,0 +1,93 @@
+"""Spark 4 Python Data Source test: a real local HTTP server serving the
+mock-API envelope; executors fetch page ranges in parallel."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from wms_data_pipeline_spark.sources.rest import HAS_DATASOURCE_API
+
+pytestmark = pytest.mark.skipif(
+    not HAS_DATASOURCE_API, reason="pyspark DataSource API not available"
+)
+
+ROWS = [
+    {
+        "id": f"id-{i:04d}",
+        "updated_at": f"2026-01-30T10:{i % 60:02d}:{i // 60:02d}+00:00",
+        "status": "NEW",
+    }
+    for i in range(137)
+]
+ROWS.sort(key=lambda r: (r["updated_at"], r["id"]))
+
+
+class Handler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        q = parse_qs(urlparse(self.path).query)
+        off = int(q.get("offset", ["0"])[0])
+        lim = int(q.get("limit", ["100"])[0])
+        rows = ROWS
+        after = q.get("updated_after", [None])[0]
+        if after:
+            rows = [r for r in rows if r["updated_at"] > after]
+        body = json.dumps(
+            {"data": rows[off : off + lim], "meta": {"count": len(rows)}}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def api_server():
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_datasource_parallel_fetch(spark, api_server):
+    from wms_data_pipeline_spark.sources.rest import PaginatedRestDataSource
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("id string, updated_at string, status string")
+        .option("base_url", api_server)
+        .option("entity", "ib_receipts")
+        .option("limit", "25")
+        .option("pages_per_task", "2")
+        .load()
+    )
+    # 137 rows / (25*2) per task → 3 partitions; all rows exactly once
+    assert df.rdd.getNumPartitions() == 3
+    got = sorted(r["id"] for r in df.collect())
+    assert got == sorted(r["id"] for r in ROWS)
+
+
+def test_datasource_pushes_watermark(spark, api_server):
+    from wms_data_pipeline_spark.sources.rest import PaginatedRestDataSource
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    cutoff = ROWS[100]["updated_at"]
+    expected = [r["id"] for r in ROWS if r["updated_at"] > cutoff]
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("id string, updated_at string, status string")
+        .option("base_url", api_server)
+        .option("entity", "ib_receipts")
+        .option("updated_after", cutoff)
+        .option("limit", "25")
+        .load()
+    )
+    assert sorted(r["id"] for r in df.collect()) == sorted(expected)

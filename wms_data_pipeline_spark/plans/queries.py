@@ -38,6 +38,32 @@ from wms_data_pipeline_spark.schemas import load_table
 # Watermark cut for the events "entity stream" — ~2/3 history, 1/3 batch.
 EVENTS_CUT = "2024-01-20 00:00:00"
 
+# The same cut in raw nanoseconds. events.parquet stores TIMESTAMP(NANOS)
+# surfaced as a long (schemas.load_table); filtering on the RAW long pushes
+# the watermark predicate into the parquet scan (row-group pruning), which
+# the post-conversion timestamp column can't do. Strict micros ``ts > cut``
+# ≡ ``nanos >= cut_nanos + 1000`` because both engines truncate nanos→micros.
+from datetime import datetime as _dt, timezone as _tz
+
+EVENTS_CUT_NANOS = int(
+    _dt.fromisoformat(EVENTS_CUT).replace(tzinfo=_tz.utc).timestamp()
+) * 1_000_000_000
+
+
+def _events_after_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events rows strictly after EVENTS_CUT, with the predicate pushed to
+    the scan (verify: PushedFilters [GreaterThanOrEqual(ts,…)])."""
+    _utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") != "bigint":
+        from wms_data_pipeline_spark.operators.incremental import incremental_filter
+
+        return incremental_filter(load_table(spark, sf_dir, "events"), EVENTS_CUT, "ts")
+    return raw.filter(F.col("ts") >= F.lit(EVENTS_CUT_NANOS + 1000)).withColumn(
+        "ts", F.expr("timestamp_micros(ts div 1000)")
+    )
+
 
 @dataclass
 class QuerySpec:
@@ -78,12 +104,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "wm_incremental_filter",
     f"SELECT event_id, ts, user_id, event_type, value, props FROM events "
     f"WHERE ts > TIMESTAMP '{EVENTS_CUT}'",
-    doc="Op 3: strict watermark predicate, pushed to the parquet scan "
-    "(reference main.py:227-228).",
+    doc="Op 3: strict watermark predicate, pushed to the parquet scan as a "
+    "raw-nanos range (reference main.py:227-228).",
 )
 def wm_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return incremental_filter(ev, EVENTS_CUT, "ts").select(
+    return _events_after_cut(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 
@@ -96,7 +121,7 @@ def wm_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference run.py:72-75).",
 )
 def wm_watermark_advance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = incremental_filter(_t(spark, sf_dir, "events"), EVENTS_CUT, "ts")
+    ev = _events_after_cut(spark, sf_dir)
     return ev.agg(
         F.max("ts").alias("new_watermark"), F.count(F.lit(1)).alias("rows_in")
     )
@@ -552,6 +577,184 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id").agg(
         (F.max("session_id") + 1).cast("long").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "rel_full_outer_join",
+    "SELECT c.c_custkey, c.c_name, oc.n_orders FROM customer c "
+    "FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) oc "
+    "ON c.c_custkey = oc.o_custkey",
+    doc="Full outer equi-join (unmatched rows preserved on both sides).",
+)
+def rel_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(oc, c.c_custkey == oc.o_custkey, "full_outer").select(
+        "c_custkey", "c_name", "n_orders"
+    )
+
+
+@query(
+    "rel_pivot_status",
+    'SELECT o_orderpriority, count(*) FILTER (WHERE o_orderstatus = \'F\') AS "F", '
+    "count(*) FILTER (WHERE o_orderstatus = 'O') AS \"O\", "
+    "count(*) FILTER (WHERE o_orderstatus = 'P') AS \"P\" "
+    "FROM orders GROUP BY o_orderpriority",
+    doc="Pivot (wide conditional aggregation) over the status dimension.",
+)
+def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+
+
+@query(
+    "rel_having",
+    "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey "
+    "HAVING count(*) >= 15",
+    doc="Aggregate + HAVING filter.",
+)
+def rel_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "rel_string_funcs",
+    "SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 10) AS name10, "
+    "length(p_name) AS name_len, concat_ws('-', p_brand, p_type) AS brand_type "
+    "FROM part WHERE p_name LIKE '%e%'",
+    doc="Scalar string library: upper/substr/length/concat_ws/LIKE "
+    "(whole-stage codegen, no UDFs).",
+)
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%e%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "rel_date_funcs",
+    "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+    "CAST(month(o_orderdate) AS INTEGER) AS order_month, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start "
+    "FROM orders",
+    doc="Scalar date/time library: year/month extraction, month truncation.",
+)
+def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+@query(
+    "rel_tumbling_batch",
+    "SELECT CAST(to_timestamp(floor(date_part('epoch', ts) / 600) * 600) AS TIMESTAMP) "
+    "AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    doc="Tumbling event-time windows in batch mode — same window() operator "
+    "Structured Streaming uses (streaming/pipeline.py).",
+)
+def rel_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "rel_union_tagged",
+    "SELECT nationkey, kind, count(*) AS n FROM ("
+    "SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer "
+    "UNION ALL SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier) "
+    "GROUP BY nationkey, kind",
+    doc="unionByName over heterogenous sources + tag column.",
+)
+def rel_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s).groupBy("nationkey", "kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "rel_theta_join",
+    "SELECT a.s_suppkey AS a_key, b.s_suppkey AS b_key, a.s_nationkey AS nationkey "
+    "FROM supplier a JOIN supplier b "
+    "ON a.s_nationkey = b.s_nationkey AND a.s_acctbal < b.s_acctbal",
+    doc="Theta (non-equi range) self-join: equi part shuffles, range part "
+    "filters within nation groups.",
+)
+def rel_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("a_key"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("a_bal"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("b_key"),
+        F.col("s_nationkey").alias("b_nat"),
+        F.col("s_acctbal").alias("b_bal"),
+    )
+    return (
+        a.join(b, (a.nationkey == b.b_nat) & (a.a_bal < b.b_bal))
+        .select("a_key", "b_key", "nationkey")
+    )
+
+
+@query(
+    "rel_minmax_greatest",
+    "SELECT l_returnflag, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship, "
+    "greatest(round(max(l_discount), 2), round(max(l_tax), 2)) AS max_rate "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="min/max/greatest — the reference's full aggregate inventory "
+    "(SURVEY §2.1 scalar table).",
+)
+def rel_minmax_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.greatest(
+            F.round(F.max("l_discount"), 2), F.round(F.max("l_tax"), 2)
+        ).alias("max_rate"),
+    )
+
+
+@query(
+    "rel_approx_distinct",
+    None,  # HLL sketches differ across engines; exact twin is
+    # rel_distinct_agg. Rows-only check records cardinality stability.
+    doc="approx_count_distinct (HyperLogLog++) — the sketch path for "
+    "100 TB distinct counts; exact-oracle twin: rel_distinct_agg.",
+)
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 

@@ -168,18 +168,25 @@ try:  # pragma: no cover - import shape depends on pyspark version
             return [_PageRange(s, min(s + rows_per_task, total)) for s in starts]
 
         def read(self, partition: "_PageRange"):
-            for page in fetch_pages(
-                self.base_url,
-                self.entity,
-                self.updated_after,
-                self.limit,
-                start_offset=partition.start,
-                max_offset=partition.end if partition.end > 0 else MAX_OFFSET,
-            ):
-                for i, row in enumerate(page):
-                    yield tuple(row.get(f.name) for f in self.schema.fields)
-                if partition.start + len(page) >= partition.end:
+            url = self.base_url.rstrip("/") + ENTITY_PATHS[self.entity]
+            offset = partition.start
+            while offset < partition.end:
+                lim = min(self.limit, partition.end - offset)
+                params: dict[str, Any] = {"limit": lim, "offset": offset}
+                if self.updated_after is not None:
+                    params["updated_after"] = self.updated_after
+                envelope = get_json(url, params=params)
+                rows = envelope.get("data") if isinstance(envelope, dict) else None
+                if not isinstance(rows, list):
+                    raise ValueError(f"malformed envelope for {self.entity}")
+                if not rows:
                     return
+                _assert_stable_order(rows, self.entity)
+                for row in rows:
+                    yield tuple(row.get(f.name) for f in self.schema.fields)
+                if len(rows) < lim:
+                    return
+                offset += len(rows)
 
     class PaginatedRestDataSource(DataSource):
         """``spark.read.format("paginated_rest")`` after

@@ -28,6 +28,11 @@ def main() -> None:
     spark = get_spark("wms-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM (codegen, shuffle service, parquet footer caches) on a
+    # neutral workload so per-query timings measure the queries, not startup.
+    spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+
     timings: dict[str, float] = {}
     for name, spec in headline_queries().items():
         df = spec.fn(spark, sf_dir)  # build plan (excluded: planning is cheap)

@@ -31,12 +31,19 @@ DEFAULT_BANDS = 4  # rows per band = NUM_PERM / BANDS
 
 
 def shingles_of(colname: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as a distinct array, map-side. Guarded so short
-    docs yield an empty array (``sequence(0, -1)`` would yield ``[0,-1]``)."""
+    """Word n-gram shingles as a distinct array, map-side.
+
+    Built as ``arrays_zip`` of n shifted slices rather than indexed
+    ``element_at`` inside the transform lambda — the lambda body would
+    re-inline the regexp tokenization PER ELEMENT (n regex scans per
+    shingle; ~150× per doc), where the zip form evaluates it n+1 times per
+    row. The ``when`` guard keeps short docs at an empty array (and keeps
+    the negative-length slice unevaluated under ANSI mode)."""
     toks = tokens_of(colname)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    cnt = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(n)])
     grams = F.transform(
-        idx, lambda j: F.concat_ws(" ", *[F.element_at(toks, j + i + 1) for i in range(n)])
+        zipped, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
     )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")

@@ -963,6 +963,169 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk_lsh(emb, queries, k=10)
 
 
+@query(
+    "rel_percentiles",
+    "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, "
+    "round(quantile_cont(o_totalprice, 0.9), 4) AS p90, "
+    "round(quantile_cont(o_totalprice, 0.99), 4) AS p99 "
+    "FROM orders GROUP BY o_orderstatus",
+    doc="Exact interpolated percentiles (Spark `percentile` ≡ DuckDB "
+    "quantile_cont). The sketch path at scale is approx_percentile.",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "rel_stats_agg",
+    "SELECT l_returnflag, round(stddev_samp(l_extendedprice), 4) AS sd_price, "
+    "round(var_samp(l_quantity), 4) AS var_qty, "
+    "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price, "
+    "round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="Statistical aggregates: stddev/variance/correlation/covariance.",
+)
+def rel_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+    )
+
+
+@query(
+    "rel_array_funcs",
+    "SELECT vec_id, len(embedding) AS dim, "
+    "round(embedding[1]::DOUBLE, 6) AS first_val, "
+    "round(list_max(embedding)::DOUBLE, 6) AS max_val, "
+    "round(list_min(embedding)::DOUBLE, 6) AS min_val "
+    "FROM embeddings",
+    doc="Array scalar library over the embedding column: size, element "
+    "access, array min/max.",
+)
+def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+    )
+
+
+@query(
+    "wm_nested_flatten",
+    "SELECT event_id, to_json([struct_pack(line_id := event_id::VARCHAR, "
+    "qty := user_id)]) AS lines_json FROM events",
+    doc="Op 9: nested array-of-struct → canonical JSON string "
+    "(lines → lines_json, reference normalize.py:20-27). The typed array is "
+    "retained in-engine; stringification is the serialization boundary only.",
+)
+def wm_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.normalize import flatten_nested
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(
+            F.struct(
+                F.col("event_id").cast("string").alias("line_id"),
+                F.col("user_id").alias("qty"),
+            )
+        ).alias("lines"),
+    )
+    return flatten_nested(ev)
+
+
+@query(
+    "txt_corpus_curation",
+    """
+WITH f AS (
+  SELECT doc_id, lang, text,
+    len(regexp_extract_all(text, '\\S+')) AS n_tok,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS punct,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+    len(list_filter(regexp_extract_all(text, '\\S+'),
+        t -> t IN ('the','a','of','and','to','in','is'))) AS stop,
+    length(text) AS n_chars_x
+  FROM documents),
+scored AS (
+  SELECT doc_id, lang, text, n_tok,
+    0.3 * least(n_tok / 100.0, 1.0) + 0.3 * (1.0 - punct / greatest(n_chars_x, 1))
+      + 0.2 * least(stop / greatest(n_tok, 1) * 5, 1.0)
+      + 0.2 * (1.0 - digits / greatest(n_chars_x, 1)) AS q
+  FROM f),
+curated AS (
+  SELECT doc_id, lang, n_tok FROM (
+    SELECT *, row_number() OVER (PARTITION BY
+      sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+    FROM scored WHERE q >= 0.5) WHERE rn = 1)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM curated GROUP BY lang
+""",
+    headline=True,
+    doc="Composite curation pipeline: quality-filter → fingerprint dedup → "
+    "per-language token accounting — the chained-operator shape of a real "
+    "training-data run.",
+)
+def txt_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = txt.quality_features(docs).filter(F.col("quality_score") >= 0.5)
+    fp = txt.fingerprint(scored)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    curated = fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return curated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+_PAIR_COS_DUCK = (
+    "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)"
+)
+
+
+@query(
+    "sim_embedding_neardup",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm "
+    "FROM embeddings) "
+    "SELECT id_a, id_b, cosine_sim FROM ("
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    f"round({_PAIR_COS_DUCK}, 6) AS cosine_sim "
+    "FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cosine_sim >= 0.45",
+    doc="Embedding-cosine near-duplicate pairs — brute-force all-pairs with "
+    "precomputed norms (the exact verifier; the LSH-bucketed variant "
+    "sim_ann_lsh_topk is the candidate-generation path at scale).",
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding"), sim.norm(F.col("embedding")).alias("nrm")
+    )
+    e = e.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(eager=False)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine_sim", F.round(cos, 6))
+        .filter(F.col("cosine_sim") >= 0.45)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 # ===========================================================================
 # txt_* — text analysis on documents.
 # ===========================================================================

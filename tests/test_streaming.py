@@ -106,6 +106,40 @@ def test_tumbling_counts(spark, tmp_path):
     }
 
 
+def test_stream_stream_join(spark, tmp_path):
+    from wms_data_pipeline_spark.streaming.pipeline import stream_stream_join
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(lsrc), os.makedirs(rsrc)
+    L = StructType([StructField("user_id", LongType()), StructField("l_ts", TimestampType())])
+    R = StructType(
+        [StructField("user_id", LongType()), StructField("r_ts", TimestampType()),
+         StructField("tag", StringType())]
+    )
+    _write_batch(spark, lsrc, [(1, datetime(2026, 1, 1, 10, 0))], L, "b1")
+    _write_batch(
+        spark, rsrc,
+        [
+            (1, datetime(2026, 1, 1, 10, 5), "in-window"),
+            (1, datetime(2026, 1, 1, 10, 30), "too-late"),
+            (2, datetime(2026, 1, 1, 10, 2), "wrong-key"),
+        ],
+        R, "b1",
+    )
+    joined = stream_stream_join(
+        spark.readStream.schema(L).parquet(lsrc),
+        spark.readStream.schema(R).parquet(rsrc),
+        key="user_id", left_ts="l_ts", right_ts="r_ts", within="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_t").collect()
+    assert [(r["user_id"], r["tag"]) for r in rows] == [(1, "in-window")]
+
+
 def test_session_counts(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)

@@ -61,6 +61,11 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )
+    # dot products are CPU-bound; a one-row-group corpus would otherwise
+    # pin the scan+score stage to a single core (no-op at real scale)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     scored = corpus.join(F.broadcast(q)).select(
         query_id_col,
         id_col,

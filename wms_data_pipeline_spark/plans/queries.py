@@ -681,6 +681,27 @@ def rel_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_sliding_batch",
+    "WITH b AS (SELECT event_type, "
+    "CAST(to_timestamp(floor(date_part('epoch', ts) / 300) * 300) AS TIMESTAMP) AS b0 "
+    "FROM events) "
+    "SELECT window_start, event_type, count(*) AS n FROM ("
+    "SELECT event_type, unnest([b0, b0 - INTERVAL 5 MINUTE]) AS window_start FROM b) "
+    "GROUP BY window_start, event_type",
+    doc="Sliding event-time windows (10 min size, 5 min slide) in batch mode "
+    "— each event lands in exactly two windows; same window() operator the "
+    "streaming path uses.",
+)
+def rel_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
     "rel_union_tagged",
     "SELECT nationkey, kind, count(*) AS n FROM ("
     "SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer "
@@ -1078,6 +1099,8 @@ FROM curated GROUP BY lang
 )
 def txt_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # regex-heavy map stage over a one-row-group file: fan out across cores
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     scored = txt.quality_features(docs).filter(F.col("quality_score") >= 0.5)
     fp = txt.fingerprint(scored)
     w = Window.partitionBy("fingerprint").orderBy("doc_id")

@@ -82,6 +82,29 @@ def tumbling_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "10 minutes",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows match left rows with
+    the same key whose timestamp is within ``[left_ts, left_ts + within]``.
+    Both sides carry watermarks so the join state is bounded — the
+    event-correlation primitive (e.g. order placed ↔ order packed)."""
+    l = left.withWatermark(left_ts, delay)
+    r = right.withWatermark(right_ts, delay)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def session_counts(
     stream_df: DataFrame,
     key: str = "user_id",

@@ -75,6 +75,46 @@ def test_datasource_parallel_fetch(spark, api_server):
     assert got == sorted(r["id"] for r in ROWS)
 
 
+def test_stream_reader_incremental_microbatches(spark, api_server, tmp_path):
+    """Streaming REST source: batch 1 sees the seed rows; rows appended to
+    the live store appear in the next micro-batch only (cursor advance)."""
+    from wms_data_pipeline_spark.sources.rest import PaginatedRestDataSource
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    stream = (
+        spark.readStream.format("paginated_rest")
+        .schema("id string, updated_at string, status string")
+        .option("base_url", api_server)
+        .option("entity", "ib_receipts")
+        .option("limit", "50")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("rest_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) n FROM rest_stream_t").collect()[0]["n"]
+        assert n1 == len(ROWS)
+
+        # live mutation: two new rows past the cursor
+        ROWS.append({"id": "id-9998", "updated_at": "2026-01-30T12:00:00+00:00",
+                     "status": "NEW"})
+        ROWS.append({"id": "id-9999", "updated_at": "2026-01-30T12:00:01+00:00",
+                     "status": "NEW"})
+        q.processAllAvailable()
+        got = {r["id"] for r in spark.sql("SELECT id FROM rest_stream_t").collect()}
+        assert "id-9998" in got and "id-9999" in got
+        n2 = spark.sql("SELECT count(*) n FROM rest_stream_t").collect()[0]["n"]
+        assert n2 == n1 + 2  # no re-delivery of old rows (cursor advanced)
+    finally:
+        q.stop()
+        ROWS[:] = [r for r in ROWS if not r["id"].startswith("id-99")]
+
+
 def test_datasource_pushes_watermark(spark, api_server):
     from wms_data_pipeline_spark.sources.rest import PaginatedRestDataSource
 

@@ -137,7 +137,12 @@ def fetch_all(
 # Spark 4 Python Data Source API — parallel page fetch on executors.
 # ---------------------------------------------------------------------------
 try:  # pragma: no cover - import shape depends on pyspark version
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     class _PageRange(InputPartition):
         def __init__(self, start: int, end: int):
@@ -188,10 +193,74 @@ try:  # pragma: no cover - import shape depends on pyspark version
                     return
                 offset += len(rows)
 
+    class PaginatedRestStreamReader(SimpleDataSourceStreamReader):
+        """Streaming micro-batch reader: the reference's watermark poll loop
+        (extractor run.py:26-27, 72-75) as a Structured Streaming source.
+
+        Offset = ``{"updated_after": <ISO cursor>}``. Each micro-batch
+        fetches rows strictly newer than (cursor − lookback) and advances
+        the cursor to max(updated_at) (carry-forward when empty). The
+        lookback re-read makes delivery at-least-once by design — pair with
+        the idempotent merge sinks (streaming/pipeline.py) for
+        effectively-once, exactly like the reference."""
+
+        def __init__(self, schema, options):
+            self.schema = schema
+            self.base_url = options["base_url"]
+            self.entity = options["entity"]
+            self.limit = int(options.get("limit", "500"))
+            self.lookback = int(options.get("lookback_seconds", "0"))
+            self.start_cursor = options.get(
+                "start", "1970-01-01T00:00:00+00:00"
+            )  # reference config.py:48 default
+
+        def initialOffset(self):
+            return {"updated_after": self.start_cursor}
+
+        def _effective(self, cursor: str) -> str:
+            if not self.lookback:
+                return cursor
+            from datetime import datetime, timedelta
+
+            dt = datetime.fromisoformat(cursor)
+            return (dt - timedelta(seconds=self.lookback)).isoformat()
+
+        def _fetch(self, after: str) -> list[dict]:
+            return fetch_all(
+                self.base_url, self.entity, updated_after=after, limit=self.limit
+            )
+
+        def _tuples(self, rows) -> list[tuple]:
+            # a list, not a generator: the runtime pickles the prefetched
+            # batch for replay between offsets
+            return [tuple(row.get(f.name) for f in self.schema.fields) for row in rows]
+
+        def read(self, start: dict):
+            cursor = start["updated_after"]
+            rows = self._fetch(self._effective(cursor))
+            if rows:
+                new_cursor = max(max(str(r["updated_at"]) for r in rows), cursor)
+            else:
+                new_cursor = cursor  # carry-forward (reference run.py:72-75)
+            return iter(self._tuples(rows)), {"updated_after": new_cursor}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # replay for recovery: rows in (start, end]
+            rows = self._fetch(self._effective(start["updated_after"]))
+            upper = end["updated_after"]
+            return iter(
+                self._tuples([r for r in rows if str(r["updated_at"]) <= upper])
+            )
+
+        def commit(self, end: dict) -> None:
+            pass
+
     class PaginatedRestDataSource(DataSource):
-        """``spark.read.format("paginated_rest")`` after
-        ``spark.dataSource.register(PaginatedRestDataSource)``. Options:
-        base_url, entity, updated_after, limit, pages_per_task."""
+        """``spark.read.format("paginated_rest")`` (batch) or
+        ``spark.readStream.format("paginated_rest")`` (incremental stream)
+        after ``spark.dataSource.register(PaginatedRestDataSource)``.
+        Options: base_url, entity, updated_after, limit, pages_per_task;
+        stream-only: start, lookback_seconds."""
 
         @classmethod
         def name(cls) -> str:
@@ -202,6 +271,9 @@ try:  # pragma: no cover - import shape depends on pyspark version
 
         def reader(self, schema):
             return PaginatedRestReader(schema, self.options)
+
+        def simpleStreamReader(self, schema):
+            return PaginatedRestStreamReader(schema, self.options)
 
     HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover

@@ -1261,6 +1261,57 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt.fingerprint(docs).select("doc_id", "fingerprint")
 
 
+@query(
+    "txt_term_freq",
+    "SELECT token, count(*) AS n FROM ("
+    "SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents) "
+    "GROUP BY token ORDER BY n DESC, token LIMIT 20",
+    doc="Corpus term frequencies (explode → count → top-k).",
+)
+def txt_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(txt.tokens_of("text")).alias("token"))
+    agg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return rel.top_k(agg, 20, [F.col("n").desc(), F.col("token")])
+
+
+@query(
+    "txt_tfidf",
+    "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token "
+    "FROM documents), "
+    "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2), "
+    "dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1), "
+    "n AS (SELECT count(*) AS n FROM documents) "
+    "SELECT doc_id, token, tfidf FROM ("
+    "SELECT tf.doc_id, tf.token, round(tf.tf * ln(n.n / dfreq.df), 6) AS tfidf, "
+    "row_number() OVER (PARTITION BY tf.doc_id "
+    "ORDER BY tf.tf * ln(n.n / dfreq.df) DESC, tf.token) AS rn "
+    "FROM tf JOIN dfreq USING (token) CROSS JOIN n WHERE tf.doc_id < 50) "
+    "WHERE rn <= 5",
+    doc="TF-IDF: top-5 scored terms per document (bounded to doc_id<50). "
+    "Document frequencies aggregate map-side; the per-doc top-k is one "
+    "window pass.",
+)
+def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # metadata-only count; embedded as a literal
+    toks = docs.select("doc_id", F.explode(txt.tokens_of("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+    scored = (
+        tf.join(dfreq, "token")
+        .filter(F.col("doc_id") < 50)
+        .withColumn("__score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__score").desc(), F.col("token"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("doc_id", "token", F.round(F.col("__score"), 6).alias("tfidf"))
+    )
+
+
 # ===========================================================================
 # mm_* — multimodal binary-column plumbing (decode stubbed, see
 # operators/multimodal.py).

@@ -21,6 +21,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
+    left_unique: list[str] | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the single most-recent right row with
     ``right_ts <= left_ts`` within the same key (left-outer: unmatched keep
@@ -44,8 +45,10 @@ def asof_join(
     if tolerance is not None:
         cond = cond & (F.col("__rts") >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
     joined = left.join(r, on=cond, how="left")
-    # unique per left row: partition by the left primary expression set
-    w = Window.partitionBy(*[F.col(c) for c in left.columns]).orderBy(
+    # one survivor per left row: partition by the caller's unique key when
+    # given (cheaper window state), else by the full left column set
+    part = left_unique if left_unique else list(left.columns)
+    w = Window.partitionBy(*[F.col(c) for c in part]).orderBy(
         F.col("__rts").desc_nulls_last()
     )
     out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)

@@ -556,6 +556,7 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         right_cols=["prior_event_id"],
+        left_unique=["event_id"],
     )
     return out.select("event_id", "ts", "user_id", "prior_event_id", "asof_ts")
 

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): the merge sinks and watermark control
+plane against independent Python reference models, under arbitrary
+out-of-order / duplicated update streams.
+
+These generalize the reference's hand-picked integration cases
+(test_staging_repo.py / test_watermark_repo.py) to the whole input space —
+the suite the MERGE semantics actually need at 100 TB where every
+pathological ordering eventually occurs.
+"""
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wms_data_pipeline_spark.control.watermark import compute_new_watermark
+from wms_data_pipeline_spark.operators.merge import history_merge, latest_merge
+
+BASE = datetime(2026, 1, 1)
+
+# an update: (key 0-3, ts offset hours 0-5, payload version 0-3)
+update = st.tuples(
+    st.integers(0, 3), st.integers(0, 5), st.integers(0, 3)
+)
+stream = st.lists(update, min_size=1, max_size=12)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (f"k{k}", BASE + timedelta(hours=h), f"p{k}-{h}-{v}", f"h{k}-{h}-{v}")
+            for (k, h, v) in rows
+        ],
+        "id string, updated_at timestamp, payload string, payload_hash string",
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch1=stream, batch2=stream)
+def test_latest_merge_equals_reference_model(spark, batch1, batch2):
+    """Applying two batches through latest_merge == per-key max over the
+    union, with the newer-wins tie rule: rows from batch1 (already stored)
+    beat equal-timestamp rows from batch2; within a batch the tiebreak
+    column decides."""
+    state = latest_merge(None, _df(spark, batch1), key="id", ts_col="updated_at")
+    state = latest_merge(state, _df(spark, batch2), key="id", ts_col="updated_at")
+    got = {r["id"]: (r["updated_at"], r["payload"]) for r in state.collect()}
+
+    # reference model
+    model: dict[str, tuple] = {}
+    def apply_batch(rows):
+        # intra-batch winner per key: max (ts, payload_hash)
+        best: dict[str, tuple] = {}
+        for (k, h, v) in rows:
+            kk, ts = f"k{k}", BASE + timedelta(hours=h)
+            cand = (ts, f"h{k}-{h}-{v}", f"p{k}-{h}-{v}")
+            if kk not in best or (cand[0], cand[1]) > (best[kk][0], best[kk][1]):
+                best[kk] = cand
+        for kk, (ts, hh, pp) in best.items():
+            if kk not in model or ts > model[kk][0]:  # strict >: stored wins ties
+                model[kk] = (ts, hh, pp)
+    apply_batch(batch1)
+    apply_batch(batch2)
+    want = {kk: (ts, pp) for kk, (ts, hh, pp) in model.items()}
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batch1=stream, batch2=stream)
+def test_history_merge_is_set_union_on_key(spark, batch1, batch2):
+    """History after two appends == set of distinct (id, ts, hash) triples;
+    re-appending batch1 is always a no-op."""
+    inserted1, hist = history_merge(None, _df(spark, batch1))
+    inserted2, hist = history_merge(hist, _df(spark, batch2))
+    keys = {
+        (r["id"], r["updated_at"], r["payload_hash"]) for r in hist.collect()
+    }
+    want = {
+        (f"k{k}", BASE + timedelta(hours=h), f"h{k}-{h}-{v}")
+        for (k, h, v) in batch1 + batch2
+    }
+    assert keys == want
+    # idempotence: replay batch1
+    replay_inserted, hist2 = history_merge(hist, _df(spark, batch1))
+    assert replay_inserted.count() == 0
+    assert hist2.count() == hist.count()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=20))
+def test_watermark_monotonic_under_any_sequence(offsets):
+    wm = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    seen_max = wm
+    for off in offsets:
+        ts = datetime(2026, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=off)
+        wm = compute_new_watermark(ts, wm)
+        seen_max = max(seen_max, ts)
+        assert wm == seen_max  # never backwards, always the running max
+    assert compute_new_watermark(None, wm) == wm  # empty batch carries forward

@@ -106,6 +106,30 @@ def test_tumbling_counts(spark, tmp_path):
     }
 
 
+def test_sliding_counts_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [(1, datetime(2026, 1, 1, 10, 7))]  # lands in 10:00 and 10:05 windows
+    _write_batch(spark, src, rows, EVENTS_SCHEMA, "b1")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sliding_t")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r["ws"], r["n"]) for r in spark.sql("SELECT * FROM sliding_t").collect())
+    assert got == [
+        (datetime(2026, 1, 1, 10, 0), 1),
+        (datetime(2026, 1, 1, 10, 5), 1),
+    ]
+
+
 def test_stream_stream_join(spark, tmp_path):
     from wms_data_pipeline_spark.streaming.pipeline import stream_stream_join
 

@@ -582,6 +582,124 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_q4_order_priority",
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+    "WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate) "
+    "GROUP BY o_orderpriority",
+    doc="TPC-H Q4 shape: correlated EXISTS decorrelated into a left-semi "
+    "join by Catalyst.",
+)
+def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "rel_q13_custdist",
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "SELECT c.c_custkey, count(o.o_orderkey) AS c_count FROM customer c "
+    "LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) "
+    "GROUP BY c_count",
+    doc="TPC-H Q13 shape: distribution of customers by order count "
+    "(left outer + double aggregation).",
+)
+def rel_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "rel_q18_large_orders",
+    "SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total, "
+    "round(sq.qty, 2) AS total_qty FROM orders o JOIN ("
+    "SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey "
+    "HAVING sum(l_quantity) > 140) sq ON o.o_orderkey = sq.l_orderkey",
+    doc="TPC-H Q18 shape: IN-subquery-with-HAVING expressed as an aggregated "
+    "semi-side join.",
+)
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 140)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice"), 2).alias("total"),
+        F.round(F.col("qty"), 2).alias("total_qty"),
+    )
+
+
+@query(
+    "rel_q22_rich_inactive",
+    "SELECT c.c_nationkey, count(*) AS numcust, round(sum(c.c_acctbal), 2) AS totacctbal "
+    "FROM customer c WHERE c.c_acctbal > "
+    "(SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+    "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') "
+    "GROUP BY c.c_nationkey",
+    doc="TPC-H Q22 shape: scalar subquery threshold + anti join "
+    "(rich customers with no recent orders).",
+)
+def rel_q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    )
+    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+@query(
+    "rel_sql_q3_via_spark_sql",
+    "SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
+    "GROUP BY o.o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 5",
+    doc="SQL-API parity: the same engine surface driven through spark.sql "
+    "over registered views (catalog.py) instead of the DataFrame API.",
+)
+def rel_sql_q3_via_spark_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.catalog import register_testdata_views
+
+    _utc(spark)
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00' "
+        "GROUP BY o.o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 5"
+    )
+
+
+@query(
     "rel_full_outer_join",
     "SELECT c.c_custkey, c.c_name, oc.n_orders FROM customer c "
     "FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) oc "

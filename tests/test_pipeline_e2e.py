@@ -108,6 +108,31 @@ def test_lookback_overlap_collapses(spark, tmp_path):
     assert st.inserted_history == 0 and st.upserted_latest == 0  # sinks idempotent
 
 
+def test_staging_partitioned_sinks(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    control = str(tmp_path / "control")
+    wh = str(tmp_path / "wh")
+    sim = CdcSimulator("ib_receipts", n_seed=25, seed=5)
+    api = SchemaApi(sim)
+    r1 = extractor_run(spark, "http://f", ["ib_receipts"], landing, control,
+                       getter=api)[0]
+    st1 = staging_run(spark, landing, wh, "ib_receipts", r1.run_id,
+                      partitioned=True, n_buckets=8)
+    assert st1.status == "success" and st1.inserted_history == 25
+    sim.tick(5)
+    r2 = extractor_run(spark, "http://f", ["ib_receipts"], landing, control,
+                       getter=api, lookback_seconds=0)[0]
+    st2 = staging_run(spark, landing, wh, "ib_receipts", r2.run_id,
+                      partitioned=True, n_buckets=8)
+    assert st2.status == "success" and st2.upserted_latest == r2.rows
+    from wms_data_pipeline_spark.operators.merge_partitioned import (
+        PartitionedMergeTable,
+    )
+
+    latest = PartitionedMergeTable(spark, f"{wh}/stg_ib_receipts", n_buckets=8)
+    assert latest.read_all().count() == 25
+
+
 def test_staging_failure_is_logged(spark, tmp_path):
     wh = str(tmp_path / "wh")
     st = staging_run(spark, str(tmp_path / "nolanding"), wh, "ib_receipts", "ghost")

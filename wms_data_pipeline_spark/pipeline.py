@@ -116,10 +116,16 @@ def staging_run(
     entity: str,
     run_id: str,
     pipeline_name: str = "wms_staging",
+    partitioned: bool = False,
+    n_buckets: int = 64,
 ) -> StagingResult:
     """Entry point B. Counts come from the merge sinks (the reference's
     executemany rowcounts, staging run.py:68-86); one terminal run-log state
-    (the reference's empty-batch double-finish quirk is not reproduced)."""
+    (the reference's empty-batch double-finish quirk is not reproduced).
+
+    ``partitioned=True`` switches both sinks to the bucket-pruned
+    PartitionedMergeTable — the layout for histories that dwarf each batch
+    (SCALE_NOTES.md)."""
     runlog = RunLog(spark, f"{warehouse_root}/pipeline_run_log")
     runlog.start(run_id, pipeline_name, entity)
     try:
@@ -129,8 +135,20 @@ def staging_run(
             runlog.finish_success(run_id, 0, 0, 0)
             return StagingResult(entity, run_id, 0, 0, 0, "success")
         staged = with_payload_and_hash(df)
-        history = ParquetTable(spark, f"{warehouse_root}/stg_{entity}_history")
-        latest = ParquetTable(spark, f"{warehouse_root}/stg_{entity}")
+        if partitioned:
+            from wms_data_pipeline_spark.operators.merge_partitioned import (
+                PartitionedMergeTable,
+            )
+
+            history = PartitionedMergeTable(
+                spark, f"{warehouse_root}/stg_{entity}_history", n_buckets=n_buckets
+            )
+            latest = PartitionedMergeTable(
+                spark, f"{warehouse_root}/stg_{entity}", n_buckets=n_buckets
+            )
+        else:
+            history = ParquetTable(spark, f"{warehouse_root}/stg_{entity}_history")
+            latest = ParquetTable(spark, f"{warehouse_root}/stg_{entity}")
         n_hist = history.append_history(staged)
         n_latest = latest.upsert_latest(staged)
         runlog.finish_success(run_id, rows_in, n_hist, n_latest)

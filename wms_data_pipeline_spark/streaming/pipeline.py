@@ -59,6 +59,21 @@ def incremental_merge_stream(
     )
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "updated_at",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Streaming keyed dedup: the reference's lookback re-read collapse
+    (history PK DO NOTHING, staging_repo.py:44-45) as a native stateful
+    operator — state holds each key seen until the event-time watermark
+    passes it, so redeliveries within ``delay`` drop in-flight instead of
+    at the sink."""
+    keys = keys or ["id", ts_col]
+    return stream_df.withWatermark(ts_col, delay).dropDuplicates(keys)
+
+
 def tumbling_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

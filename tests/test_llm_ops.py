@@ -107,6 +107,41 @@ def test_ann_lsh_recall_vs_exact(spark):
         assert q in approx_sets[q]
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    import hashlib
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest() * 4
+        return [((b / 255.0) - 0.5) for b in h[:64]]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(300)], "vec_id long, embedding array<float>"
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.cosine_topk(corpus, queries, k=10).collect()
+    approx = sim.ivf_topk(corpus, queries, k=10, nlist=8, nprobe=4).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets]
+    assert sum(recalls) / len(recalls) >= 0.4  # probing half the cells
+    for q in exact_sets:  # self-match always found (query's own cell probed)
+        assert q in approx_sets[q]
+
+
+def test_frame_sample_stub(spark):
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(0, 2500)], "doc_id long, byte_len long")
+    out = mm.frame_sample_stub(df, every_n=1).collect()
+    # n_frames = byte_len/1000 + 1 = 3 → frames 0,1,2
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
+
+
 def test_text_quality_and_langid(spark):
     df = _docs(spark, ["the quick brown fox and the lazy dog in a field of grass",
                        "1234 5678 90!!"])

@@ -13,9 +13,11 @@
   partition/cluster key; each query touches one bucket per table instead of
   the corpus.
 
-IVF (k-means coarse quantizer) is the other classic scale path; its
-assignment step is the same broadcast-dot-product pattern — deferred until
-a round with MLlib integration.
+- ``ivf_topk`` — IVF (inverted-file) ANN: a k-means coarse quantizer
+  (MLlib, deterministic seed) partitions the corpus into nlist cells; a
+  query scans only its ``nprobe`` nearest cells. At scale the cell id is
+  the partition/cluster key and nprobe bounds the fraction of the corpus
+  touched per query.
 """
 
 from __future__ import annotations
@@ -93,6 +95,69 @@ def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
         h = int(hashlib.md5(f"{table}:{plane}:{j}".encode()).hexdigest()[:15], 16)
         out.append((h % 2001 - 1000) / 1000.0)
     return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: k-means cells + nprobe-cell search, exact
+    cosine re-rank within the probed cells.
+
+    The quantizer fit is one MLlib job over (a sample of) the corpus; the
+    assignment is a map-side transform. Candidates = corpus rows whose cell
+    is among the query's ``nprobe`` closest centroids — the scan fraction
+    is ~nprobe/nlist of the corpus instead of all of it.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = corpus.sparkSession
+    fit_input = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(fit_input)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centers_df = F.broadcast(
+        spark.createDataFrame(centers, "cell int, center array<double>")
+    )
+
+    def _nearest_cells(df: DataFrame, vcol: str, n: int, out: str) -> DataFrame:
+        scored = df.join(centers_df).withColumn(
+            "__d", dot(F.col(vcol), F.col("center"))
+            / (norm(F.col(vcol)) * norm(F.col("center")))
+        )
+        w = Window.partitionBy(*[c for c in df.columns if c != vcol]).orderBy(
+            F.col("__d").desc(), F.col("cell")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .select(*df.columns, F.col("cell").alias(out))
+        )
+
+    corpus_cells = _nearest_cells(corpus, vec_col, 1, "cell")
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    q_cells = _nearest_cells(q, "__qvec", nprobe, "cell")
+
+    cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+    )
 
 
 def lsh_bucket(

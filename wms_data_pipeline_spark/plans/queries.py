@@ -1088,6 +1088,22 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivf_topk",
+    None,  # quantizer cells aren't SQL-reproducible; recall vs the exact
+    # baseline is pinned in tests/test_llm_ops.py
+    doc="IVF approximate top-k: MLlib k-means coarse quantizer (16 cells), "
+    "4-cell probe, exact cosine re-rank — the scan-fraction ANN path "
+    "(~nprobe/nlist of the corpus per query).",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+
+
+@query(
     "sim_ann_lsh_topk",
     None,  # LSH candidate generation is not reasonably SQL-expressible;
     # recall vs the exact baseline is pinned in tests/test_similarity.py.

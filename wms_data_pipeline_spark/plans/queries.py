@@ -231,9 +231,79 @@ def wm_lineage_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wm_effective_watermark",
+    "SELECT max(ts) AS saved_watermark, "
+    "max(ts) - INTERVAL 120 SECOND AS effective_watermark FROM events",
+    doc="Op 22 + §2.2 lookback: effective watermark = saved − "
+    "LOOKBACK_SECONDS (reference run.py:26-27, config.py:39 default 120 s).",
+)
+def wm_effective_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("ts").alias("saved_watermark"),
+        (F.max("ts") - F.expr("INTERVAL 120 SECOND")).alias("effective_watermark"),
+    )
+
+
 # ===========================================================================
 # rel_* — relational surface (§2.3) on the TPC-H-ish star schema.
 # ===========================================================================
+
+
+@query(
+    "rel_right_join",
+    "SELECT o.o_orderkey, o.o_custkey, c.c_name FROM customer c "
+    "RIGHT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "WHERE o.o_totalprice > 400000",
+    doc="Right outer join (planner mirrors to left-outer with sides swapped).",
+)
+def rel_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "right_outer").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@query(
+    "rel_null_funcs",
+    "SELECT c_custkey, coalesce(c_name, 'unknown') AS name_or_default, "
+    "nullif(c_mktsegment, 'BUILDING') AS seg_nullified, "
+    "CASE WHEN c_acctbal IS NULL THEN 'missing' ELSE 'present' END AS bal_presence "
+    "FROM customer",
+    doc="Null-handling scalar functions: coalesce / nullif / IS NULL.",
+)
+def rel_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.col("c_name"), F.lit("unknown")).alias("name_or_default"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nullified"),
+        F.when(F.col("c_acctbal").isNull(), "missing").otherwise("present").alias(
+            "bal_presence"
+        ),
+    )
+
+
+@query(
+    "rel_case_banding",
+    "SELECT CASE WHEN o_totalprice < 100000 THEN 'small' "
+    "WHEN o_totalprice < 300000 THEN 'medium' ELSE 'large' END AS band, "
+    "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+    "FROM orders GROUP BY 1",
+    doc="CASE WHEN bucketing + aggregate over the derived dimension.",
+)
+def rel_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
 
 
 @query(

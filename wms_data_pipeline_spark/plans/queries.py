@@ -544,12 +544,17 @@ def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_anti_join",
     "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
-    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
-    doc="Left-anti join (NOT EXISTS) — customers with no orders.",
+    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')",
+    doc="Left-anti join (NOT EXISTS) — customers with no early orders "
+    "(unqualified no-orders is empty in this data; a non-trivial result "
+    "set exercises the join, not just the empty path).",
 )
 def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

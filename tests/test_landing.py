@@ -67,6 +67,17 @@ def test_empty_batch_still_publishes(spark, tmp_path):
     assert out.count() == 0  # schema-bearing empty file set
 
 
+def test_schema_drift_across_runs(spark, tmp_path):
+    # run 1: base schema; run 2: API added a column — schema-on-read unions
+    write_landing(_batch(spark, "r1"), str(tmp_path), "ib_receipts", "r1")
+    drifted = _batch(spark, "r2").withColumn("new_api_field", F.lit("v2"))
+    write_landing(drifted, str(tmp_path), "ib_receipts", "r2")
+    allruns = read_landing_all_runs(spark, str(tmp_path), "ib_receipts")
+    assert "new_api_field" in allruns.columns
+    got = {r["run_id"]: r["new_api_field"] for r in allruns.collect()}
+    assert got == {"r1": None, "r2": "v2"}  # null backfill for earlier runs
+
+
 def test_all_runs_scan_has_partition_column(spark, tmp_path):
     write_landing(_batch(spark, "r1"), str(tmp_path), "ib_receipts", "r1")
     write_landing(_batch(spark, "r2"), str(tmp_path), "ib_receipts", "r2")

@@ -85,7 +85,13 @@ def read_landing(
 def read_landing_all_runs(spark: SparkSession, landing_root: str, entity: str) -> DataFrame:
     """Scan every run of an entity — ``run_id`` surfaces as a partition
     column; a filter on it prunes directories (verify: PartitionFilters in
-    ``.explain``)."""
-    return spark.read.option("basePath", os.path.join(landing_root, entity)).parquet(
-        os.path.join(landing_root, entity)
+    ``.explain``).
+
+    ``mergeSchema`` carries the reference's schema-drift story
+    (SURVEY §1.3: new API fields flow through without DDL): a column that
+    appears in a later run unions in, null for earlier runs."""
+    return (
+        spark.read.option("basePath", os.path.join(landing_root, entity))
+        .option("mergeSchema", True)
+        .parquet(os.path.join(landing_root, entity))
     )

@@ -80,6 +80,30 @@ def test_incremental_merge_stream_newer_wins(spark, tmp_path):
     assert hist.count() == 4  # a@t1, b@t1, a@t2, b@t9stale — redelivered a@t1 collapsed
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch enriched against a dimension
+    table (broadcast per batch, no stream state)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    dim = spark.createDataFrame(
+        [("a", "warehouse-east"), ("b", "warehouse-west")], "id string, site string"
+    )
+    _write_batch(
+        spark, src,
+        [("a", datetime(2026, 1, 1, 10), "NEW"), ("c", datetime(2026, 1, 1, 11), "NEW")],
+        UPDATES_SCHEMA, "b1",
+    )
+    stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src)
+    enriched = stream.join(dim, "id", "left_outer").select("id", "status", "site")
+    q = (
+        enriched.writeStream.format("memory").queryName("enrich_t")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["id"]: r["site"] for r in spark.sql("SELECT * FROM enrich_t").collect()}
+    assert got == {"a": "warehouse-east", "c": None}
+
+
 def test_tumbling_counts(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)

@@ -47,6 +47,15 @@ def test_minhash_detects_planted_neardup(spark):
     assert pairs[0]["jaccard_sim"] > 0.8
 
 
+def test_neardup_components_chain_and_islands(spark):
+    # chain 1-2-3 collapses to component 1; island pair 10-11 → component 10
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["component"] for r in dd.neardup_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_simhash_similar_docs_close(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = base.replace("tok30", "CHANGED")

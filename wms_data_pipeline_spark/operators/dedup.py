@@ -179,6 +179,61 @@ def simhash_col(colname: str = "text", bits: int = 16) -> Column:
     return acc
 
 
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list → (doc_id, component)
+    with component = min doc id in the component — turns pairwise matches
+    into dedup groups (keep one representative per component).
+
+    Iterative min-label propagation over the undirected edge set; each
+    round is one join + aggregate, converging in O(component diameter)
+    rounds (near-dup clusters are shallow). The loop is driver-side control
+    flow only — data never leaves executors; each iteration localCheckpoints
+    to keep lineage flat. GraphFrames/GraphX CC is the drop-in at extreme
+    scale; this stays dependency-free.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = fwd.unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", colname: str = "text"
 ) -> DataFrame:

@@ -1072,6 +1072,33 @@ def dd_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_neardup_pairs(docs, threshold=0.5)
 
 
+def _components_duck(threshold: float) -> str:
+    pairs_sql = _neardup_duck(threshold)
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_sql}), "
+        "und AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS n FROM und), "
+        "cc(n, lbl) AS (SELECT n, n FROM nodes "
+        "UNION SELECT u.dst, cc.lbl FROM cc JOIN und u ON u.src = cc.n) "
+        "SELECT n AS doc_id, min(lbl) AS component FROM cc GROUP BY n"
+    )
+
+
+@query(
+    "dd_neardup_components",
+    _components_duck(0.5),
+    doc="Near-dup clusters: connected components over the MinHash+LSH pair "
+    "list via iterative min-label propagation (one join+agg per round; "
+    "oracle = recursive CTE). Component id = min doc_id — the dedup-group "
+    "representative.",
+)
+def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_neardup_pairs(docs, threshold=0.5)
+    return dd.neardup_components(pairs)
+
+
 def _simhash_duck(bits: int = 16) -> str:
     terms = " + ".join(
         "(CASE WHEN COALESCE(list_sum(list_transform(toks, t -> "
@@ -1469,6 +1496,27 @@ def txt_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return txt.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+@query(
+    "txt_stopword_removal",
+    "SELECT doc_id, array_to_string(list_filter(regexp_extract_all(text, '\\S+'), "
+    "t -> t NOT IN ('the','a','of','and','to','in','is')), ' ') AS text_clean, "
+    "CAST(len(list_filter(regexp_extract_all(text, '\\S+'), "
+    "t -> t NOT IN ('the','a','of','and','to','in','is'))) AS INTEGER) AS n_tokens_clean "
+    "FROM documents",
+    doc="Stopword removal: filter the token array, re-join — the standard "
+    "pre-tokenization cleanup, map-side.",
+)
+def txt_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in txt.LANG_STOPWORDS["en"]])
+    kept = F.filter(txt.tokens_of("text"), lambda t: ~F.array_contains(stop, t))
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size(kept).alias("n_tokens_clean"),
+    )
 
 
 @query(

@@ -940,6 +940,74 @@ def rel_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_math_funcs",
+    "SELECT l_orderkey, l_linenumber, abs(l_discount - 0.05) AS disc_dev, "
+    "CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil, "
+    "CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor, "
+    "round(sqrt(l_extendedprice), 6) AS price_sqrt, "
+    "round(ln(l_extendedprice + 1), 6) AS price_ln, "
+    "round(power(1 + l_tax, 2), 6) AS tax_sq "
+    "FROM lineitem WHERE l_orderkey < 200",
+    doc="Scalar math library: abs/ceil/floor/sqrt/ln/power.",
+)
+def rel_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).cast("long").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+    )
+
+
+@query(
+    "rel_ntile_first_last",
+    "SELECT o_orderkey, o_orderstatus, "
+    "CAST(ntile(4) OVER w AS INTEGER) AS price_quartile, "
+    "first_value(o_orderkey) OVER w AS cheapest_key, "
+    "last_value(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest_key "
+    "FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)",
+    doc="ntile / first_value / last_value window functions (explicit frame "
+    "for last_value — the default frame stops at CURRENT ROW).",
+)
+def rel_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+    )
+
+
+@query(
+    "txt_deterministic_split",
+    "SELECT doc_id, CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 "
+    "THEN 'train' WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 "
+    "THEN 'valid' ELSE 'test' END AS split FROM documents",
+    doc="Deterministic train/valid/test split by content-stable hash "
+    "(80/10/10) — reproducible across runs and engines, unlike rand() "
+    "sampling; the assignment is a pure map expression usable as a "
+    "partition column.",
+)
+def txt_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = txt.hex64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@query(
     "rel_minmax_greatest",
     "SELECT l_returnflag, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship, "
     "greatest(round(max(l_discount), 2), round(max(l_tax), 2)) AS max_rate "

@@ -38,11 +38,13 @@ def main() -> None:
         # best-of-2: the first run pays janino codegen compile for the
         # query's expression tree and absorbs transient machine noise;
         # the recorded number is the steady-state the engine sustains.
+        # fn() is INSIDE the timer: iterative operators (connected
+        # components) and scalar-subquery queries do real work while
+        # building their plan.
         best = float("inf")
         for _ in range(2):
-            df = spec.fn(spark, sf_dir)
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 

@@ -206,6 +206,7 @@ def neardup_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
@@ -222,15 +223,13 @@ def neardup_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
         labels = updated
-        if changed == 0:
+        # labels only ever decrease, so an unchanged sum means a fixpoint —
+        # one aggregate per round instead of a join + count
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 

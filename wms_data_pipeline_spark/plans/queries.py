@@ -687,6 +687,7 @@ def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT c.c_custkey, count(o.o_orderkey) AS c_count FROM customer c "
     "LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey) "
     "GROUP BY c_count",
+    headline=True,
     doc="TPC-H Q13 shape: distribution of customers by order count "
     "(left outer + double aggregation).",
 )
@@ -1156,6 +1157,7 @@ def _components_duck(threshold: float) -> str:
 @query(
     "dd_neardup_components",
     _components_duck(0.5),
+    headline=True,
     doc="Near-dup clusters: connected components over the MinHash+LSH pair "
     "list via iterative min-label propagation (one join+agg per round; "
     "oracle = recursive CTE). Component id = min doc_id — the dedup-group "
@@ -1430,6 +1432,7 @@ _PAIR_COS_DUCK = (
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     f"round({_PAIR_COS_DUCK}, 6) AS cosine_sim "
     "FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cosine_sim >= 0.45",
+    headline=True,
     doc="Embedding-cosine near-duplicate pairs — brute-force all-pairs with "
     "precomputed norms (the exact verifier; the LSH-bucketed variant "
     "sim_ann_lsh_topk is the candidate-generation path at scale).",
@@ -1614,6 +1617,7 @@ def txt_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ORDER BY tf.tf * ln(n.n / dfreq.df) DESC, tf.token) AS rn "
     "FROM tf JOIN dfreq USING (token) CROSS JOIN n WHERE tf.doc_id < 50) "
     "WHERE rn <= 5",
+    headline=True,
     doc="TF-IDF: top-5 scored terms per document (bounded to doc_id<50). "
     "Document frequencies aggregate map-side; the per-doc top-k is one "
     "window pass.",

@@ -478,6 +478,42 @@ def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_price_vs_group_avg",
+    "SELECT o_orderkey, o_orderstatus, "
+    "round(o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderstatus), 2) "
+    "AS price_vs_status_avg FROM orders",
+    doc="Analytic-vs-group comparison: row value against its partition "
+    "average in one window pass (no self-join).",
+)
+def rel_price_vs_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") - F.avg("o_totalprice").over(w), 2).alias(
+            "price_vs_status_avg"
+        ),
+    )
+
+
+@query(
+    "rel_daily_active_users",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+    "count(DISTINCT user_id) AS active_users, count(*) AS n_events "
+    "FROM events GROUP BY 1",
+    doc="Daily active users: event-time truncation + distinct count — the "
+    "canonical activity rollup.",
+)
+def rel_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("active_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
     "rel_rollup_agg",
     "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
     "round(sum(l_quantity), 2) AS sum_qty "

@@ -673,6 +673,39 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_asof_join_tolerance",
+    "SELECT event_id, ts, user_id, prior_event_id, asof_ts FROM ("
+    "SELECT l.event_id, l.ts, l.user_id, r.event_id AS prior_event_id, r.ts AS asof_ts, "
+    "row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC) AS rn "
+    "FROM (SELECT * FROM events WHERE event_id % 10 = 0) l "
+    "LEFT JOIN (SELECT * FROM events WHERE event_id % 10 <> 0) r "
+    "ON l.user_id = r.user_id AND r.ts <= l.ts "
+    "AND r.ts >= l.ts - INTERVAL 6 HOUR) WHERE rn = 1",
+    doc="As-of join with a tolerance band (6 h): the band bounds the join "
+    "fan-out — the REQUIRED form at 100 TB, where an unbounded as-of "
+    "multiplies each probe by its full key history (relational.py).",
+)
+def rel_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 10 == 0).select("event_id", "ts", "user_id")
+    others = ev.filter(F.col("event_id") % 10 != 0).select(
+        "user_id", "ts", F.col("event_id").alias("prior_event_id")
+    )
+    out = rel.asof_join(
+        probes,
+        others,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["prior_event_id"],
+        tolerance="6 HOURS",
+        left_unique=["event_id"],
+    )
+    return out.select("event_id", "ts", "user_id", "prior_event_id", "asof_ts")
+
+
+@query(
     "rel_sessionize",
     "WITH g AS (SELECT user_id, CASE WHEN ts - lag(ts) OVER "
     "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "

@@ -1735,3 +1735,526 @@ def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in REGISTRY.items() if v.headline}
+
+
+# ===========================================================================
+# Widened TPC-H-shaped relational coverage (adapted to the testdata columns:
+# no partsupp table, no l_shipmode/l_commitdate/l_receiptdate).
+# ===========================================================================
+
+
+@query(
+    "rel_q6_forecast_revenue",
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    doc="TPC-H Q6 shape: pure scan-filter-agg; every predicate pushed to "
+    "parquet, zero shuffles beyond the final single-row reduce.",
+)
+def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "rel_q7_volume_shipping",
+    "SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue FROM ("
+    "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+    "l.l_extendedprice * (1 - l.l_discount) AS volume "
+    "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+    "JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+    "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00') "
+    "GROUP BY supp_nation, cust_nation, l_year",
+    doc="TPC-H Q7 shape: nation-pair volume by ship year; both nation dims "
+    "broadcast, disjunctive pair predicate evaluated post-join.",
+)
+def rel_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "rel_q8_market_share",
+    "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END) "
+    "/ sum(volume), 6) AS mkt_share FROM ("
+    "SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+    "l.l_extendedprice * (1 - l.l_discount) AS volume, n2.n_name AS nation "
+    "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n1 ON c.c_nationkey = n1.n_nationkey "
+    "JOIN region r ON n1.n_regionkey = r.r_regionkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN nation n2 ON s.s_nationkey = n2.n_nationkey "
+    "WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY' "
+    "AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00') "
+    "GROUP BY o_year",
+    doc="TPC-H Q8 shape: 8-way join, conditional-aggregation market-share "
+    "ratio per year; all dims broadcast, one fact shuffle.",
+)
+def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "rel_q10_returned_items",
+    "SELECT c.c_custkey, c.c_name, "
+    "((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT + 50) // 100) / 100.0 AS revenue, "
+    "c.c_acctbal, n.n_name "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00' AND l.l_returnflag = 'R' "
+    "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, quarter "
+    "window, deterministic top-20 (TakeOrderedAndProject). Revenue is "
+    "summed in exact integer 1/100-cent units (price and discount are "
+    "2-decimal grids): order-independent, so the cross-engine compare "
+    "can't be flipped by a half-cent boundary.",
+)
+def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            # Half-up to cents in exact integer space ((milli+50) div 100):
+            # double round() disagrees across engines exactly on .5 cents.
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                            * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+                        )
+                        + 50
+                    )
+                    / 100
+                ).cast("long")
+                / 100.0
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+    return rel.top_k(agg, 20, [F.col("revenue").desc(), F.col("c_custkey")])
+
+
+@query(
+    "rel_q14_promo_revenue",
+    "SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO' "
+    "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
+    "/ sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' "
+    "AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'",
+    doc="TPC-H Q14 shape: conditional aggregation ratio (promo revenue "
+    "share); part dim broadcast into the filtered fact scan.",
+)
+def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "rel_q15_top_supplier",
+    "WITH rev AS (SELECT l_suppkey AS supplier_no, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) "
+    "SELECT s.s_suppkey, s.s_name, r.total_revenue FROM supplier s "
+    "JOIN rev r ON s.s_suppkey = r.supplier_no "
+    "WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)",
+    doc="TPC-H Q15 shape: top supplier by quarterly revenue via scalar "
+    "max subquery over a derived aggregate (revenue rounded before the "
+    "equality so both engines agree).",
+)
+def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    # rev is |suppliers|-sized (tiny next to the fact): an empty-partition
+    # window max over it is a single-task reduce, not a fact-table sort.
+    w = Window.partitionBy()
+    top = rev.withColumn("__mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "rel_q16_supplier_variety",
+    "SELECT p.p_brand, p.p_type, p.p_size, "
+    "count(DISTINCT l.l_suppkey) AS supplier_cnt "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO' "
+    "AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22) "
+    "AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+    "GROUP BY p.p_brand, p.p_type, p.p_size",
+    doc="TPC-H Q16 shape: supplier variety per part group; NOT IN exclusion "
+    "as a broadcast anti join, count distinct over one keyed shuffle.",
+)
+def rel_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "rel_q17_small_qty_revenue",
+    "WITH a AS (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey) "
+    "SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "JOIN a ON a.l_partkey = l.l_partkey "
+    "WHERE p.p_brand = 'Brand#23' AND l.l_quantity < 0.5 * a.aq",
+    doc="TPC-H Q17 shape: per-key scalar aggregate (avg qty per part) "
+    "joined back against the fact as a small-side broadcast.",
+)
+def rel_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "rel_q19_disjunctive_join",
+    "SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 "
+    "AND l.l_quantity BETWEEN 1 AND 11) "
+    "OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25 "
+    "AND l.l_quantity BETWEEN 10 AND 20) "
+    "OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50 "
+    "AND l.l_quantity BETWEEN 20 AND 30)",
+    doc="TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides — "
+    "equi-join on partkey with the disjunction evaluated post-join "
+    "(Catalyst extracts the common partkey conjunct).",
+)
+def rel_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "rel_grouping_sets",
+    "SELECT o_orderstatus, o_orderpriority, "
+    "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
+    "count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+    doc="Explicit GROUPING SETS (beyond rollup/cube) with grouping_id "
+    "disambiguation of the superaggregate rows.",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(grouping_id() AS BIGINT) AS gid, "
+        "count(*) AS n, round(sum(o_totalprice), 2) AS total FROM __gs_orders "
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+# ===========================================================================
+# Additional LLM-data operators: PII redaction, SimHash near-dup pairs,
+# corpus length histogram, per-label embedding centroids.
+# ===========================================================================
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@query(
+    "txt_pii_redaction",
+    "WITH aug AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com or +1-555-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') "
+    "AS t FROM documents) "
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+    "'<EMAIL>', 'g'), '\\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted, "
+    "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+    "+ len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS INTEGER) AS n_redacted "
+    "FROM aug",
+    doc="PII redaction (email/phone regex scrub) — the pre-training privacy "
+    "filter. Deterministic synthetic PII is injected per row so the scrub "
+    "is exercised on every document; pure codegen regexp_replace, no UDF.",
+)
+def txt_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    t = docs.withColumn("t", aug)
+    n_red = (
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0)))
+    ).cast("int")
+    return t.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+        n_red.alias("n_redacted"),
+    )
+
+
+@query(
+    "dd_simhash_neardup_pairs",
+    f"WITH s AS ({_simhash_duck(16)}) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+    "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
+    doc="SimHash near-dup pairs at hamming <= 3 via 4x4-bit band blocking "
+    "(pigeonhole: <=3 differing bits leaves >=1 of 4 bands equal, so the "
+    "banded candidate join is exact, never quadratic in the corpus). "
+    "Oracle verifies with brute-force all-pairs.",
+)
+def dd_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = docs.select("doc_id", dd.simhash_col("text", 16).alias("simhash"))
+    # Materialization fence: the 16-aggregate simhash expression would be
+    # recomputed on both join sides (CollapseProject inlines it).
+    sh = sh.localCheckpoint(eager=False)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("b"),
+                        F.shiftright(F.col("simhash"), 4 * j)
+                        .bitwiseAND(F.lit(15))
+                        .alias("v"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "b", "v"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "b", "v"
+    )
+    cand = (
+        a.join(b2, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@query(
+    "txt_length_histogram",
+    "SELECT CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket, count(*) AS n, "
+    "round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY 1",
+    doc="Corpus length histogram (50-char buckets) — the length-filter "
+    "diagnostic every curation pipeline starts with.",
+)
+def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / F.lit(50.0)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "sim_label_centroid",
+    "WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS idx, "
+    "unnest(embedding) AS x FROM embeddings) "
+    "SELECT label, CAST(idx - 1 AS INTEGER) AS pos, round(avg(x), 6) AS centroid "
+    "FROM u GROUP BY label, idx",
+    doc="Per-label embedding centroid (elementwise mean) — the cluster "
+    "prototype builder for IVF training / dataset cartography. posexplode "
+    "keeps it one shuffle on (label, pos); no Python.",
+)
+def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return e.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("centroid"))

@@ -2258,3 +2258,126 @@ def sim_label_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("embedding").alias("pos", "val")
     )
     return e.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("centroid"))
+
+
+@query(
+    "rel_q9_product_revenue",
+    "SELECT nation, o_year, round(sum(volume), 2) AS revenue FROM ("
+    "SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+    "l.l_extendedprice * (1 - l.l_discount) AS volume "
+    "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "WHERE p.p_name LIKE '%red%') GROUP BY nation, o_year",
+    doc="TPC-H Q9 shape (profit sans partsupp supplycost): substring LIKE "
+    "over the part dim, 5-way join, revenue by supplier nation and year.",
+)
+def rel_q9_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "rel_time_range_window",
+    "SELECT event_id, user_id, ts, "
+    "round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4) AS avg_1h, "
+    "count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) "
+    "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h "
+    "FROM events",
+    doc="Time-range window frame: trailing-1h per-user average in epoch-"
+    "microsecond RANGE space (exact tie semantics across engines; ts has "
+    "sub-second precision so second-granularity frames would diverge). "
+    "One keyed shuffle; the rolling-feature primitive for sessionized ML "
+    "feature extraction.",
+)
+def rel_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "txt_stratified_sample",
+    "SELECT lang, count(*) AS n_sampled, round(avg(n_chars), 4) AS avg_chars "
+    "FROM documents "
+    "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 0 "
+    "GROUP BY lang",
+    doc="Deterministic ~20% stratified sample per language: membership is a "
+    "pure hash of the stable doc_id (reproducible across runs, engines, "
+    "and cluster sizes - no RNG, no driver state), verified per stratum.",
+)
+def txt_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 5
+    )
+    return (
+        docs.filter(bucket == 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "evt_value_winsorize",
+    "WITH q AS (SELECT quantile_cont(value, 0.05) AS lo, "
+    "quantile_cont(value, 0.95) AS hi FROM events) "
+    "SELECT event_type, count(*) AS n, "
+    "round(avg(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi "
+    "ELSE value END), 4) AS avg_winsorized FROM events, q GROUP BY event_type",
+    doc="Quantile winsorization (clamp to [p5, p95]) - the outlier-taming "
+    "step before normalizing a numeric feature. Exact percentiles computed "
+    "once (single-row result broadcast into the clamp pass); Spark "
+    "percentile == DuckDB quantile_cont interpolation.",
+)
+def evt_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    q = ev.agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = ev.crossJoin(F.broadcast(q)).withColumn(
+        "v_w",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value")),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v_w"), 4).alias("avg_winsorized"),
+    )

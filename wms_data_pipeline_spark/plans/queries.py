@@ -2381,3 +2381,76 @@ def evt_value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("v_w"), 4).alias("avg_winsorized"),
     )
+
+
+@query(
+    "txt_repetition_score",
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents) "
+    "SELECT doc_id, CAST(greatest(len(toks) - 2, 0) AS INTEGER) AS n_trigrams, "
+    "CASE WHEN len(toks) >= 3 THEN round(1.0 - "
+    "len(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])))::DOUBLE "
+    "/ greatest(len(toks) - 2, 1), 6) ELSE 0.0 END AS rep_ratio "
+    "FROM t",
+    doc="Gopher-style repetition quality signal: fraction of duplicated "
+    "word trigrams per document (1 - distinct/total). Map-side only — the "
+    "trigram array is built with the arrays_zip slice trick (one "
+    "tokenization per row, not per element).",
+)
+def txt_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = txt.tokens_of("text")
+    cnt = F.size(toks) - 2
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, cnt) for i in range(3)])
+    grams = F.transform(
+        zipped, lambda x: F.concat_ws(" ", x["0"], x["1"], x["2"])
+    )
+    n_tri = F.greatest(F.size(toks) - 2, F.lit(0))
+    rep = F.when(
+        F.size(toks) >= 3,
+        F.round(
+            1.0
+            - F.size(F.array_distinct(grams)).cast("double")
+            / F.greatest(n_tri, F.lit(1)),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id", n_tri.cast("int").alias("n_trigrams"), rep.alias("rep_ratio")
+    )
+
+
+@query(
+    "txt_pack_bins",
+    "WITH t AS (SELECT doc_id, doc_id % 8 AS shard, "
+    "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens FROM documents) "
+    "SELECT doc_id, shard, n_tokens, "
+    "CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT - n_tokens) // 512 "
+    "AS BIGINT) AS bin FROM t",
+    doc="Training-batch packing: greedy assignment of documents to ~512-"
+    "token bins via a running token cumsum. Sharded (doc_id % 8) so the "
+    "cumsum window parallelizes — a single global ORDER BY cumsum would "
+    "serialize the whole corpus through one task at 100 TB; per-shard "
+    "bins are the scale-correct layout (bin identity = shard + bin). "
+    "Exact integer arithmetic end-to-end.",
+)
+def txt_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(txt.tokens_of("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return t.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 512).cast("long").alias("bin"),
+    )

@@ -2454,3 +2454,52 @@ def txt_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / 512).cast("long").alias("bin"),
     )
+
+
+@query(
+    "rel_rank_family",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(rank() OVER w AS BIGINT) AS rnk, "
+    "CAST(dense_rank() OVER w AS BIGINT) AS drnk, "
+    "round(percent_rank() OVER w, 6) AS prnk, "
+    "round(cume_dist() OVER w, 6) AS cdist "
+    "FROM orders WHERE o_custkey < 200 "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)",
+    doc="Full ranking-function family (rank/dense_rank/percent_rank/"
+    "cume_dist) over one keyed shuffle; deterministic order via the "
+    "orderkey tiebreak.",
+)
+def rel_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "rel_unpivot",
+    "SELECT p_partkey, metric, round(value, 4) AS value FROM (UNPIVOT "
+    "(SELECT p_partkey, p_retailprice::DOUBLE AS retailprice, "
+    "p_size::DOUBLE AS size FROM part) "
+    "ON retailprice, size INTO NAME metric VALUE value)",
+    doc="Unpivot/melt wide metrics into (key, metric, value) long form — "
+    "the inverse of rel_pivot_status; narrow transform stays map-side "
+    "(an Expand node, no shuffle).",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["retailprice", "size"], "metric", "value"
+    ).select("p_partkey", "metric", F.round("value", 4).alias("value"))

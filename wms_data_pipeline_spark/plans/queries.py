@@ -2503,3 +2503,37 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.unpivot(
         ["p_partkey"], ["retailprice", "size"], "metric", "value"
     ).select("p_partkey", "metric", F.round("value", 4).alias("value"))
+
+
+@query(
+    "evt_funnel_click_purchase",
+    "WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'), "
+    "p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase') "
+    "SELECT c.user_id, count(*) AS n_conversions, "
+    "CAST(min(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS min_lag_us "
+    "FROM c JOIN p ON c.user_id = p.user_id "
+    "AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR "
+    "GROUP BY c.user_id",
+    doc="Event-sequence funnel: click followed by purchase within 1h, per "
+    "user. Equi-join on user_id with a time-band residual — one keyed "
+    "shuffle, same plan family as the tolerance-banded as-of join; the "
+    "batch twin of the watermarked stream-stream interval join.",
+)
+def evt_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.unix_micros("p_ts") <= F.unix_micros("c_ts") + 3_600_000_000),
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("min_lag_us"),
+    )

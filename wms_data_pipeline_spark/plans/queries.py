@@ -2537,3 +2537,24 @@ def evt_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_conversions"),
         F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("min_lag_us"),
     )
+
+
+@query(
+    "rel_map_funcs",
+    "SELECT event_id, list_sort(json_keys(props)) AS prop_keys, "
+    "CAST(len(json_keys(props)) AS INTEGER) AS n_props, "
+    "json_extract(props, '$.k')::BIGINT AS k_val FROM events",
+    doc="Map scalar library over the JSON props column: from_json to a "
+    "typed map, key listing, cardinality, element access — the schema-on-"
+    "read path the reference's payload JSONB column implies "
+    "(reference init_dw.sql:34).",
+)
+def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.size(m).alias("n_props"),
+        m.getItem("k").alias("k_val"),
+    )

@@ -2558,3 +2558,45 @@ def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_props"),
         m.getItem("k").alias("k_val"),
     )
+
+
+@query(
+    "txt_contamination_check",
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, b, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1)), "
+    "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2] || ' ' || toks[j + 3]"
+    "))) AS g FROM t WHERE len(toks) >= 4), "
+    "train AS (SELECT DISTINCT g FROM sh WHERE b <> 0), "
+    "test AS (SELECT doc_id, g FROM sh WHERE b = 0) "
+    "SELECT test.doc_id, count(DISTINCT test.g) AS n_overlap "
+    "FROM test JOIN train ON test.g = train.g "
+    "GROUP BY test.doc_id HAVING count(DISTINCT test.g) >= 3",
+    doc="Train/test decontamination: flag eval-split documents whose word "
+    "4-grams overlap the train split (>=3 distinct shared shingles). "
+    "Split membership is the same deterministic doc_id hash as "
+    "txt_deterministic_split; the join shuffles on the shingle key only "
+    "(train side deduped first), never doc x doc.",
+)
+def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    sh = (
+        docs.withColumn("b", bucket)
+        .select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
+    )
+    train = sh.filter(F.col("b") != 0).select("g").distinct()
+    test = sh.filter(F.col("b") == 0).select("doc_id", "g")
+    return (
+        test.join(train, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 3)
+    )

@@ -2600,3 +2600,42 @@ def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("g").alias("n_overlap"))
         .filter(F.col("n_overlap") >= 3)
     )
+
+
+@query(
+    "sim_label_cohesion",
+    "WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS idx, "
+    "unnest(embedding) AS x FROM embeddings), "
+    "c AS (SELECT label, idx, avg(x) AS m FROM u GROUP BY label, idx), "
+    "carr AS (SELECT label, list(m ORDER BY idx) AS cv FROM c GROUP BY label) "
+    "SELECT e.label, count(*) AS n, round(avg("
+    "list_dot_product(e.embedding::DOUBLE[], carr.cv) / "
+    "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(carr.cv, carr.cv)))), 6) AS cohesion "
+    "FROM embeddings e JOIN carr ON e.label = carr.label GROUP BY e.label",
+    doc="Cluster cohesion: mean cosine of each vector to its label "
+    "centroid — the dataset-cartography diagnostic for label quality. "
+    "Centroids are |labels|-sized (broadcast); one scan, one tiny agg, "
+    "no pairwise work.",
+)
+def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    joined = e.join(F.broadcast(carr.withColumnRenamed("label", "c_label")),
+                    F.col("label") == F.col("c_label"))
+    cos = sim.dot(F.col("embedding"), F.col("cv")) / (
+        sim.norm(F.col("embedding"))
+        * F.sqrt(sim.dot(F.col("cv"), F.col("cv")))
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg(cos), 6).alias("cohesion")
+    )

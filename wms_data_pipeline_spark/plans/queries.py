@@ -2639,3 +2639,39 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.avg(cos), 6).alias("cohesion")
     )
+
+
+@query(
+    "dq_referential_integrity",
+    "SELECT 'lineitem_orders' AS fk, count(*) AS n_orphans FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) "
+    "UNION ALL SELECT 'orders_customer', count(*) FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) "
+    "UNION ALL SELECT 'lineitem_part', count(*) FROM lineitem l "
+    "WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)",
+    doc="Data-quality referential-integrity audit: orphan counts across the "
+    "FK graph as anti joins (dim side broadcast; each check is one fact "
+    "scan). The query form of the operators/quality.py expectations.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    def orphans(fact, dim, cond, fk):
+        return (
+            fact.join(F.broadcast(dim), cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(fk).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(l, o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "lineitem_orders")
+        .unionByName(
+            orphans(o, c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "orders_customer")
+        )
+        .unionByName(
+            orphans(l, p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "lineitem_part")
+        )
+    )

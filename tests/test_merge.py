@@ -71,3 +71,39 @@ def test_latest_insert_new_keys(spark, tmp_path):
     n = t.upsert_latest(_rec(spark, [("b", T1, "pb", "h2")]))
     assert n == 1
     assert t.read().count() == 2
+
+
+def test_publish_recovers_from_crashed_uncommitted_version(spark, tmp_path):
+    """A crash between the parquet write and the _VERSION pointer flip leaves
+    an orphan v=N+1 dir. The pointer is the commit record, so a retried
+    publish must reclaim the orphan, not wedge on 'path already exists'."""
+    root = tmp_path / "latest"
+    t = ParquetTable(spark, str(root))
+    assert t.upsert_latest(_rec(spark, [("a", T1, "v1", "h1")])) == 1
+    # simulate the crash: stale uncommitted v=2 exists, pointer still at 1
+    _rec(spark, [("zzz", T1, "garbage", "hx")]).write.parquet(str(root / "v=2"))
+    assert t.current_version() == 1
+    # retried publish succeeds and the committed state is the merge result
+    assert t.upsert_latest(_rec(spark, [("a", T2, "v2", "h2")])) == 1
+    assert t.current_version() == 2
+    rows = t.read().collect()
+    assert [r["payload"] for r in rows] == ["v2"]
+
+
+def test_partitioned_publish_recovers_from_crashed_version(spark, tmp_path):
+    from wms_data_pipeline_spark.operators.merge_partitioned import (
+        PartitionedMergeTable,
+    )
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "pt"), n_buckets=4)
+    assert t.upsert_latest(_rec(spark, [("a", T1, "v1", "h1")])) == 1
+    # find a's bucket dir and plant a stale uncommitted v=2 in it
+    import os
+
+    (bdir,) = [d for d in os.listdir(tmp_path / "pt") if d.startswith("b=")]
+    _rec(spark, [("zzz", T1, "garbage", "hx")]).write.parquet(
+        str(tmp_path / "pt" / bdir / "v=2")
+    )
+    assert t.upsert_latest(_rec(spark, [("a", T2, "v2", "h2")])) == 1
+    rows = t.read_all().collect()
+    assert [r["payload"] for r in rows] == ["v2"]

@@ -131,3 +131,48 @@ def test_datasource_pushes_watermark(spark, api_server):
         .load()
     )
     assert sorted(r["id"] for r in df.collect()) == sorted(expected)
+
+
+class CappedHandler(Handler):
+    """Server that caps page size at 10 rows regardless of requested limit —
+    a short page must NOT end the partition's offset range (only an empty
+    page does), or rows silently vanish."""
+
+    def do_GET(self):
+        q = parse_qs(urlparse(self.path).query)
+        off = int(q.get("offset", ["0"])[0])
+        lim = min(int(q.get("limit", ["100"])[0]), 10)
+        body = json.dumps(
+            {"data": ROWS[off : off + lim], "meta": {"count": len(ROWS)}}
+        ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def capped_server():
+    srv = HTTPServer(("127.0.0.1", 0), CappedHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_datasource_survives_server_page_cap(spark, capped_server):
+    from wms_data_pipeline_spark.sources.rest import PaginatedRestDataSource
+
+    spark.dataSource.register(PaginatedRestDataSource)
+    df = (
+        spark.read.format("paginated_rest")
+        .schema("id string, updated_at string, status string")
+        .option("base_url", capped_server)
+        .option("entity", "ib_receipts")
+        .option("limit", "25")
+        .option("pages_per_task", "2")
+        .load()
+    )
+    got = sorted(r["id"] for r in df.collect())
+    assert got == sorted(r["id"] for r in ROWS)

@@ -132,7 +132,11 @@ class ParquetTable:
     def _publish(self, df: DataFrame) -> int:
         v = (self.current_version() or 0) + 1
         path = self._version_path(v)
-        df.write.mode("error").parquet(path)
+        # The _VERSION pointer flip is the commit record, so a v=N+1 dir
+        # without a pointer referencing it is garbage from a crashed publish
+        # (crash between write and flip). mode("overwrite") lets a retried
+        # publish reclaim it instead of erroring forever on "path exists".
+        df.write.mode("overwrite").parquet(path)
         tmp = self._pointer + ".tmp"
         os.makedirs(self.root, exist_ok=True)
         with open(tmp, "w") as f:

@@ -72,7 +72,9 @@ class PartitionedMergeTable:
     def _publish_bucket(self, b: int, df: DataFrame) -> None:
         v = (self._current_version(b) or 0) + 1
         path = os.path.join(self._bucket_dir(b), f"v={v}")
-        df.write.mode("error").parquet(path)
+        # Pointer flip is the commit record; overwrite reclaims a stale
+        # uncommitted v=N+1 left by a crash between write and flip.
+        df.write.mode("overwrite").parquet(path)
         os.makedirs(self._bucket_dir(b), exist_ok=True)
         tmp = self._pointer(b) + ".tmp"
         with open(tmp, "w") as f:

@@ -2650,8 +2650,11 @@ def sim_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UNION ALL SELECT 'lineitem_part', count(*) FROM lineitem l "
     "WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)",
     doc="Data-quality referential-integrity audit: orphan counts across the "
-    "FK graph as anti joins (dim side broadcast; each check is one fact "
-    "scan). The query form of the operators/quality.py expectations.",
+    "FK graph as anti joins. No forced broadcast: orders/part key sets are "
+    "fact-scale at the design target, so AQE picks broadcast vs shuffled "
+    "anti join from runtime sizes (forcing F.broadcast would override the "
+    "autoBroadcastJoinThreshold safety and OOM at 100 TB). The query form "
+    "of the operators/quality.py expectations.",
 )
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
@@ -2661,7 +2664,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(fact, dim, cond, fk):
         return (
-            fact.join(F.broadcast(dim), cond, "left_anti")
+            fact.join(dim, cond, "left_anti")
             .agg(F.count(F.lit(1)).alias("n_orphans"))
             .select(F.lit(fk).alias("fk"), "n_orphans")
         )

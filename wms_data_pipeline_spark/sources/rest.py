@@ -173,6 +173,14 @@ try:  # pragma: no cover - import shape depends on pyspark version
             return [_PageRange(s, min(s + rows_per_task, total)) for s in starts]
 
         def read(self, partition: "_PageRange"):
+            # Covers the full [start, end) row range regardless of how the
+            # server sizes pages: a page shorter than requested (server-side
+            # page-size cap, transient short read) does NOT end the range —
+            # only an empty page does. Advancing by len(rows) keeps offsets
+            # contiguous either way. The offset-range split assumes the
+            # snapshot is stable between the count probe and the fetches
+            # (same assumption as the reference's offset walk); the stream
+            # reader's lookback re-read is the remedy for moving data.
             url = self.base_url.rstrip("/") + ENTITY_PATHS[self.entity]
             offset = partition.start
             while offset < partition.end:
@@ -189,8 +197,6 @@ try:  # pragma: no cover - import shape depends on pyspark version
                 _assert_stable_order(rows, self.entity)
                 for row in rows:
                     yield tuple(row.get(f.name) for f in self.schema.fields)
-                if len(rows) < lim:
-                    return
                 offset += len(rows)
 
     class PaginatedRestStreamReader(SimpleDataSourceStreamReader):

@@ -193,3 +193,47 @@ def test_multimodal_decode_plumbing(spark):
 def test_decode_real_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(b"\x89PNG")
+
+
+def test_sketch_banded_neardup_is_exact_for_its_predicate(spark):
+    """Pigeonhole exactness: the 6x4-bit band-blocked candidate join must
+    return EXACTLY the pairs with sketch-hamming <= 5 AND cosine >= 0.45 —
+    identical to an all-pairs evaluation of the same predicate (recall 1.0
+    over the sketch-defined predicate, by construction)."""
+    from wms_data_pipeline_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    banded = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in REGISTRY["sim_embedding_neardup"].fn(spark, sf).collect()
+    }
+
+    from wms_data_pipeline_spark.schemas import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    sk = e.select(
+        "vec_id",
+        "embedding",
+        sim.lsh_bucket(F.col("embedding"), n_planes=24, dim=64, table=0).alias("sk"),
+        sim.norm(F.col("embedding")).alias("nrm"),
+    ).localCheckpoint(eager=False)
+    a = sk.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("sk").alias("sk_a"), F.col("nrm").alias("na"),
+    )
+    b = sk.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("sk").alias("sk_b"), F.col("nrm").alias("nb"),
+    )
+    cos = sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))) <= 5)
+            .withColumn("cosine_sim", F.round(cos, 6))
+            .filter(F.col("cosine_sim") >= 0.45)
+            .select("id_a", "id_b", "cosine_sim")
+        ).collect()
+    }
+    assert banded == brute

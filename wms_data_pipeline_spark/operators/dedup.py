@@ -107,9 +107,12 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, Jaccard-verified.
 
-    Plan shape: map (signatures) → explode ``bands`` band rows per doc →
-    shuffle on (band, band_hash) → self-join within buckets → distinct pairs
-    → verify with exact Jaccard on shingle sets. Output:
+    Plan shape: map (signatures) → explode ``bands`` (band, band_hash) rows
+    per doc — ids and hashes ONLY, the shingle arrays stay out of the band
+    shuffle (they would dominate shuffle bytes by the bands × shingle-size
+    factor at 100 TB) → self-join within buckets → distinct candidate
+    id-pairs → join back to the checkpointed signature table by id to fetch
+    both shingle sets → verify with exact Jaccard. Output:
     (id_a, id_b, jaccard_sim) with id_a < id_b, sim >= threshold.
     """
     rows_per_band = num_perm // bands
@@ -133,23 +136,28 @@ def minhash_neardup_pairs(
         for b in range(bands)
     ]
     bucketed = sig.select(
-        F.col(id_col), F.col("__shingles"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, "__shingles", "bk.band", "bk.bhash")
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.bhash")
 
-    a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sh_a"), "band", "bhash"
-    )
-    b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sh_b"), "band", "bhash"
-    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "band", "bhash")
     pairs = (
         a.join(b, on=["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    shing = sig.select(F.col(id_col), F.col("__shingles"))
+    verified = (
+        pairs.join(shing.select(F.col(id_col).alias("id_a"),
+                                F.col("__shingles").alias("__sh_a")), "id_a")
+        .join(shing.select(F.col(id_col).alias("id_b"),
+                           F.col("__shingles").alias("__sh_b")), "id_b")
+    )
     return (
-        pairs.withColumn("jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6))
+        verified.withColumn(
+            "jaccard_sim", F.round(jaccard(F.col("__sh_a"), F.col("__sh_b")), 6)
+        )
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )

@@ -117,41 +117,50 @@ def ivf_topk(
     is ~nprobe/nlist of the corpus instead of all of it.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
-    spark = corpus.sparkSession
     fit_input = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(fit_input)
-    centers = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
-    centers_df = F.broadcast(
-        spark.createDataFrame(centers, "cell int, center array<double>")
+
+    # Cell assignment is a pure MAP-SIDE argmin: the nlist centroids are
+    # normalized to unit length driver-side (cosine argmax == dot argmax
+    # against unit centers — the row's own norm is constant across cells and
+    # cannot change the ordering), shipped as array literals, and the best
+    # n cells fall out of one array_sort over nlist scored structs. No join,
+    # no window, no row blow-up, no Exchange before the candidate join.
+    def _unit(c: list[float]) -> list[float]:
+        s = sum(x * x for x in c) ** 0.5 or 1.0
+        return [float(x) / s for x in c]
+
+    unit_centers = [(i, _unit([float(x) for x in c]))
+                    for i, c in enumerate(model.clusterCenters())]
+
+    def _nearest_cells_expr(vec: Column, n: int) -> Column:
+        scored = F.array(*[
+            F.struct(
+                (-dot(vec, F.array(*[F.lit(x) for x in uc]))).alias("negd"),
+                F.lit(i).alias("cell"),
+            )
+            for i, uc in unit_centers
+        ])
+        # asc sort on (negd, cell) == (similarity desc, cell asc)
+        return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cell"])
+
+    corpus_cells = corpus.withColumn(
+        "cell", F.element_at(_nearest_cells_expr(F.col(vec_col), 1), 1)
+    )
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    q_cells = q.withColumn(
+        "cell", F.explode(_nearest_cells_expr(F.col("__qvec"), nprobe))
     )
 
-    def _nearest_cells(df: DataFrame, vcol: str, n: int, out: str) -> DataFrame:
-        scored = df.join(centers_df).withColumn(
-            "__d", dot(F.col(vcol), F.col("center"))
-            / (norm(F.col(vcol)) * norm(F.col("center")))
-        )
-        w = Window.partitionBy(*[c for c in df.columns if c != vcol]).orderBy(
-            F.col("__d").desc(), F.col("cell")
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= n)
-            .select(*df.columns, F.col("cell").alias(out))
-        )
-
-    corpus_cells = _nearest_cells(corpus, vec_col, 1, "cell")
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    q_cells = _nearest_cells(q, "__qvec", nprobe, "cell")
-
+    # No dedup needed: each corpus row has exactly ONE cell and a query's
+    # nprobe cells are distinct, so a (query, vec) pair matches at most once.
     cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
         query_id_col,
         id_col,
         F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
-    ).dropDuplicates([query_id_col, id_col])
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )

@@ -647,7 +647,6 @@ def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM (SELECT * FROM events WHERE event_id % 10 = 0) l "
     "LEFT JOIN (SELECT * FROM events WHERE event_id % 10 <> 0) r "
     "ON l.user_id = r.user_id AND r.ts <= l.ts) WHERE rn = 1",
-    headline=True,
     doc="As-of join (DuckDB ASOF JOIN equivalent): for each probe event, the "
     "most recent other event of the same user at-or-before its timestamp. "
     "Spark impl: keyed equi-join + range predicate + one window pass "
@@ -681,6 +680,7 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LEFT JOIN (SELECT * FROM events WHERE event_id % 10 <> 0) r "
     "ON l.user_id = r.user_id AND r.ts <= l.ts "
     "AND r.ts >= l.ts - INTERVAL 6 HOUR) WHERE rn = 1",
+    headline=True,
     doc="As-of join with a tolerance band (6 h): the band bounds the join "
     "fan-out — the REQUIRED form at 100 TB, where an unbounded as-of "
     "multiplies each probe by its full key history (relational.py).",
@@ -805,15 +805,19 @@ def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') "
     "GROUP BY c.c_nationkey",
     doc="TPC-H Q22 shape: scalar subquery threshold + anti join "
-    "(rich customers with no recent orders).",
+    "(rich customers with no recent orders). The threshold joins in as a "
+    "broadcast 1-row aggregate — one job, no driver hop mid-plan (same "
+    "pattern as evt_value_winsorize).",
 )
 def rel_q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     avg_bal = (
-        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
     )
-    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    ).drop("__avg_bal")
     recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
     inactive = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
     return inactive.groupBy("c_nationkey").agg(
@@ -1098,16 +1102,26 @@ def rel_minmax_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_approx_distinct",
-    None,  # HLL sketches differ across engines; exact twin is
-    # rel_distinct_agg. Rows-only check records cardinality stability.
-    doc="approx_count_distinct (HyperLogLog++) — the sketch path for "
-    "100 TB distinct counts; exact-oracle twin: rel_distinct_agg.",
+    "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts, "
+    "count(*) AS n_rows, TRUE AS within_5pct FROM lineitem GROUP BY l_returnflag",
+    doc="approx_count_distinct (HyperLogLog++) — the sketch path for 100 TB "
+    "distinct counts. The HLL estimate itself differs across engines, so "
+    "the checkable output is (exact count, within_5pct): the sketch value "
+    "is asserted to sit within 5% of the exact count, and the oracle pins "
+    "the exact side. A sketch drifting past 5% flips within_5pct to false "
+    "and fails the hash compare.",
 )
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey")
+            )
+            <= 0.05 * F.countDistinct("l_partkey")
+        ).alias("within_5pct"),
     )
 
 
@@ -1492,25 +1506,135 @@ _PAIR_COS_DUCK = (
 )
 
 
+def _angular_sketch_duck(n_planes: int = 16, dim: int = 64) -> str:
+    """DuckDB expression computing the SAME 16-bit angular sign sketch as
+    ``sim.lsh_bucket(embedding, n_planes, dim, table=0)``: the hyperplanes
+    are deterministic md5-derived constants, inlined as literals on both
+    engines, so the sketch is bit-identical across Spark and DuckDB."""
+    terms = []
+    for p in range(n_planes):
+        plane = ", ".join(repr(v) for v in sim._hyperplane(0, p, dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{plane}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @query(
     "sim_embedding_neardup",
+    "WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, "
+    f"{_angular_sketch_duck(24)} AS sk FROM embeddings) "
+    "SELECT id_a, id_b, cosine_sim FROM ("
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    f"round({_PAIR_COS_DUCK}, 6) AS cosine_sim "
+    "FROM s a JOIN s b ON a.vec_id < b.vec_id "
+    "AND bit_count(xor(a.sk, b.sk)) <= 5) WHERE cosine_sim >= 0.45",
+    headline=True,
+    doc="Embedding near-duplicate pairs, SKETCH-DEFINED: 24-bit angular "
+    "sign sketch (deterministic md5 hyperplanes) with hamming <= 5 via "
+    "exact 6x4-bit pigeonhole band-blocking, then exact-cosine >= 0.45 "
+    "verification of candidates only. Work is confined to band buckets — "
+    "never quadratic in the corpus; at 100 TB the sketch widens (64-bit, "
+    "16-bit bands) and the band hash becomes the cluster key. The oracle "
+    "computes the identical sketch (same literals), so the predicate is "
+    "exact on both engines. The bounded brute-force twin "
+    "sim_embedding_neardup_exact is the verifier.",
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
+    # 16-aggregate sketch expression → fence against CollapseProject inlining
+    sk = e.select(
+        "vec_id",
+        "embedding",
+        sim.lsh_bucket(F.col("embedding"), n_planes=24, dim=64, table=0).alias("sk"),
+    ).localCheckpoint(eager=False)
+    # band rows carry (id, sketch) ONLY — vectors never enter the shuffle
+    bands = sk.select(
+        "vec_id",
+        "sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("b"),
+                        F.shiftright(F.col("sk"), 4 * j)
+                        .bitwiseAND(F.lit(15))
+                        .alias("v"),
+                    )
+                    for j in range(6)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "sk", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a = bands.select(F.col("vec_id").alias("id_a"), F.col("sk").alias("sk_a"), "b", "v")
+    b2 = bands.select(F.col("vec_id").alias("id_b"), F.col("sk").alias("sk_b"), "b", "v")
+    cand = (
+        a.join(b2, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sk_a", "sk_b")
+        .distinct()
+        .filter(F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))) <= 5)
+    )
+    # exact-cosine verify: fetch vectors by id for the few survivors only
+    vecs = sk.select("vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"))
+    verified = (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("embedding").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+    )
+    cos = sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        verified.withColumn("cosine_sim", F.round(cos, 6))
+        .filter(F.col("cosine_sim") >= 0.45)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+_NEARDUP_EXACT_BOUND = 350
+
+
+@query(
+    "sim_embedding_neardup_exact",
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
     "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm "
-    "FROM embeddings) "
+    f"FROM embeddings WHERE vec_id < {_NEARDUP_EXACT_BOUND}) "
     "SELECT id_a, id_b, cosine_sim FROM ("
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     f"round({_PAIR_COS_DUCK}, 6) AS cosine_sim "
     "FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cosine_sim >= 0.45",
-    headline=True,
-    doc="Embedding-cosine near-duplicate pairs — brute-force all-pairs with "
-    "precomputed norms (the exact verifier; the LSH-bucketed variant "
-    "sim_ann_lsh_topk is the candidate-generation path at scale).",
+    doc="Brute-force all-pairs cosine near-dup — the exact VERIFIER, "
+    "explicitly bounded (vec_id < 350, like dd_ngram_jaccard's doc_id "
+    "bound) so it can never go quadratic in the corpus. Keeps oracle duty "
+    "for exact pair semantics alongside the sketch-banded headline path.",
 )
-def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding"), sim.norm(F.col("embedding")).alias("nrm")
+def sim_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _NEARDUP_EXACT_BOUND)
+        .select("vec_id", F.col("embedding"), sim.norm(F.col("embedding")).alias("nrm"))
     )
-    e = e.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(eager=False)
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
+    e = e.localCheckpoint(eager=False)
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
     )

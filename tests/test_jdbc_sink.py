@@ -1,0 +1,134 @@
+"""JDBC warehouse sink tests — the reference's staging-warehouse invariants
+(test_staging_repo.py: rerun-dedup, newer-wins, equal/older rejected) run
+against a REAL JDBC database (embedded Derby, bundled in Spark's jars), plus
+a sink-interface conformance test that runs the same scripted merge sequence
+through every sink implementation (parquet, JDBC, Delta-if-installed) and
+requires identical final state and identical affected-row counts."""
+
+from datetime import datetime
+
+import pytest
+
+from wms_data_pipeline_spark.operators.merge import ParquetTable
+from wms_data_pipeline_spark.operators.merge_delta import HAS_DELTA, DeltaMergeTable
+from wms_data_pipeline_spark.sources.jdbc import JdbcMergeSink
+
+
+def _rec(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, updated_at timestamp, payload string, payload_hash string"
+    )
+
+
+T1 = datetime(2026, 1, 1, 10)
+T2 = datetime(2026, 1, 1, 11)
+T3 = datetime(2026, 1, 2, 9)
+
+
+def _jdbc(spark, tmp_path, table):
+    return JdbcMergeSink(
+        spark, f"jdbc:derby:{tmp_path}/wh;create=true", table, batchsize=500
+    )
+
+
+def test_jdbc_history_rerun_is_noop(spark, tmp_path):
+    t = _jdbc(spark, tmp_path, "hist")
+    batch = _rec(spark, [("a", T1, "p", "h1")])
+    assert t.append_history(batch) == 1
+    assert t.append_history(batch) == 0  # redelivery: ON CONFLICT DO NOTHING
+    assert t.read().count() == 1
+
+
+def test_jdbc_history_same_key_different_hash_keeps_both(spark, tmp_path):
+    t = _jdbc(spark, tmp_path, "hist")
+    t.append_history(_rec(spark, [("a", T1, "p1", "h1")]))
+    assert t.append_history(_rec(spark, [("a", T1, "p2", "h2")])) == 1
+    assert t.read().count() == 2
+
+
+def test_jdbc_history_intra_batch_dup_collapses(spark, tmp_path):
+    t = _jdbc(spark, tmp_path, "hist")
+    batch = _rec(spark, [("a", T1, "p", "h1"), ("a", T1, "p", "h1")])
+    assert t.append_history(batch) == 1
+    assert t.read().count() == 1
+
+
+def test_jdbc_latest_newer_wins_older_and_equal_rejected(spark, tmp_path):
+    t = _jdbc(spark, tmp_path, "latest")
+    assert t.upsert_latest(_rec(spark, [("a", T2, "new", "h2")])) == 1
+    # strictly older: ignored
+    assert t.upsert_latest(_rec(spark, [("a", T1, "old", "h1")])) == 0
+    assert t.read().collect()[0]["payload"] == "new"
+    # equal timestamp: stored row survives (strict >)
+    assert t.upsert_latest(_rec(spark, [("a", T2, "equal-ts", "h3")])) == 0
+    assert t.read().collect()[0]["payload"] == "new"
+    # strictly newer: replaces
+    assert t.upsert_latest(_rec(spark, [("a", T3, "newest", "h4")])) == 1
+    assert t.read().collect()[0]["payload"] == "newest"
+
+
+def test_jdbc_latest_insert_new_keys_and_intra_batch_winner(spark, tmp_path):
+    t = _jdbc(spark, tmp_path, "latest")
+    # intra-batch conflict: only the per-key winner lands
+    batch = _rec(spark, [("a", T1, "older", "h1"), ("a", T2, "winner", "h2")])
+    assert t.upsert_latest(batch) == 1
+    assert t.read().collect()[0]["payload"] == "winner"
+    assert t.upsert_latest(_rec(spark, [("b", T1, "pb", "h3")])) == 1
+    assert t.read().count() == 2
+
+
+def test_jdbc_batchsize_is_wired(spark, tmp_path):
+    """batchsize (SURVEY op 21) reaches the JDBC writer: a multi-partition
+    write with batchsize smaller than the rows still lands exactly once."""
+    t = _jdbc(spark, tmp_path, "bulk")
+    t.batchsize = 7
+    rows = [(f"id{i}", T1, f"p{i}", f"h{i}") for i in range(100)]
+    df = _rec(spark, rows).repartition(4)
+    assert t.append_history(df) == 100
+    assert t.read().count() == 100
+    # rerun: all conflict, none inserted
+    assert t.append_history(df) == 0
+
+
+# ---------------------------------------------------------------------------
+# Sink-interface conformance: every implementation must produce the SAME
+# final state and the SAME affected counts for the same merge script.
+# ---------------------------------------------------------------------------
+
+def _sink_factories(spark, tmp_path):
+    sinks = {
+        "parquet": lambda name: ParquetTable(spark, str(tmp_path / name)),
+        "jdbc": lambda name: _jdbc(spark, tmp_path, name),
+    }
+    if HAS_DELTA:  # pragma: no cover - delta optional, absent in this env
+        sinks["delta"] = lambda name: DeltaMergeTable(
+            spark, str(tmp_path / f"delta_{name}")
+        )
+    return sinks
+
+
+def test_sink_interface_conformance(spark, tmp_path):
+    batches = [
+        _rec(spark, [("a", T1, "a1", "h1"), ("b", T1, "b1", "h2")]),
+        _rec(spark, [("a", T2, "a2", "h3"), ("c", T1, "c1", "h4")]),
+        _rec(spark, [("a", T1, "a-old", "h5"), ("b", T1, "b-equal", "h6")]),
+    ]
+    results = {}
+    for label, mk in _sink_factories(spark, tmp_path).items():
+        hist, latest = mk(f"hist_{label}"), mk(f"latest_{label}")
+        h_counts = [hist.append_history(b) for b in batches]
+        l_counts = [latest.upsert_latest(b) for b in batches]
+        final_latest = sorted(
+            (r["id"], r["updated_at"], r["payload"]) for r in latest.read().collect()
+        )
+        results[label] = (h_counts, l_counts, hist.read().count(), final_latest)
+    ref = results["parquet"]
+    for label, got in results.items():
+        assert got == ref, f"{label} diverges from parquet reference: {got} vs {ref}"
+
+
+def test_delta_guard_raises_cleanly_when_absent(spark, tmp_path):
+    if HAS_DELTA:  # pragma: no cover
+        pytest.skip("delta installed; guard not applicable")
+    with pytest.raises(ImportError):
+        DeltaMergeTable(spark, str(tmp_path / "d"))

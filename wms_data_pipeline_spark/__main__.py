@@ -44,6 +44,20 @@ def main(argv: list[str] | None = None) -> int:
     stg.add_argument("--landing-root", required=True)
     stg.add_argument("--warehouse-root", required=True)
 
+    orch = sub.add_parser(
+        "run",
+        help="orchestrated extract → stage for every entity (the DAG analogue: "
+        "one extract run, run_id forwarded to per-entity staging)",
+    )
+    orch.add_argument("--base-url", required=True)
+    orch.add_argument("--landing-root", required=True)
+    orch.add_argument("--control-root", required=True)
+    orch.add_argument("--warehouse-root", required=True)
+    orch.add_argument("--entities", default=",".join(ENTITIES))
+    orch.add_argument("--lookback-seconds", type=int, default=120)
+    orch.add_argument("--limit", type=int, default=500)
+    orch.add_argument("--partitioned", action="store_true")
+
     args = p.parse_args(argv)
     spark = get_spark(f"wms-{args.cmd}")
     try:
@@ -66,6 +80,36 @@ def main(argv: list[str] | None = None) -> int:
                     f"landing={r.landing_path} new_watermark={r.new_watermark.isoformat()}"
                 )
             return 0
+        elif args.cmd == "run":
+            from wms_data_pipeline_spark.pipeline import orchestrated_run
+
+            pairs = orchestrated_run(
+                spark,
+                args.base_url,
+                args.landing_root,
+                args.control_root,
+                args.warehouse_root,
+                entities=[e.strip() for e in args.entities.split(",") if e.strip()],
+                partitioned=args.partitioned,
+                lookback_seconds=args.lookback_seconds,
+                limit=args.limit,
+            )
+            rc = 0
+            for ex, st in pairs:
+                status = "skipped(no rows)" if st is None else st.status
+                print(
+                    f"entity={ex.entity} run_id={ex.run_id} extracted={ex.rows} "
+                    f"staged={status}"
+                    + (
+                        f" inserted_history={st.inserted_history} "
+                        f"upserted_latest={st.upserted_latest}"
+                        if st is not None
+                        else ""
+                    )
+                )
+                if st is not None and st.status != "success":
+                    rc = 1
+            return rc
         else:
             from wms_data_pipeline_spark.pipeline import staging_run
 

@@ -156,3 +156,54 @@ def staging_run(
     except Exception as e:  # noqa: BLE001 - reference catches everything too
         runlog.finish_failed(run_id, f"{type(e).__name__}: {e}")
         return StagingResult(entity, run_id, 0, 0, 0, "failed", error=str(e))
+
+
+def orchestrated_run(
+    spark: SparkSession,
+    base_url: str,
+    landing_root: str,
+    control_root: str,
+    warehouse_root: str,
+    entities: list[str] | None = None,
+    partitioned: bool = False,
+    **extract_kwargs: Any,
+) -> list[tuple[ExtractResult, StagingResult | None]]:
+    """The DAG analogue (reference: Airflow in docker-compose.yaml:94-116):
+    one extractor run over all entities, then a staging run PER ENTITY with
+    the extractor's run_id forwarded — the reference's orchestration
+    contract, where the scheduler passes the extract task's run_id to each
+    staging task (staging run.py:20-25 requires it on the CLI).
+
+    Per-entity isolation mirrors independent DAG branches: one entity's
+    staging failure is recorded in its run log and returned as a failed
+    StagingResult without aborting the other entities. A zero-row extract
+    for a declared entity still lands an empty batch and stages it (run log
+    records success/0 — same as the reference's empty staging run); only an
+    entity with NO landing dir for the run (undeclared schema, no rows)
+    skips staging and reports ``None``.
+
+    Rerun-safe end-to-end: landing writes are idempotent per (entity,
+    run_id), the watermark only advances on success, and both merge sinks
+    are conflict-deduped, so re-invoking after a crash (same or new run_id)
+    never duplicates warehouse rows.
+    """
+    if entities is None:
+        entities = sorted(ENTITY_RAW_SCHEMAS)
+    extracts = extractor_run(
+        spark, base_url, entities, landing_root, control_root, **extract_kwargs
+    )
+    out: list[tuple[ExtractResult, StagingResult | None]] = []
+    for ex in extracts:
+        if ex.landing_path is None:
+            out.append((ex, None))
+            continue
+        st = staging_run(
+            spark,
+            landing_root,
+            warehouse_root,
+            ex.entity,
+            ex.run_id,
+            partitioned=partitioned,
+        )
+        out.append((ex, st))
+    return out

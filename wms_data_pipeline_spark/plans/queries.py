@@ -2802,3 +2802,253 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             orphans(l, p.select("p_partkey"), l.l_partkey == F.col("p_partkey"), "lineitem_part")
         )
     )
+
+
+@query(
+    "dd_dedup_keep_canonical",
+    "WITH pairs AS (SELECT id_a, id_b FROM ("
+    + _neardup_duck(0.5).replace("SELECT id_a, id_b, jaccard_sim FROM (", "SELECT id_a, id_b FROM (", 1)
+    + ")) SELECT d.lang, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars "
+    "FROM documents d WHERE d.doc_id NOT IN (SELECT id_b FROM pairs) GROUP BY d.lang",
+    doc="Dedup APPLICATION: greedy canonical-keep — drop every doc that "
+    "near-duplicates (MinHash+LSH, Jaccard>=0.5) a lower-id doc, keep the "
+    "rest; per-language survivor accounting. The pair set is the banded "
+    "LSH output (never quadratic); the removal itself is one left-anti "
+    "join against the id_b side (candidate-pair-sized, broadcast-able). "
+    "Greedy-by-id is deterministic and engine-independent; component-wise "
+    "canonical selection is dd_neardup_components' job.",
+)
+def dd_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    pairs = dd.minhash_neardup_pairs(docs)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+_CHUNK_SIZE = 200
+_CHUNK_STEP = 180
+
+
+@query(
+    "txt_chunk_documents",
+    f"SELECT doc_id, CAST((start - 1) // {_CHUNK_STEP} AS BIGINT) AS chunk_idx, "
+    f"substr(text, start, {_CHUNK_SIZE}) AS chunk "
+    f"FROM (SELECT doc_id, text, unnest(range(1, greatest(len(text), 1) + 1, "
+    f"{_CHUNK_STEP})) AS start FROM documents)",
+    doc="Context-window chunking: fixed-size character chunks "
+    f"({_CHUNK_SIZE} chars, {_CHUNK_SIZE - _CHUNK_STEP} overlap) via a "
+    "map-side sequence+explode — zero shuffle, the standard pre-embedding "
+    "splitter for a training/RAG corpus. Empty docs emit one empty chunk "
+    "(greatest(len,1)) so no document silently disappears.",
+)
+def txt_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("text"), F.lit(1)),
+                    F.lit(_CHUNK_STEP),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / F.lit(_CHUNK_STEP)).cast("long").alias("chunk_idx"),
+            F.expr(f"substring(text, start, {_CHUNK_SIZE})").alias("chunk"),
+        )
+    )
+
+
+@query(
+    "sim_embedding_quantize",
+    "WITH q AS (SELECT label, e AS v, "
+    "list_max(list_transform(e, x -> abs(x))) AS amax "
+    "FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings)), "
+    "s AS (SELECT label, v, CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS sc "
+    "FROM q), "
+    "err AS (SELECT label, list_max(list_transform(v, x -> "
+    "abs(x - floor(x * sc + 0.5) / sc))) AS max_abs_err, "
+    "sqrt(list_sum(list_transform(v, x -> "
+    "pow(x - floor(x * sc + 0.5) / sc, 2))) / len(v)) AS rmse FROM s) "
+    "SELECT label, count(*) AS n, round(avg(rmse), 6) AS avg_rmse, "
+    "round(max(max_abs_err), 6) AS worst_abs_err FROM err GROUP BY label",
+    doc="Symmetric int8 scalar quantization of the embedding column with "
+    "per-label reconstruction-error accounting (avg RMSE, worst abs error) "
+    "— the compression sanity check before shipping a quantized ANN index. "
+    "Pure map-side array expressions (transform/aggregate), one tiny agg; "
+    "rounding pinned as floor(x+0.5) so both engines quantize bit-"
+    "identically.",
+)
+def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    sc = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    deq = lambda x: F.floor(x * F.col("sc") + F.lit(0.5)) / F.col("sc")  # noqa: E731
+    errs = F.transform(F.col("v"), lambda x: F.abs(x - deq(x)))
+    sq = F.transform(F.col("v"), lambda x: F.pow(x - deq(x), F.lit(2.0)))
+    per_vec = (
+        e.select("label", v.alias("v"), sc.alias("sc"))
+        .select(
+            "label",
+            F.array_max(errs).alias("max_abs_err"),
+            F.sqrt(
+                F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) / F.size("v")
+            ).alias("rmse"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+        F.round(F.max("max_abs_err"), 6).alias("worst_abs_err"),
+    )
+
+
+@query(
+    "rel_heavy_hitters",
+    "WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type), "
+    "t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c) "
+    "SELECT event_type, CAST(n AS BIGINT) AS n, round(n / tot, 6) AS share "
+    "FROM c, t WHERE n * 8 > tot",
+    doc="Frequent-items / heavy-hitters: event types holding >1/8 of "
+    "traffic. The 100 TB shape: full pre-aggregation (map-side partials) "
+    "to a |distinct types|-sized table, then the scalar total joins back "
+    "as a broadcast 1-row aggregate — no second scan, no driver hop. The "
+    "exact-threshold twin of a Misra-Gries/count-min sketch pass.",
+)
+def rel_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("tot"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * 8 > F.col("tot"))
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+        )
+    )
+
+
+@query(
+    "evt_user_gap_stats",
+    "WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events), "
+    "ug AS (SELECT user_id, CAST(sum(gap_us) AS BIGINT) // count(*) AS avg_gap_us "
+    "FROM g WHERE gap_us IS NOT NULL GROUP BY user_id) "
+    "SELECT CASE WHEN avg_gap_us < 3600000000 THEN 'lt_1h' "
+    "WHEN avg_gap_us < 21600000000 THEN 'lt_6h' "
+    "WHEN avg_gap_us < 86400000000 THEN 'lt_1d' ELSE 'ge_1d' END AS gap_band, "
+    "count(*) AS n_users FROM ug GROUP BY gap_band",
+    doc="Inter-event gap profile: per-user average gap via one keyed "
+    "window (lag over event time), banded into an engagement histogram. "
+    "Banding uses exact integer microsecond division (sum BIGINT // n) so "
+    "no float summation order can flip a boundary across engines or "
+    "cluster sizes. One shuffle on user_id, then a 4-row agg.",
+)
+def evt_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    ug = gaps.groupBy("user_id").agg(
+        F.expr("sum(gap_us) div count(*)").alias("avg_gap_us")
+    )
+    band = (
+        F.when(F.col("avg_gap_us") < 3_600_000_000, "lt_1h")
+        .when(F.col("avg_gap_us") < 21_600_000_000, "lt_6h")
+        .when(F.col("avg_gap_us") < 86_400_000_000, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return ug.groupBy(band.alias("gap_band")).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "dq_null_profile",
+    " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+        f"count(*) - count({c}) AS n_null, "
+        f"count(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                  "o_orderdate", "o_orderpriority")
+    ),
+    doc="Data-quality column profile of a table in ONE scan: per-column "
+    "null and distinct counts computed as a single multi-aggregate pass, "
+    "reshaped to long form map-side (the oracle re-scans per column; at "
+    "100 TB the single-pass shape is the point). Companion to the "
+    "operators/quality.py expectation checks.",
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return wide.selectExpr(
+        "n_rows", f"stack({len(cols)}, {stack}) AS (col_name, n_null, n_distinct)"
+    ).select("col_name", "n_rows", "n_null", "n_distinct")
+
+
+@query(
+    "rel_approx_percentile_check",
+    "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50, "
+    "TRUE AS within_5pct FROM lineitem GROUP BY l_returnflag",
+    doc="approx_percentile (t-digest/GK sketch path for 100 TB quantiles) "
+    "checked the same way as rel_approx_distinct: the oracle pins the "
+    "exact interpolated median (quantile_cont == Spark percentile), and "
+    "the sketch estimate is asserted within 5% of it — drift flips "
+    "within_5pct and fails the hash compare.",
+)
+def rel_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        (
+            F.abs(
+                F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+                - F.expr("percentile(l_extendedprice, 0.5)")
+            )
+            <= 0.05 * F.expr("percentile(l_extendedprice, 0.5)")
+        ).alias("within_5pct"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, "
+    "CAST(unnest(range(0, greatest(strlen(text) // 1000 + 1, 1), 30)) AS BIGINT) "
+    "AS frame_idx FROM documents",
+    doc="Video frame-sampling plumbing (multimodal.py frame_sample_stub): "
+    "every-30th-frame index expansion from byte-length metadata — the "
+    "explode-shaped contract a real pyav frame sampler plugs into. "
+    "Map-side sequence+explode over opaque binary metadata, zero shuffle; "
+    "text bytes stand in for media blobs (with_binary_content).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assets = mm.with_binary_content(docs.select("doc_id", "text"))
+    return mm.frame_sample_stub(assets, every_n=30).select(
+        "doc_id", "byte_len", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

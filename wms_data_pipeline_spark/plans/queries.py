@@ -151,12 +151,18 @@ def wm_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference staging_repo.py:62-99).",
 )
 def wm_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # latest_merge's ordering (ts desc, existing-side desc, tiebreak desc) is
+    # a TOTAL order, so merging the un-collapsed snapshot side directly gives
+    # the same per-key winner as collapsing it first — one window pass and
+    # one shuffle instead of two (max is associative under a total order).
+    # The production pipeline's existing side is already one-row-per-key;
+    # here the snapshot is fabricated from raw history, so pre-collapsing it
+    # would only add a second exchange.
     ev = _t(spark, sf_dir, "events")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     old = ev.filter(F.col("ts") <= F.lit(EVENTS_CUT).cast("timestamp")).select(cols)
     new = ev.filter(F.col("ts") > F.lit(EVENTS_CUT).cast("timestamp")).select(cols)
-    snapshot = latest_merge(None, old, key="user_id", ts_col="ts", tiebreak_col="event_id")
-    return latest_merge(snapshot, new, key="user_id", ts_col="ts", tiebreak_col="event_id")
+    return latest_merge(old, new, key="user_id", ts_col="ts", tiebreak_col="event_id")
 
 
 @query(

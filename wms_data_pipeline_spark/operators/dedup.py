@@ -50,15 +50,50 @@ def shingles_of(colname: str = "text", n: int = 3) -> Column:
     )
 
 
-def minhash_col(shingles: Column, perm: int) -> Column:
-    """One MinHash permutation: min over shingles of the salted 60-bit hash."""
-    salted = F.transform(
-        shingles,
-        lambda s: F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(str(perm)), s)), 1, 15), 16, 10
-        ).cast("bigint"),
+MERSENNE31 = 2_147_483_647  # 2^31 - 1: the universal-hash modulus
+
+
+def perm_coeffs(num_perm: int = DEFAULT_NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients per MinHash permutation, md5-seeded
+    driver-side so Spark and the DuckDB oracle inline the SAME literals:
+    ``perm_p(h) = (a_p * h + b_p) mod (2^31 - 1)``, a in [1, M-1], b in
+    [0, M-1]."""
+    import hashlib
+
+    out = []
+    for p in range(num_perm):
+        ha = int(hashlib.md5(f"minhash-a:{p}".encode()).hexdigest()[:15], 16)
+        hb = int(hashlib.md5(f"minhash-b:{p}".encode()).hexdigest()[:15], 16)
+        out.append((ha % (MERSENNE31 - 1) + 1, hb % MERSENNE31))
+    return out
+
+
+def minhash_col(shingle_hashes: Column, perm: int) -> Column:
+    """One MinHash permutation: min over pre-hashed shingles of the
+    universal hash ``(a*h + b) mod M``. The base hash is computed ONCE per
+    shingle (``with_minhash_signature``); permutations are integer
+    arithmetic only — the classic one-hash/many-permutations scheme, 16×
+    fewer md5 evaluations than hashing per (perm, shingle).
+
+    No overflow under ANSI mode: a, h < 2^31 so a*h + b < 2^62 < 2^63-1.
+    """
+    a, b = perm_coeffs(perm + 1)[perm]
+    return F.array_min(
+        F.transform(
+            shingle_hashes,
+            lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31),
+        )
     )
-    return F.array_min(salted)
+
+
+def shingle_hash_col(shingles: Column) -> Column:
+    """Base 60-bit md5 hash per shingle, folded into [0, 2^31-2] for the
+    universal-hash permutations (identical expression in the oracle)."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(MERSENNE31),
+    )
 
 
 def with_minhash_signature(
@@ -71,21 +106,39 @@ def with_minhash_signature(
     """Append ``mh_0 … mh_{num_perm-1}`` minhash columns. No explode and no
     key shuffle; at 100 TB this is a pure map stage.
 
-    Two deliberate physical choices for a CPU-bound expression stage:
+    Three deliberate physical choices for a CPU-bound expression stage:
     - repartition a small input (one row group → one task would pin the
       whole stage to a single core; at real scale the scan already has
       thousands of splits and this collapses to a no-op);
-    - checkpoint the shingle array before fanning out to ``num_perm``
-      minhash expressions — Catalyst's CollapseProject would otherwise
-      inline the O(len²) shingle build into every one of the 16 columns.
+    - hash each shingle ONCE (``__sh_hash``) and derive all ``num_perm``
+      permutations with integer arithmetic — md5 cost is per shingle, not
+      per (shingle × perm);
+    - checkpoint the hashed-shingle array before fanning out to the
+      ``num_perm`` min-columns — Catalyst's CollapseProject would otherwise
+      inline the md5 transform into every one of the 16 columns, undoing
+      the hash-once scheme.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    out = df.withColumn("__shingles", shingles_of(colname, shingle_n))
+    shingles = shingles_of(colname, shingle_n)
+    # one select: __sh_hash inlines the shingle build (2 evals per row,
+    # cheap) — the fence below is what keeps md5 at one eval per shingle.
+    out = df.withColumn("__shingles", shingles).withColumn(
+        "__sh_hash", shingle_hash_col(shingles)
+    )
     out = out.localCheckpoint(eager=False)
-    for p in range(num_perm):
-        out = out.withColumn(f"mh_{p}", minhash_col(F.col("__shingles"), p))
+
+    def _perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change the visible
+        # arity and trip the HOF single-argument check
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
+
+    for p, (a, b) in enumerate(perm_coeffs(num_perm)):
+        out = out.withColumn(
+            f"mh_{p}", F.array_min(F.transform(F.col("__sh_hash"), _perm(a, b)))
+        )
+    out = out.drop("__sh_hash")
     return out if keep_shingles else out.drop("__shingles")
 
 

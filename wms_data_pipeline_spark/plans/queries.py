@@ -1143,17 +1143,30 @@ _SHINGLES_DUCK = (
 _TOKS_DUCK = "regexp_extract_all(text, '\\S+')"
 
 
-def _minhash_sig_duck(num_perm: int) -> str:
-    mh = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + _HEX64_DUCK.format(x=f"'{p}:' || s")
-        + f")) AS mh_{p}"
-        for p in range(num_perm)
+_M31 = dd.MERSENNE31
+
+
+def _minhash_cols_duck(num_perm: int) -> str:
+    """mh_p columns from a pre-hashed shingle array ``hs`` — the same
+    one-md5 + universal-permutation scheme as dd.with_minhash_signature,
+    with identical md5-seeded (a, b) literals."""
+    return ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_M31})) AS mh_{p}"
+        for p, (a, b) in enumerate(dd.perm_coeffs(num_perm))
     )
+
+
+_SH_HASH_DUCK = (
+    "list_transform(sh, s -> (" + _HEX64_DUCK.format(x="s") + f") % {_M31})"
+)
+
+
+def _minhash_sig_duck(num_perm: int) -> str:
     return (
         f"WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents), "
-        f"s AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM t) "
-        f"SELECT doc_id, {mh} FROM s"
+        f"s AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM t), "
+        f"h_t AS (SELECT doc_id, {_SH_HASH_DUCK} AS hs FROM s) "
+        f"SELECT doc_id, {_minhash_cols_duck(num_perm)} FROM h_t"
     )
 
 
@@ -1174,9 +1187,11 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_minhash_signature",
     _minhash_sig_duck(dd.DEFAULT_NUM_PERM),
-    doc="MinHash signatures (16 salted-md5 permutations over 3-word "
-    "shingles), computed map-side with zero shuffle (array_min over a "
-    "transformed array — no explode).",
+    doc="MinHash signatures over 3-word shingles, computed map-side with "
+    "zero shuffle (array_min over a transformed array — no explode). "
+    "One md5 per shingle + 16 integer universal-hash permutations "
+    "((a*h+b) mod 2^31-1, md5-seeded coefficient literals shared with the "
+    "oracle) — 16× fewer md5 evaluations than salting per permutation.",
 )
 def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1195,16 +1210,11 @@ def _neardup_duck(threshold: float, num_perm: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    mh = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + _HEX64_DUCK.format(x=f"'{p}:' || s")
-        + f")) AS mh_{p}"
-        for p in range(num_perm)
-    )
     return (
         f"WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents), "
         f"sh_t AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM t), "
-        f"sig AS (SELECT doc_id, sh, {mh} FROM sh_t), "
+        f"h_t AS (SELECT doc_id, sh, {_SH_HASH_DUCK} AS hs FROM sh_t), "
+        f"sig AS (SELECT doc_id, sh, {_minhash_cols_duck(num_perm)} FROM h_t), "
         f"b AS ({band_rows}), "
         "p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
         "FROM b a JOIN b b2 USING (band, bhash) WHERE a.doc_id < b2.doc_id) "

@@ -216,9 +216,57 @@ def minhash_neardup_pairs(
     )
 
 
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash from a pre-hashed token array: bit j is the sign of the sum
+    over token hashes of (2*bit_j(h) - 1). Integer arithmetic only — pair
+    with a checkpoint fence on the hash array (``with_simhash``) so md5
+    runs once per token, not once per (token, bit)."""
+
+    def _merge(mask: int):
+        # closure factory, NOT a default arg (HOF arity is derived from the
+        # lambda signature)
+        return lambda s, h: s + F.when(
+            h.bitwiseAND(F.lit(mask)) != F.lit(0), F.lit(1).cast("long")
+        ).otherwise(F.lit(-1).cast("long"))
+
+    acc = None
+    for j in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _merge(1 << j))
+        term = F.when(bit_sum > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def with_simhash(
+    df: DataFrame, colname: str = "text", bits: int = 16, out: str = "simhash"
+) -> DataFrame:
+    """Append a SimHash column, hashing each token ONCE: the 60-bit md5
+    token hashes materialize behind a checkpoint fence, then the ``bits``
+    per-bit majority aggregates run as integer expressions over the hashed
+    array (CollapseProject would otherwise re-inline the md5 transform into
+    every bit's aggregate — ``bits``× the hash cost)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    hashed = df.withColumn(
+        "__tok_hash",
+        F.transform(
+            tokens_of(colname),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
+        ),
+    ).localCheckpoint(eager=False)
+    return hashed.withColumn(out, simhash_from_hashes(F.col("__tok_hash"), bits)).drop(
+        "__tok_hash"
+    )
+
+
 def simhash_col(colname: str = "text", bits: int = 16) -> Column:
-    """SimHash fingerprint: bit j is the sign of the sum over tokens of
-    (2*bit_j(hex64(token)) - 1). Map-side; returns a bigint."""
+    """SimHash fingerprint as a single Column expression: bit j is the sign
+    of the sum over tokens of (2*bit_j(hex64(token)) - 1). Map-side;
+    returns a bigint. NOTE: as one expression this hashes per (token, bit)
+    — prefer ``with_simhash`` (hash-once + fence) in query plans."""
     # Closure factory, NOT a default arg: pyspark derives the HOF lambda's
     # arity from its signature, so `lambda s, t, j=j` would be called with a
     # third Column. bitwiseAND with a mask rather than shiftright, which

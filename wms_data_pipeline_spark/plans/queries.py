@@ -1269,15 +1269,20 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_duck(bits: int = 16) -> str:
+    # hash-once form, mirroring dd.with_simhash: one md5 per token, then
+    # per-bit integer majorities over the hashed list
     terms = " + ".join(
-        "(CASE WHEN COALESCE(list_sum(list_transform(toks, t -> "
-        f"2 * ((({_HEX64_DUCK.format(x='t')}) >> {j}) & 1) - 1)), 0) > 0 "
+        "(CASE WHEN COALESCE(list_sum(list_transform(hs, h -> "
+        f"2 * ((h >> {j}) & 1) - 1)), 0) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(bits)
     )
     return (
-        f"WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents) "
-        f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM t"
+        f"WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents), "
+        "h_t AS (SELECT doc_id, list_transform(toks, t -> "
+        + _HEX64_DUCK.format(x="t")
+        + ") AS hs FROM t) "
+        f"SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h_t"
     )
 
 
@@ -1288,9 +1293,9 @@ def _simhash_duck(bits: int = 16) -> str:
 )
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # hashing is CPU-bound and the input is one small row group — fan out
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    return docs.select("doc_id", dd.simhash_col("text", 16).alias("simhash"))
+    # with_simhash repartitions the small CPU-bound input and hashes each
+    # token once behind a fence (md5 per token, not per token×bit)
+    return dd.with_simhash(docs, "text", 16).select("doc_id", "simhash")
 
 
 @query(
@@ -2320,8 +2325,7 @@ def txt_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    sh = docs.select("doc_id", dd.simhash_col("text", 16).alias("simhash"))
+    sh = dd.with_simhash(docs, "text", 16).select("doc_id", "simhash")
     # Materialization fence: the 16-aggregate simhash expression would be
     # recomputed on both join sides (CollapseProject inlines it).
     sh = sh.localCheckpoint(eager=False)

@@ -156,6 +156,78 @@ def test_dedup_stream_drops_cross_batch_redelivery(spark, tmp_path):
         q.stop()
 
 
+def test_dedup_within_watermark_collapses_jittered_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a redelivered key whose timestamp
+    JITTERED between deliveries still collapses (dropDuplicates on
+    [id, ts] would emit both copies)."""
+    from wms_data_pipeline_spark.streaming.pipeline import (
+        dedup_stream_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t1 = datetime(2026, 1, 1, 10)
+    t1_jitter = datetime(2026, 1, 1, 10, 0, 30)  # retry re-stamped +30 s
+    t2 = datetime(2026, 1, 1, 10, 1)
+    _write_batch(spark, src, [("a", t1, "NEW")], UPDATES_SCHEMA, "b1")
+    stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src)
+    deduped = dedup_stream_within_watermark(
+        stream, keys=["id"], ts_col="updated_at", delay="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_wm_t")
+        .outputMode("append").option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, [("a", t1_jitter, "NEW"), ("b", t2, "NEW")],
+                     UPDATES_SCHEMA, "b2")
+        q.processAllAvailable()
+        got = sorted(
+            (r["id"], r["updated_at"])
+            for r in spark.sql("SELECT id, updated_at FROM dedup_wm_t").collect()
+        )
+        # first arrival of 'a' wins; the jittered redelivery is dropped
+        assert got == [("a", t1), ("b", t2)]
+    finally:
+        q.stop()
+
+
+def test_incremental_merge_stream_into_jdbc_warehouse(spark, tmp_path):
+    """Streaming CDC landing straight in the JDBC warehouse: foreachBatch
+    drives the same JdbcMergeSink merges — newer-wins across micro-batches,
+    history dedup on redelivery."""
+    from wms_data_pipeline_spark.sources.jdbc import JdbcMergeSink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    url = f"jdbc:derby:{tmp_path}/wh_db;create=true"
+    history = JdbcMergeSink(spark, url, "s_hist", batchsize=100)
+    latest = JdbcMergeSink(spark, url, "s_latest", batchsize=100)
+    t1, t2 = datetime(2026, 1, 1, 10), datetime(2026, 1, 1, 11)
+    _write_batch(spark, src, [("a", t1, "NEW"), ("b", t1, "NEW")],
+                 UPDATES_SCHEMA, "b1")
+    stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src)
+    q = incremental_merge_stream(
+        stream, str(tmp_path / "unused"), "s", str(tmp_path / "ck"),
+        history=history, latest=latest,
+    )
+    q.awaitTermination()
+    # batch 2: redelivery of a@t1 + newer a@t2 (availableNow → restart)
+    _write_batch(spark, src, [("a", t1, "NEW"), ("a", t2, "DONE")],
+                 UPDATES_SCHEMA, "b2")
+    q2 = incremental_merge_stream(
+        stream, str(tmp_path / "unused"), "s", str(tmp_path / "ck"),
+        history=history, latest=latest,
+    )
+    q2.awaitTermination()
+    lat = {r["id"]: r["status"] for r in latest.read().collect()}
+    assert lat == {"a": "DONE", "b": "NEW"}
+    # history: a@t1, b@t1, a@t2 — the redelivered a@t1 collapsed
+    assert history.read().count() == 3
+
+
 def test_streaming_runlog_metrics(spark, tmp_path):
     from wms_data_pipeline_spark.streaming.metrics import (
         RunLogListener,

@@ -35,13 +35,23 @@ def incremental_merge_stream(
     checkpoint_dir: str,
     ts_col: str = "updated_at",
     delay: str = "2 minutes",
+    history=None,
+    latest=None,
 ) -> StreamingQuery:
     """readStream → event-time watermark → foreachBatch(history + latest
     merges). Late rows inside ``delay`` re-enter and collapse in the sinks
-    (the reference's lookback+dedup contract)."""
+    (the reference's lookback+dedup contract).
+
+    ``history``/``latest`` accept ANY merge sink implementing
+    ``append_history``/``upsert_latest`` (ParquetTable default,
+    PartitionedMergeTable, JdbcMergeSink, DeltaMergeTable) — streaming CDC
+    can land straight in the warehouse through the same idempotent merges.
+    """
     spark = stream_df.sparkSession
-    history = ParquetTable(spark, f"{warehouse_root}/stg_{entity}_history")
-    latest = ParquetTable(spark, f"{warehouse_root}/stg_{entity}")
+    if history is None:
+        history = ParquetTable(spark, f"{warehouse_root}/stg_{entity}_history")
+    if latest is None:
+        latest = ParquetTable(spark, f"{warehouse_root}/stg_{entity}")
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -72,6 +82,22 @@ def dedup_stream(
     at the sink."""
     keys = keys or ["id", ts_col]
     return stream_df.withWatermark(ts_col, delay).dropDuplicates(keys)
+
+
+def dedup_stream_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "updated_at",
+    delay: str = "2 minutes",
+) -> DataFrame:
+    """Business-key-only streaming dedup: ``dropDuplicatesWithinWatermark``
+    collapses redeliveries of the same key even when the event timestamp
+    JITTERS between deliveries (at-least-once sources re-stamping on retry)
+    — ``dropDuplicates([key, ts])`` would pass both copies through. First
+    arrival wins; key state expires once the watermark passes it, so state
+    is bounded by ``delay`` × key-arrival rate, not by history."""
+    keys = keys or ["id"]
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
 def tumbling_counts(

@@ -1594,12 +1594,16 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "sk", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
     a = bands.select(F.col("vec_id").alias("id_a"), F.col("sk").alias("sk_a"), "b", "v")
     b2 = bands.select(F.col("vec_id").alias("id_b"), F.col("sk").alias("sk_b"), "b", "v")
+    # hamming filter BEFORE the distinct: the filter is a cheap map-side
+    # predicate over the joined rows, while distinct is a shuffle — running
+    # it first shrinks the dedup exchange from every band collision (~n²/16
+    # per band) to just the surviving near-dup pairs.
     cand = (
         a.join(b2, ["b", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))) <= 5)
         .select("id_a", "id_b", "sk_a", "sk_b")
         .distinct()
-        .filter(F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))) <= 5)
     )
     # exact-cosine verify: fetch vectors by id for the few survivors only
     vecs = sk.select("vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"))
@@ -2352,19 +2356,19 @@ def dd_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = bands.select(
         F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "b", "v"
     )
+    # hamming filter BEFORE the distinct: map-side predicate first, so the
+    # dedup shuffle carries only surviving pairs, not every band collision
     cand = (
         a.join(b2, ["b", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
+        .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
         )
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
+    return cand
 
 
 @query(

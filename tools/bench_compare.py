@@ -38,9 +38,11 @@ def main() -> None:
     for name, spec in headline_queries().items():
         best_s = float("inf")
         for _ in range(2):
-            df = spec.fn(spark, sf_dir)
+            # fn() INSIDE the timer (same as bench.py): iterative operators
+            # (connected components) do their real work while building the
+            # plan — timing only the final write would under-report them
             t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best_s = min(best_s, time.perf_counter() - t0)
         best_d = None
         if spec.oracle:

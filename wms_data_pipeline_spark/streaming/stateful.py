@@ -69,3 +69,62 @@ def latest_state_changes(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def latest_state_changes_tws(
+    stream_df: DataFrame,
+    key: str = "id",
+    ts_col: str = "updated_at",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """The same newer-wins change stream on Spark 4's
+    ``transformWithStateInPandas`` (the successor API to
+    ``applyInPandasWithState``): state is a typed ValueState handle with
+    optional per-key TTL — at 100 TB the TTL bounds the state store for
+    keys that go quiet (the old API needs manual timeout plumbing for the
+    same behavior). The engine keeps the applyInPandasWithState path as the
+    portable fallback: transformWithState's state-server protocol needs the
+    ``protobuf`` package, which is optional here — probed up front so a
+    missing dependency fails at build time with a clear error instead of
+    crashing the streaming runner mid-query."""
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(state-server protocol); use latest_state_changes "
+            "(applyInPandasWithState) instead"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema: StructType = stream_df.schema
+
+    class _NewerWins(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState(
+                "latest_ts", "last_ts long", ttlDurationMs=state_ttl_ms
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            last_ts = self._latest.get()[0] if self._latest.exists() else None
+            for pdf in rows:
+                pdf = pdf.sort_values(ts_col, ascending=False)
+                top = pdf.iloc[0]
+                ts_us = int(top[ts_col].value // 1_000)
+                if last_ts is None or ts_us > last_ts:
+                    last_ts = ts_us
+                    self._latest.update((last_ts,))
+                    yield pdf.iloc[[0]]
+
+        def close(self) -> None:
+            pass
+
+    return stream_df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_NewerWins(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -3076,3 +3076,123 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_stub(assets, every_n=30).select(
         "doc_id", "byte_len", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@query(
+    "evt_retention_cohorts",
+    "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week "
+    "FROM events GROUP BY user_id), "
+    "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events) "
+    "SELECT f.cohort_week, "
+    "CAST(datediff('day', f.cohort_week, a.active_week) // 7 AS BIGINT) AS week_offset, "
+    "count(*) AS n_users FROM a JOIN f USING (user_id) "
+    "GROUP BY f.cohort_week, week_offset",
+    doc="Weekly cohort retention matrix: users bucketed by first-active "
+    "week, counted per (cohort, week-offset) — the standard engagement "
+    "triangle. Two aggregations + one key join; the cohort table is "
+    "|users|-sized and the offset is exact integer day arithmetic "
+    "(date_trunc week is ISO-Monday on both engines).",
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "dd_lsh_band_skew",
+    "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " AS toks FROM documents), "
+    "sh_t AS (SELECT doc_id, " + _SHINGLES_DUCK + " AS sh FROM t), "
+    "h_t AS (SELECT doc_id, sh, " + _SH_HASH_DUCK + " AS hs FROM sh_t), "
+    "sig AS (SELECT doc_id, " + _minhash_cols_duck(16) + " FROM h_t), "
+    "b AS (" + " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, sha256({concat}) AS bhash FROM sig".format(
+            b=b, concat=" || '_' || ".join(f"mh_{b * 4 + r}::VARCHAR" for r in range(4))
+        )
+        for b in range(4)
+    ) + "), "
+    "bs AS (SELECT band, bhash, count(*) AS n FROM b GROUP BY band, bhash) "
+    "SELECT band, count(*) AS n_buckets, CAST(max(n) AS BIGINT) AS max_bucket, "
+    "CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs "
+    "FROM bs GROUP BY band",
+    doc="LSH bucket-skew diagnostic: per band, the bucket count, the "
+    "largest bucket, and the candidate-pair mass sum(n·(n−1)/2) — the "
+    "quantity that decides whether a banded self-join is safe or needs "
+    "salting/AQE skew splitting at 100 TB. Runs ahead of any banded "
+    "dedup as a cheap pre-flight (one agg over the band table).",
+)
+def dd_lsh_band_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dd.with_minhash_signature(docs, "text", 16).localCheckpoint(eager=False)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.sha2(
+                F.concat_ws("_", *[F.col(f"mh_{b * 4 + r}") for r in range(4)]), 256
+            ).alias("bhash"),
+        )
+        for b in range(4)
+    ]
+    bands = sig.select(F.explode(F.array(*band_cols)).alias("bk")).select(
+        "bk.band", "bk.bhash"
+    )
+    bs = bands.groupBy("band", "bhash").agg(F.count(F.lit(1)).alias("n"))
+    return bs.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).alias("candidate_pairs"),
+    )
+
+
+@query(
+    "sim_label_centroid_pairs",
+    "WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS idx, "
+    "unnest(embedding) AS x FROM embeddings), "
+    "c AS (SELECT label, idx, avg(x) AS m FROM u GROUP BY label, idx), "
+    "carr AS (SELECT label, list(m ORDER BY idx) AS cv FROM c GROUP BY label) "
+    "SELECT a.label AS label_a, b.label AS label_b, "
+    "round(list_dot_product(a.cv, b.cv) / "
+    "(sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))), 6) "
+    "AS centroid_cos FROM carr a JOIN carr b ON a.label < b.label",
+    doc="Label-confusability map: pairwise cosine between label centroids "
+    "(upper triangle). The pairwise step runs on the |labels|-sized "
+    "centroid table — a deliberate, bounded cartesian over an aggregate, "
+    "never over the corpus (contrast: the corpus-level path is banded).",
+)
+def sim_label_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    ).localCheckpoint(eager=False)
+    a = carr.select(F.col("label").alias("label_a"), F.col("cv").alias("cva"))
+    b = carr.select(F.col("label").alias("label_b"), F.col("cv").alias("cvb"))
+    cos = sim.dot(F.col("cva"), F.col("cvb")) / (
+        F.sqrt(sim.dot(F.col("cva"), F.col("cva")))
+        * F.sqrt(sim.dot(F.col("cvb"), F.col("cvb")))
+    )
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(cos, 6).alias("centroid_cos"))
+    )

@@ -3196,3 +3196,70 @@ def sim_label_centroid_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("label_a") < F.col("label_b"))
         .select("label_a", "label_b", F.round(cos, 6).alias("centroid_cos"))
     )
+
+
+@query(
+    "evt_salted_agg",
+    "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value, "
+    "CAST(min(user_id) AS BIGINT) AS min_user FROM events GROUP BY event_type",
+    doc="Skew-safe two-phase aggregation (operators/skew.salted_agg): "
+    "phase 1 groups by (key, salt) so a hot key fans across ``buckets`` "
+    "reducers, phase 2 re-aggregates the partials — algebraically "
+    "identical to the plain GROUP BY the oracle runs (count re-aggregates "
+    "as sum). The plan insurance for power-law keys at 100 TB when AQE's "
+    "skew split can't kick in (e.g. pre-AQE stages or hash aggregation).",
+)
+def evt_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={"n": "count(1)", "total_value": "sum(value)", "min_user": "min(user_id)"},
+        buckets=8,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        F.col("min_user").cast("long").alias("min_user"),
+    )
+
+
+@query(
+    "evt_incremental_rollup",
+    "SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value, "
+    "CAST(min(epoch_us(ts)) AS BIGINT) AS first_us, "
+    "CAST(max(epoch_us(ts)) AS BIGINT) AS last_us "
+    "FROM events GROUP BY event_type",
+    doc="Continuously-maintained aggregate (operators/rollup.py): the "
+    "events stream lands in two batches split at the watermark cut; each "
+    "batch is aggregated alone and MERGED into the stored rollup by "
+    "re-aggregation (sum→sum, count→sum, min/max→min/max) — cost per "
+    "batch scales with batch keys, never table history. The oracle's "
+    "single GROUP BY over all rows pins the algebraic-decomposition "
+    "invariant: merge(partial(A), partial(B)) == agg(A ∪ B).",
+)
+def evt_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.rollup import incremental_rollup
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    aggs = {
+        "n_events": "count(1)",
+        "sum_value": "sum(value)",
+        "first_us": "min(ts_us)",
+        "last_us": "max(ts_us)",
+    }
+    cut = F.lit(EVENTS_CUT).cast("timestamp")
+    batch1 = ev.filter(F.col("ts") <= cut)
+    batch2 = ev.filter(F.col("ts") > cut)
+    state = incremental_rollup(None, batch1, ["event_type"], aggs)
+    state = incremental_rollup(state, batch2, ["event_type"], aggs)
+    return state.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("sum_value"),
+        "first_us",
+        "last_us",
+    )

@@ -3263,3 +3263,67 @@ def evt_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_us",
         "last_us",
     )
+
+
+@query(
+    "rel_setops_all",
+    "WITH a AS (SELECT event_type, user_id % 100 AS ub FROM events "
+    "WHERE event_id % 2 = 0), "
+    "b AS (SELECT event_type, user_id % 100 AS ub FROM events "
+    "WHERE event_id % 3 = 0) "
+    "SELECT 'intersect_all' AS op, event_type, ub, count(*) AS n FROM "
+    "(SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY event_type, ub "
+    "UNION ALL "
+    "SELECT 'except_all', event_type, ub, count(*) FROM "
+    "(SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY event_type, ub",
+    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): "
+    "multiplicity-aware overlap — min(m_a, m_b) and m_a − m_b copies "
+    "respectively — completing the set-op family beyond rel_set_ops' "
+    "distinct forms. One shuffle each on the full row key.",
+)
+def rel_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", (F.col("user_id") % 100).alias("ub"), "event_id")
+    a = base.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    b = base.filter(F.col("event_id") % 3 == 0).drop("event_id")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("event_type", "ub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "event_type", "ub", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("event_type", "ub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "event_type", "ub", "n")
+    )
+    return inter.unionByName(exc)
+
+
+@query(
+    "wm_scd2_intervals",
+    "SELECT user_id, ts AS valid_from, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, "
+    "event_type AS state, "
+    "CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "IS NULL THEN TRUE ELSE FALSE END AS is_current "
+    "FROM events WHERE event_id % 20 = 0",
+    doc="SCD Type-2 dimension build: each history row becomes a "
+    "[valid_from, valid_to) interval via one lead() window per key; the "
+    "open interval is the current state. The warehouse pattern the "
+    "reference's history table implies (staging_repo.py history append "
+    "keeps all versions) — this derives the queryable interval form in "
+    "one keyed shuffle, no self-join.",
+)
+def wm_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.col("event_type").alias("state"),
+        nxt.isNull().alias("is_current"),
+    )

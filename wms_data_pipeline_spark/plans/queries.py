@@ -1379,13 +1379,42 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
 
+def _angular_sketch_duck(n_planes: int = 16, dim: int = 64, table: int = 0) -> str:
+    """DuckDB expression computing the SAME angular sign sketch as
+    ``sim.lsh_bucket(embedding, n_planes, dim, table)``: the hyperplanes
+    are deterministic md5-derived constants, inlined as literals on both
+    engines, so the sketch is bit-identical across Spark and DuckDB."""
+    terms = []
+    for p in range(n_planes):
+        plane = ", ".join(repr(v) for v in sim._hyperplane(table, p, dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{plane}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 @query(
     "sim_ann_lsh_topk",
-    None,  # LSH candidate generation is not reasonably SQL-expressible;
-    # recall vs the exact baseline is pinned in tests/test_similarity.py.
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, "
+    f"{_angular_sketch_duck(8, 64, 0)} AS b0, "
+    f"{_angular_sketch_duck(8, 64, 1)} AS b1 FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, b0, b1 FROM e "
+    "WHERE vec_id < 5) "
+    "SELECT query_id, vec_id, cosine_sim FROM ("
+    "SELECT q.query_id, c.vec_id, "
+    "round(list_dot_product(c.v, q.qv) / (c.nrm * q.qn), 6) AS cosine_sim, "
+    "row_number() OVER (PARTITION BY q.query_id ORDER BY "
+    "round(list_dot_product(c.v, q.qv) / (c.nrm * q.qn), 6) DESC, c.vec_id) AS rn "
+    "FROM e c JOIN q ON c.b0 = q.b0 OR c.b1 = q.b1) WHERE rn <= 10",
     doc="Approximate top-k via random-hyperplane LSH buckets (2 tables × 8 "
     "planes) + exact re-rank of candidates. Bucket id is a map-side long — "
-    "the cluster/partition key at 100 TB.",
+    "the cluster/partition key at 100 TB. The hyperplanes are md5-seeded "
+    "deterministic literals shared with the oracle, so the bucket-candidate "
+    "set (and therefore the ANN result) is bit-identical cross-engine — a "
+    "FULL value-hash check on an approximate operator; recall vs the exact "
+    "baseline is additionally pinned in tests.",
 )
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -1525,21 +1554,6 @@ def txt_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_COS_DUCK = (
     "list_dot_product(a.v, b.v) / (a.nrm * b.nrm)"
 )
-
-
-def _angular_sketch_duck(n_planes: int = 16, dim: int = 64) -> str:
-    """DuckDB expression computing the SAME 16-bit angular sign sketch as
-    ``sim.lsh_bucket(embedding, n_planes, dim, table=0)``: the hyperplanes
-    are deterministic md5-derived constants, inlined as literals on both
-    engines, so the sketch is bit-identical across Spark and DuckDB."""
-    terms = []
-    for p in range(n_planes):
-        plane = ", ".join(repr(v) for v in sim._hyperplane(0, p, dim))
-        terms.append(
-            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{plane}]) > 0 "
-            f"THEN {1 << p} ELSE 0 END)"
-        )
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 @query(

@@ -102,6 +102,7 @@ def with_minhash_signature(
     num_perm: int = DEFAULT_NUM_PERM,
     shingle_n: int = 3,
     keep_shingles: bool = False,
+    drop_source: bool = False,
 ) -> DataFrame:
     """Append ``mh_0 … mh_{num_perm-1}`` minhash columns. No explode and no
     key shuffle; at 100 TB this is a pure map stage.
@@ -127,6 +128,12 @@ def with_minhash_signature(
     out = df.withColumn("__shingles", shingles).withColumn(
         "__sh_hash", shingle_hash_col(shingles)
     )
+    if drop_source:
+        # the checkpoint materializes every column it carries; the source
+        # text is ~the size of the shingle arrays and dead weight for pure
+        # signature/pair pipelines (stress.py: checkpoint heap is the
+        # binding resource at 100×) — drop it BEFORE the fence
+        out = out.drop(colname)
     out = out.localCheckpoint(eager=False)
 
     def _perm(a: int, b: int):
@@ -174,7 +181,8 @@ def minhash_neardup_pairs(
     # persisted/checkpointed intermediate table; localCheckpoint is the
     # single-node equivalent.
     sig = with_minhash_signature(
-        df, colname, num_perm, shingle_n, keep_shingles=True
+        df.select(id_col, colname), colname, num_perm, shingle_n,
+        keep_shingles=True, drop_source=True,
     ).localCheckpoint(eager=False)
     band_cols = [
         F.struct(

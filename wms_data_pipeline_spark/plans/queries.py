@@ -3341,3 +3341,61 @@ def wm_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("state"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "rel_filtered_agg",
+    "SELECT l_returnflag, count(*) AS n_all, "
+    "count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted, "
+    "round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS big_qty_rev, "
+    "CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_taxfree "
+    "FROM lineitem GROUP BY l_returnflag",
+    doc="Conditional aggregation via the SQL FILTER clause — one scan, one "
+    "agg, N conditions (the alternative CASE-WHEN-inside-agg compiles to "
+    "the same plan; FILTER is the declarative form both engines share).",
+)
+def rel_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 2
+        ).alias("big_qty_rev"),
+        F.count_if(F.col("l_tax") == 0).alias("n_taxfree"),
+    )
+
+
+@query(
+    "rel_fuzzy_name_match",
+    "SELECT a.c_custkey AS key_a, b.c_custkey AS key_b, "
+    "CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist "
+    "FROM customer a JOIN customer b "
+    "ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16) "
+    "AND a.c_custkey < b.c_custkey "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 1 AND a.c_custkey < 200",
+    doc="Entity-resolution fuzzy match: prefix-blocked self-join + "
+    "Levenshtein verify (edit distance <= 1 within a 16-char name block). "
+    "The canonical dedup-join shape for dirty dimension data at scale: "
+    "the block key confines the quadratic work exactly like LSH bands "
+    "confine near-dup search; the probe side is bounded for oracle duty.",
+)
+def rel_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 16).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 1)
+        .select("key_a", "key_b", "edit_dist")
+    )

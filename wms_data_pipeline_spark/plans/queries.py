@@ -3399,3 +3399,33 @@ def rel_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 1)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+@query(
+    "dq_daily_volume_anomaly",
+    "WITH d AS (SELECT date_trunc('day', ts)::DATE AS day, count(*) AS n "
+    "FROM events GROUP BY day), "
+    "s AS (SELECT avg(n) AS mu, stddev_samp(n) AS sigma FROM d) "
+    "SELECT d.day, CAST(d.n AS BIGINT) AS n, "
+    "round((d.n - s.mu) / s.sigma, 4) AS z, "
+    "abs(d.n - s.mu) > 2 * s.sigma AS is_anomaly "
+    "FROM d, s",
+    doc="Data-quality volume anomaly check: daily event counts flagged at "
+    "|z| > 2 against the corpus mean/stddev — the freshness/volume alarm "
+    "a pipeline run log feeds. Day-level pre-aggregation first (map-side "
+    "partials to ~30 rows), then the 1-row stats join back as a broadcast "
+    "— same scalar-aggregate pattern as rel_q22/evt_value_winsorize; "
+    "never a second scan.",
+)
+def dq_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = d.agg(F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma"))
+    return d.crossJoin(F.broadcast(s)).select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sigma")).alias("is_anomaly"),
+    )

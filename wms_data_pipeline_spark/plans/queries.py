@@ -3429,3 +3429,44 @@ def dq_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
         (F.abs(F.col("n") - F.col("mu")) > 2 * F.col("sigma")).alias("is_anomaly"),
     )
+
+
+@query(
+    "rel_hll_partial_merge",
+    "WITH r AS (SELECT n.n_regionkey AS region, "
+    "count(DISTINCT c.c_custkey) AS exact_customers FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY region) "
+    "SELECT region, exact_customers, TRUE AS within_5pct FROM r",
+    doc="Sketch re-aggregation — the 100 TB incremental-distinct pattern: "
+    "per-NATION HyperLogLog sketches (hll_sketch_agg) are UNIONED up to "
+    "region level (hll_union_agg) without touching raw rows again — "
+    "exactly how a continuously-maintained distinct-count rollup merges "
+    "partials across batches/partitions. Checked like rel_approx_distinct: "
+    "the oracle pins the exact region-level count and the merged-sketch "
+    "estimate must land within 5% (flag flips on drift and fails the "
+    "hash compare).",
+)
+def rel_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    merged = per_nation.groupBy(F.col("n_regionkey").alias("region")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("region"))
+        .agg(F.countDistinct("c_custkey").alias("exact_customers"))
+    )
+    return exact.join(merged, "region").select(
+        "region",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("within_5pct"),
+    )

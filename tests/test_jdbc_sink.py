@@ -132,3 +132,24 @@ def test_delta_guard_raises_cleanly_when_absent(spark, tmp_path):
         pytest.skip("delta installed; guard not applicable")
     with pytest.raises(ImportError):
         DeltaMergeTable(spark, str(tmp_path / "d"))
+
+
+def test_delete_keys_both_sinks(spark, tmp_path):
+    """Dataset redaction: delete_keys removes exactly the targeted keys
+    from both sink families with identical counts and final state."""
+    batch = _rec(spark, [("a", T1, "pa", "h1"), ("b", T1, "pb", "h2"),
+                         ("c", T2, "pc", "h3")])
+    forget = spark.createDataFrame([("a",), ("c",), ("zz",)], "id string")
+
+    pt = ParquetTable(spark, str(tmp_path / "pt"))
+    pt.upsert_latest(batch)
+    assert pt.delete_keys(forget) == 2
+    assert [r["id"] for r in pt.read().collect()] == ["b"]
+    # idempotent: nothing left to delete
+    assert pt.delete_keys(forget) == 0
+
+    jd = _jdbc(spark, tmp_path, "latest_del")
+    jd.upsert_latest(batch)
+    assert jd.delete_keys(forget) == 2
+    assert [r["id"] for r in jd.read().collect()] == ["b"]
+    assert jd.delete_keys(forget) == 0

@@ -161,6 +161,23 @@ class ParquetTable:
             self._publish(full)
         return n
 
+    def delete_keys(self, keys: DataFrame, key: str = LATEST_KEY) -> int:
+        """Targeted deletion (dataset redaction / right-to-be-forgotten):
+        remove every row whose ``key`` appears in ``keys``; returns the
+        deleted count. Expressed as one left-anti join + republish — the
+        same plan a Delta ``DELETE WHERE key IN (…)`` runs after file
+        pruning; on the bucket-partitioned sink only the touched buckets
+        rewrite."""
+        existing = self.read()
+        if existing is None:
+            return 0
+        kdf = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
+        kept = existing.join(kdf, on=key, how="left_anti").localCheckpoint()
+        n_deleted = existing.count() - kept.count()
+        if n_deleted:
+            self._publish(kept)
+        return n_deleted
+
     def upsert_latest(
         self,
         batch: DataFrame,

@@ -88,6 +88,23 @@ class DeltaMergeTable:
         )
         return int(self._last_metrics().get("numTargetRowsInserted", 0))
 
+    def delete_keys(self, batch_keys: DataFrame, key: str = LATEST_KEY) -> int:
+        """Targeted deletion (dataset redaction): MERGE with
+        whenMatchedDelete — Delta prunes to files whose key ranges
+        intersect the deletion set; returns the deleted count."""
+        if not self._exists():
+            return 0
+        kcol = batch_keys.columns[0]
+        kdf = batch_keys.select(batch_keys[kcol].alias(key)).distinct()
+        (
+            DeltaTable.forPath(self.spark, self.path)
+            .alias("t")
+            .merge(kdf.alias("s"), f"t.`{key}` = s.`{key}`")
+            .whenMatchedDelete()
+            .execute()
+        )
+        return int(self._last_metrics().get("numTargetRowsDeleted", 0))
+
     def upsert_latest(
         self,
         batch: DataFrame,

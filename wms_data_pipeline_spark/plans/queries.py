@@ -3470,3 +3470,25 @@ def rel_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_customers")
         ).alias("within_5pct"),
     )
+
+
+@query(
+    "txt_dedup_rate_by_source",
+    "SELECT source, count(*) AS n_docs, "
+    "count(DISTINCT sha256(text)) AS n_unique, "
+    "round(1.0 - count(DISTINCT sha256(text))::DOUBLE / count(*), 6) AS dup_rate "
+    "FROM documents GROUP BY source",
+    doc="Per-source duplication accounting: exact-hash distinct counts per "
+    "provenance bucket — the triage view that decides which sources need "
+    "the expensive near-dup pass. One shuffle on (source, hash) for the "
+    "distinct, then a tiny per-source agg.",
+)
+def txt_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct(F.sha2("text", 256)) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )

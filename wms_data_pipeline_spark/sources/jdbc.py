@@ -40,6 +40,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 from wms_data_pipeline_spark.operators.merge import (
     HISTORY_KEY,
@@ -186,6 +187,20 @@ class JdbcMergeSink:
         return self._execute(
             f"MERGE INTO {self.table} t USING {self.staging_table} s ON {on} "
             f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({val_list})"
+        )
+
+    def delete_keys(self, keys: DataFrame, key: str = LATEST_KEY) -> int:
+        """Targeted deletion (dataset redaction / right-to-be-forgotten):
+        stage the key set (distributed write), then ONE set-based
+        ``DELETE … WHERE key IN (SELECT …)`` warehouse-side — the deletion
+        twin of the MERGE pattern; returns the deleted count."""
+        if not self._table_exists(self.table):
+            return 0
+        kcol = keys.columns[0]
+        self._stage(keys.select(F_col(kcol).alias(key)).distinct())
+        return self._execute(
+            f"DELETE FROM {self.table} WHERE {_q(key)} IN "
+            f"(SELECT {_q(key)} FROM {self.staging_table})"
         )
 
     def upsert_latest(

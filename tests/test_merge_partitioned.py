@@ -59,3 +59,30 @@ def test_merge_prunes_untouched_buckets(spark, tmp_path):
     changed = [b for b in after if after[b] != before.get(b)]
     assert len(changed) == 1
     assert {r["id"]: r["payload"] for r in t.read_all().collect()}["k0"] == "p0-new"
+
+
+def test_delete_keys_prunes_buckets(spark, tmp_path):
+    """Deletion republishes ONLY the buckets holding targeted keys: the
+    untouched bucket's version pointer must not move."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = PartitionedMergeTable(spark, str(tmp_path / "pt"), n_buckets=8)
+    rows = [(f"k{i}", T1, f"p{i}", f"h{i}") for i in range(40)]
+    t.upsert_latest(_rec(spark, rows))
+    versions_before = {b: t._current_version(b) for b in range(8)}
+
+    # delete two specific keys -> at most two buckets touched
+    forget = spark.createDataFrame([("k3",), ("k17",)], "id string")
+    target_buckets = {
+        r[0] for r in spark.createDataFrame([("k3",), ("k17",)], "id string")
+        .select(F.pmod(F.hash(F.col("id")), F.lit(8))).collect()
+    }
+    assert t.delete_keys(forget) == 2
+    assert t.read_all().count() == 38
+    for b in range(8):
+        moved = t._current_version(b) != versions_before[b]
+        assert moved == (b in target_buckets and versions_before[b] is not None)
+    # idempotent
+    assert t.delete_keys(forget) == 0

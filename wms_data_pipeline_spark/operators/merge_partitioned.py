@@ -104,6 +104,30 @@ class PartitionedMergeTable:
         )
 
     # -- merge API ----------------------------------------------------------
+    def delete_keys(self, keys: DataFrame) -> int:
+        """Targeted deletion (dataset redaction) with BUCKET PRUNING: the
+        deletion key set maps to its hash buckets, and ONLY those bucket
+        directories are read, anti-joined, and republished — cost scales
+        with the deletion set, never table size (the same file-pruned
+        shape as a Delta DELETE). Returns the deleted count."""
+        kcol = keys.columns[0]
+        kdf = self._with_bucket(
+            keys.select(F.col(kcol).alias(self.key)).distinct()
+        ).localCheckpoint(eager=False)
+        deleted = 0
+        for b in self._touched_buckets(kdf):
+            existing = self._read_bucket(b)
+            if existing is None:
+                continue
+            bucket_keys = kdf.filter(F.col(BUCKET_COL) == b).select(self.key)
+            kept = existing.join(bucket_keys, on=self.key, how="left_anti")
+            kept = kept.localCheckpoint()
+            n = existing.count() - kept.count()
+            if n:
+                self._publish_bucket(b, kept)
+                deleted += n
+        return deleted
+
     def upsert_latest(self, batch: DataFrame, ts_col: str = "updated_at") -> int:
         """Op 20 at scale: newer-wins upsert touching only the batch's
         buckets. Returns affected-row count."""

@@ -88,3 +88,20 @@ def test_all_runs_scan_has_partition_column(spark, tmp_path):
     assert one.count() == 1
     # partition pruning visible in the physical plan
     assert "run_id=r1" in one._jdf.queryExecution().executedPlan().toString() or True
+
+
+def test_landing_orc_roundtrip(spark, tmp_path):
+    """ORC landing leg: columnar alternative Spark bundles natively —
+    write, idempotence guard, and typed read-back all hold."""
+    import pytest
+
+    from wms_data_pipeline_spark.sources.landing import read_landing, write_landing
+
+    df = _batch(spark)
+    path = write_landing(df, str(tmp_path), "ib_receipts", "runO", "orc")
+    assert "run_id=runO" in path
+    with pytest.raises(Exception):
+        write_landing(df, str(tmp_path), "ib_receipts", "runO", "orc")
+    back = read_landing(spark, str(tmp_path), "ib_receipts", "runO")
+    assert back.count() == df.count()
+    assert dict(back.dtypes)["updated_at"] == "timestamp"

@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-FORMATS = ("parquet", "csv")  # whitelist, reference writer_landing.py:20-23
+FORMATS = ("parquet", "csv", "orc")  # whitelist (reference writer_landing.py:20-23 ships parquet/csv; ORC is the columnar alternative Spark bundles natively)
 
 #: Landing schema contract (reference reader_landing.py:17-20).
 CONTRACT_COLS = ("id", "updated_at", "_run_id", "_extracted_at")
@@ -49,6 +49,8 @@ def write_landing(
     writer = df.write.mode("error")
     if output_format == "parquet":
         writer.parquet(path)
+    elif output_format == "orc":
+        writer.orc(path)
     else:
         writer.option("header", True).csv(path)
     return path
@@ -67,8 +69,11 @@ def read_landing(
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     has_parquet = any(f.endswith(".parquet") for f in os.listdir(path))
+    has_orc = any(f.endswith(".orc") for f in os.listdir(path))
     if has_parquet:
         df = spark.read.parquet(path)
+    elif has_orc:
+        df = spark.read.orc(path)
     else:
         df = spark.read.option("header", True).option("inferSchema", True).csv(path)
         for c in CSV_TIME_COLS:

@@ -3492,3 +3492,58 @@ def txt_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct(F.sha2("text", 256)) / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "dd_minhash_estimate_quality",
+    "WITH t AS (SELECT doc_id, " + _TOKS_DUCK + " AS toks FROM documents), "
+    "sh_t AS (SELECT doc_id, " + _SHINGLES_DUCK + " AS sh FROM t), "
+    "h_t AS (SELECT doc_id, sh, " + _SH_HASH_DUCK + " AS hs FROM sh_t), "
+    "sig AS (SELECT doc_id, sh, " + _minhash_cols_duck(16) + " FROM h_t), "
+    "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "(" + " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(16)
+    ) + ") / 16.0 AS est, "
+    "len(list_intersect(a.sh, b.sh))::DOUBLE / "
+    "len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS exact_j "
+    "FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND a.doc_id < 60) "
+    "SELECT count(*) AS n_pairs, round(avg(abs(est - exact_j)), 6) AS mae, "
+    "round(max(abs(est - exact_j)), 6) AS worst_abs_err FROM p",
+    doc="Sketch-estimator quality accounting: MinHash collision rate "
+    "(matching components / 16) IS the Jaccard estimator — this query "
+    "measures its MAE and worst error against exact Jaccard over a "
+    "bounded pair sample (doc_id < 60, the verifier-bound pattern). The "
+    "number that justifies band/permutation sizing before trusting the "
+    "sketch at 100 TB.",
+)
+def dd_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = dd.with_minhash_signature(
+        docs, "text", 16, keep_shingles=True, drop_source=True
+    ).localCheckpoint(eager=False)
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__shingles").alias("sh_a"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(16)],
+    ).filter(F.col("id_a") < 60)
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__shingles").alias("sh_b"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("est", matches / F.lit(16.0))
+        .withColumn("exact_j", dd.jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("exact_j"))), 6).alias("mae"),
+        F.round(F.max(F.abs(F.col("est") - F.col("exact_j"))), 6).alias(
+            "worst_abs_err"
+        ),
+    )

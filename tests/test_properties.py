@@ -97,3 +97,23 @@ def test_watermark_monotonic_under_any_sequence(offsets):
         seen_max = max(seen_max, ts)
         assert wm == seen_max  # never backwards, always the running max
     assert compute_new_watermark(None, wm) == wm  # empty batch carries forward
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=stream, new=stream)
+def test_latest_merge_single_pass_equals_collapsed(spark, old, new):
+    """The round-2 wm_latest_state rewrite's invariant: merging the
+    UN-COLLAPSED existing side in one pass gives the identical winner as
+    collapsing it to a snapshot first — latest_merge's order is total, so
+    per-key max is associative. Holds for every interleaving hypothesis
+    finds, including equal-timestamp ties on both sides."""
+    o, n = _df(spark, old), _df(spark, new)
+    collapsed = latest_merge(
+        latest_merge(None, o, key="id", ts_col="updated_at", tiebreak_col="payload_hash"),
+        n, key="id", ts_col="updated_at", tiebreak_col="payload_hash",
+    )
+    single = latest_merge(
+        o, n, key="id", ts_col="updated_at", tiebreak_col="payload_hash"
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert as_set(single) == as_set(collapsed)

@@ -3547,3 +3547,40 @@ def dd_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_abs_err"
         ),
     )
+
+
+@query(
+    "rel_share_of_total",
+    "WITH n AS (SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) "
+    "AS revenue FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation na ON c.c_nationkey = na.n_nationkey GROUP BY n_name), "
+    "t AS (SELECT sum(revenue) AS tot FROM n) "
+    "SELECT n_name, revenue, round(revenue / tot, 6) AS share "
+    "FROM n, t",
+    doc="Percent-of-total (ratio_to_report): per-nation revenue share. "
+    "Deliberately NOT `sum() OVER ()` — an empty-partition window funnels "
+    "every row through ONE reducer at scale; the safe plan aggregates to "
+    "the |nations|-sized table first, then joins the 1-row total back as "
+    "a broadcast (same scalar-aggregate pattern as q22/winsorize).",
+)
+def rel_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    rev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(na), c.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(F.sum("revenue").alias("tot"))
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "n_name", "revenue", F.round(F.col("revenue") / F.col("tot"), 6).alias("share")
+    )

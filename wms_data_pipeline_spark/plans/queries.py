@@ -3584,3 +3584,25 @@ def rel_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.crossJoin(F.broadcast(tot)).select(
         "n_name", "revenue", F.round(F.col("revenue") / F.col("tot"), 6).alias("share")
     )
+
+
+@query(
+    "rel_argmax_agg",
+    "SELECT event_type, "
+    "arg_max(user_id, value + event_id / 1e12) AS top_user, "
+    "round(max(value), 2) AS max_value "
+    "FROM events GROUP BY event_type",
+    doc="argmax aggregates (Spark max_by == DuckDB arg_max): the row-"
+    "valued max — one hash aggregation, no window, no self-join (the "
+    "window formulation costs a full sort shuffle for the same answer). "
+    "The ordering key is perturbed by event_id/1e12 to make the argmax "
+    "unique per group — max_by/arg_max tie-breaking is otherwise "
+    "engine-arbitrary.",
+)
+def rel_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ordk = F.col("value") + F.col("event_id") / F.lit(1e12)
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", ordk).alias("top_user"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )

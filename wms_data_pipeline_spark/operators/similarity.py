@@ -226,3 +226,84 @@ def ann_topk_lsh(
     return (
         cand.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
     )
+
+
+def sketch_banded_neardup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 24,
+    dim: int = 64,
+    bands: int = 6,
+    band_bits: int = 4,
+    hamming_max: int = 5,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Sketch-banded embedding near-duplicate pairs — the 100 TB plan.
+
+    ``n_planes``-bit angular sign sketch (deterministic md5 hyperplanes) →
+    exact pigeonhole band blocking (``bands`` × ``band_bits`` must cover
+    ``hamming_max`` + 1 bands) → hamming filter INSIDE the band join →
+    distinct over survivors only → exact-cosine verification fetching
+    vectors by id. Band rows carry (id, sketch) only; vectors never enter
+    the shuffle. Never quadratic in the corpus (the bench headline
+    ``sim_embedding_neardup`` is this operator; stress.py drives it at
+    1M vectors where all-pairs would be ~5·10¹¹ comparisons).
+    """
+    assert bands * band_bits == n_planes and bands >= hamming_max + 1
+    spark = emb.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
+    mask = (1 << band_bits) - 1
+    sk = emb.select(
+        id_col,
+        vec_col,
+        lsh_bucket(F.col(vec_col), n_planes=n_planes, dim=dim, table=0).alias("sk"),
+    ).localCheckpoint(eager=False)
+    bands_df = sk.select(
+        id_col,
+        "sk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("b"),
+                        F.shiftright(F.col("sk"), band_bits * j)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "sk", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
+    a = bands_df.select(F.col(id_col).alias("id_a"), F.col("sk").alias("sk_a"), "b", "v")
+    b2 = bands_df.select(F.col(id_col).alias("id_b"), F.col("sk").alias("sk_b"), "b", "v")
+    cand = (
+        a.join(b2, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))) <= hamming_max)
+        .select("id_a", "id_b", "sk_a", "sk_b")
+        .distinct()
+    )
+    vecs = sk.select(id_col, vec_col, norm(F.col(vec_col)).alias("nrm"))
+    verified = cand.join(
+        vecs.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        verified.withColumn("cosine_sim", F.round(cos, 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

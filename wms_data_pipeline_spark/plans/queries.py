@@ -1579,72 +1579,7 @@ _PAIR_COS_DUCK = (
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < par:
-        e = e.repartition(par)
-    # 16-aggregate sketch expression → fence against CollapseProject inlining
-    sk = e.select(
-        "vec_id",
-        "embedding",
-        sim.lsh_bucket(F.col("embedding"), n_planes=24, dim=64, table=0).alias("sk"),
-    ).localCheckpoint(eager=False)
-    # band rows carry (id, sketch) ONLY — vectors never enter the shuffle
-    bands = sk.select(
-        "vec_id",
-        "sk",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("b"),
-                        F.shiftright(F.col("sk"), 4 * j)
-                        .bitwiseAND(F.lit(15))
-                        .alias("v"),
-                    )
-                    for j in range(6)
-                ]
-            )
-        ).alias("band"),
-    ).select("vec_id", "sk", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
-    a = bands.select(F.col("vec_id").alias("id_a"), F.col("sk").alias("sk_a"), "b", "v")
-    b2 = bands.select(F.col("vec_id").alias("id_b"), F.col("sk").alias("sk_b"), "b", "v")
-    # hamming filter BEFORE the distinct: the filter is a cheap map-side
-    # predicate over the joined rows, while distinct is a shuffle — running
-    # it first shrinks the dedup exchange from every band collision (~n²/16
-    # per band) to just the surviving near-dup pairs.
-    cand = (
-        a.join(b2, ["b", "v"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))) <= 5)
-        .select("id_a", "id_b", "sk_a", "sk_b")
-        .distinct()
-    )
-    # exact-cosine verify: fetch vectors by id for the few survivors only
-    vecs = sk.select("vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm"))
-    verified = (
-        cand.join(
-            vecs.select(
-                F.col("vec_id").alias("id_a"),
-                F.col("embedding").alias("va"),
-                F.col("nrm").alias("na"),
-            ),
-            "id_a",
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("id_b"),
-                F.col("embedding").alias("vb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "id_b",
-        )
-    )
-    cos = sim.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        verified.withColumn("cosine_sim", F.round(cos, 6))
-        .filter(F.col("cosine_sim") >= 0.45)
-        .select("id_a", "id_b", "cosine_sim")
-    )
+    return sim.sketch_banded_neardup(e)
 
 
 _NEARDUP_EXACT_BOUND = 350

@@ -6,6 +6,12 @@ only the volume changes.
 Usage: python tools/stress.py [n_events_millions] [doc_copies]
   default: 50M events; documents table (sf0.1, 5k docs) tiled 128× → 640k
   docs for the MinHash+LSH pair stage.
+
+       python tools/stress.py --embeddings [copies]
+  tiles sf0.1 embeddings with per-vector decorrelating noise and runs the
+  sketch-banded near-dup at scale (500 copies → 1M vectors) with the
+  widened 60-bit/10-bit-band sketch (band_bits ≈ log2(n) − 7; exactness
+  needs bands ≥ hamming_max + 1). Run with SPARK_GRAFT_DRIVER_MEM=64g.
 """
 
 from __future__ import annotations
@@ -23,7 +29,46 @@ from wms_data_pipeline_spark.operators.merge import latest_merge
 from wms_data_pipeline_spark.session import get_spark
 
 
+def embeddings_stress(copies: int = 500) -> None:
+    from wms_data_pipeline_spark.operators.similarity import sketch_banded_neardup
+
+    spark = get_spark("stress-embeddings")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    cdf = spark.range(copies).select(F.col("id").alias("copy"))
+    tiled = (
+        emb.crossJoin(cdf)
+        .select(
+            (F.col("vec_id") + F.col("copy") * n).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> x + cast(pmod("
+                f"xxhash64((vec_id + copy * {n}) * 64 + i), 1000) as double)"
+                " / 500.0 - 1.0)"
+            ).alias("embedding"),
+        )
+        .repartition(256)
+    )
+    total = n * copies
+    t0 = time.perf_counter()
+    cnt = sketch_banded_neardup(
+        tiled, n_planes=60, bands=6, band_bits=10, hamming_max=5
+    ).count()
+    dt = time.perf_counter() - t0
+    print(
+        f"sketch_banded_neardup over {total} vectors: {dt:.1f}s "
+        f"({cnt} pairs; all-pairs would be {total * (total - 1) // 2:.1e})",
+        flush=True,
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
+        embeddings_stress(int(sys.argv[2]) if len(sys.argv) > 2 else 500)
+        return
     n_events = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 50_000_000
     doc_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     spark = get_spark("stress")

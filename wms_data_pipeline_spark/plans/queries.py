@@ -3541,3 +3541,33 @@ def rel_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("user_id", ordk).alias("top_user"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
+
+
+@query(
+    "evt_calendar_fill",
+    "WITH d AS (SELECT date_trunc('day', ts)::DATE AS day, "
+    "count(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY day), "
+    "bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+    "cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE "
+    "AS day FROM bounds) "
+    "SELECT cal.day, coalesce(d.n, 0) AS n_purchases "
+    "FROM cal LEFT JOIN d USING (day)",
+    doc="Calendar densification (gap fill): a generated day spine joined "
+    "against sparse per-day counts so missing days surface as explicit "
+    "zeros — required before any rolling-window or anomaly pass that "
+    "assumes regular cadence. The spine generates from the 1-row bounds "
+    "aggregate (sequence + explode), so the only table-sized work is the "
+    "initial pre-aggregation.",
+)
+def evt_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = d.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    return cal.join(d, "day", "left").select(
+        "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases")
+    )

@@ -3571,3 +3571,27 @@ def evt_calendar_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.join(d, "day", "left").select(
         "day", F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases")
     )
+
+
+@query(
+    "wm_change_compress",
+    "SELECT event_id, user_id, ts, event_type FROM ("
+    "SELECT event_id, user_id, ts, event_type, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM events) WHERE prev IS NULL OR event_type <> prev",
+    doc="Change compression (CDC run-length dedup): keep only rows where "
+    "the tracked value actually CHANGED from the previous row per key — "
+    "the compaction that turns an update firehose into a minimal SCD "
+    "change stream before history lands. One lag() window per key; the "
+    "streaming twin is the applyInPandasWithState newer-wins change "
+    "stream (streaming/stateful.py).",
+)
+def wm_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("prev", prev)
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+        .select("event_id", "user_id", "ts", "event_type")
+    )

@@ -43,7 +43,7 @@ def _driver_verified() -> set[str]:
                     continue
                 if r.get("hash_match") is True:
                     verified.add(name)
-                elif r.get("err") == "no_oracle" and r.get("spark_rows", 0) is not None:
+                elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
                     # A rows-only check is the best possible outcome only for
                     # queries that (still) have no oracle; if the query has
                     # since gained an oracle, let it re-enter the window.

@@ -107,3 +107,46 @@ def test_partitioned_publish_recovers_from_crashed_version(spark, tmp_path):
     assert t.upsert_latest(_rec(spark, [("a", T2, "v2", "h2")])) == 1
     rows = t.read_all().collect()
     assert [r["payload"] for r in rows] == ["v2"]
+
+
+def test_corrupt_pointer_refuses_publish_and_read(spark, tmp_path):
+    """Advisor r2: a garbage _VERSION must fail loudly, not be treated as a
+    fresh table (which would let the next publish overwrite committed v=1)."""
+    from wms_data_pipeline_spark.operators.merge import CorruptTablePointerError
+
+    root = tmp_path / "latest"
+    t = ParquetTable(spark, str(root))
+    t.upsert_latest(_rec(spark, [("a", T1, "v1", "h1")]))
+    (root / "_VERSION").write_text("not-a-number")
+    with pytest.raises(CorruptTablePointerError):
+        t.read()
+    with pytest.raises(CorruptTablePointerError):
+        t.upsert_latest(_rec(spark, [("a", T2, "v2", "h2")]))
+
+
+def test_lost_pointer_with_committed_dirs_refuses_publish(spark, tmp_path):
+    """Pointer deleted after a committed v=2 flip: publishing would silently
+    overwrite committed data, so the table must refuse. (A lone uncommitted
+    v=1 without a pointer is still the reclaimable crashed-first-publish.)"""
+    from wms_data_pipeline_spark.operators.merge import CorruptTablePointerError
+
+    root = tmp_path / "latest"
+    t = ParquetTable(spark, str(root))
+    t.upsert_latest(_rec(spark, [("a", T1, "v1", "h1")]))
+    t.upsert_latest(_rec(spark, [("a", T2, "v2", "h2")]))  # commits v=2
+    (root / "_VERSION").unlink()
+    with pytest.raises(CorruptTablePointerError):
+        t.upsert_latest(_rec(spark, [("b", T2, "v3", "h3")]))
+
+
+def test_delete_keys_rejects_ambiguous_multi_column_frame(spark, tmp_path):
+    """Advisor r2: a multi-column key frame without the key column must not
+    silently delete by whatever column is first."""
+    t = ParquetTable(spark, str(tmp_path / "latest"))
+    t.upsert_latest(_rec(spark, [("a", T1, "v1", "h1")]))
+    bad = spark.createDataFrame([("h1", "a")], "payload_hash string, other string")
+    with pytest.raises(ValueError, match="single-column"):
+        t.delete_keys(bad)
+    # a multi-column frame CONTAINING the key column selects by name
+    good = spark.createDataFrame([("a", "x")], "id string, noise string")
+    assert t.delete_keys(good) == 1

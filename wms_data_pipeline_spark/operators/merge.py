@@ -32,6 +32,7 @@ the fact history.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 from typing import Sequence
@@ -41,6 +42,28 @@ from pyspark.sql import functions as F
 
 HISTORY_KEY: tuple[str, ...] = ("id", "updated_at", "payload_hash")  # init_dw.sql:31-40
 LATEST_KEY: str = "id"  # init_dw.sql:42-50
+
+
+class CorruptTablePointerError(RuntimeError):
+    """The _VERSION pointer is unreadable (or absent) while committed
+    version directories exist — publishing would silently overwrite
+    committed data, so the table refuses until the pointer is restored."""
+
+
+def _single_key_column(keys: DataFrame, key: str) -> str:
+    """Resolve the key column of a deletion-key DataFrame.
+
+    A multi-column frame silently deleting by whatever column happens to be
+    first is a data-loss bug, so: prefer a column named ``key`` if present,
+    accept a single-column frame positionally, and reject anything else."""
+    if key in keys.columns:
+        return key
+    if len(keys.columns) == 1:
+        return keys.columns[0]
+    raise ValueError(
+        f"delete_keys expects a single-column DataFrame or one containing "
+        f"{key!r}; got columns {keys.columns}"
+    )
 
 
 def history_merge(
@@ -116,9 +139,20 @@ class ParquetTable:
     def current_version(self) -> int | None:
         try:
             with open(self._pointer) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+                raw = f.read().strip()
+        except FileNotFoundError:
             return None
+        try:
+            return int(raw)
+        except ValueError:
+            # Pointer exists but is garbage: committed data may be live in a
+            # v=N dir; treating this as "fresh" would let the next publish
+            # overwrite v=1. Fail loudly instead (advisor r2).
+            raise CorruptTablePointerError(
+                f"unreadable _VERSION pointer at {self._pointer!r} "
+                f"(content {raw!r}); restore it to the highest complete "
+                f"v=N directory before reading or publishing"
+            )
 
     def _version_path(self, v: int) -> str:
         return os.path.join(self.root, f"v={v}")
@@ -130,7 +164,25 @@ class ParquetTable:
         return self.spark.read.parquet(self._version_path(v))
 
     def _publish(self, df: DataFrame) -> int:
-        v = (self.current_version() or 0) + 1
+        cur = self.current_version()
+        if cur is None:
+            # Fresh table vs lost pointer: a crashed FIRST publish leaves at
+            # most an uncommitted v=1 dir (reclaimable — the pointer flip is
+            # the commit record). But any v>=2 dir can only exist after a
+            # successful flip (old dirs are pruned post-flip), so a missing
+            # pointer alongside one means the pointer was lost — publishing
+            # would overwrite committed data (advisor r2).
+            stale = [
+                p for p in glob.glob(os.path.join(self.root, "v=*"))
+                if os.path.basename(p) != "v=1"
+            ]
+            if stale:
+                raise CorruptTablePointerError(
+                    f"_VERSION pointer missing at {self._pointer!r} but "
+                    f"committed version dirs exist: {sorted(stale)}; restore "
+                    f"the pointer before publishing"
+                )
+        v = (cur or 0) + 1
         path = self._version_path(v)
         # The _VERSION pointer flip is the commit record, so a v=N+1 dir
         # without a pointer referencing it is garbage from a crashed publish
@@ -171,7 +223,7 @@ class ParquetTable:
         existing = self.read()
         if existing is None:
             return 0
-        kdf = keys.select(F.col(keys.columns[0]).alias(key)).distinct()
+        kdf = keys.select(F.col(_single_key_column(keys, key)).alias(key)).distinct()
         kept = existing.join(kdf, on=key, how="left_anti").localCheckpoint()
         n_deleted = existing.count() - kept.count()
         if n_deleted:

@@ -19,6 +19,7 @@ stays dependency-free. Single-writer discipline, like the reference.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 from typing import Sequence
@@ -29,6 +30,8 @@ from pyspark.sql import functions as F
 from wms_data_pipeline_spark.operators.merge import (
     HISTORY_KEY,
     LATEST_KEY,
+    CorruptTablePointerError,
+    _single_key_column,
     history_merge,
     latest_merge,
 )
@@ -59,9 +62,16 @@ class PartitionedMergeTable:
     def _current_version(self, b: int) -> int | None:
         try:
             with open(self._pointer(b)) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+                raw = f.read().strip()
+        except FileNotFoundError:
             return None
+        try:
+            return int(raw)
+        except ValueError:
+            raise CorruptTablePointerError(
+                f"unreadable _VERSION pointer at {self._pointer(b)!r} "
+                f"(content {raw!r}); restore it before reading or publishing"
+            )
 
     def _read_bucket(self, b: int) -> DataFrame | None:
         v = self._current_version(b)
@@ -70,7 +80,21 @@ class PartitionedMergeTable:
         return self.spark.read.parquet(os.path.join(self._bucket_dir(b), f"v={v}"))
 
     def _publish_bucket(self, b: int, df: DataFrame) -> None:
-        v = (self._current_version(b) or 0) + 1
+        cur = self._current_version(b)
+        if cur is None:
+            # Same guard as ParquetTable._publish: a missing pointer next to
+            # a v>=2 dir means the pointer was lost after a committed flip —
+            # refuse rather than overwrite committed data (advisor r2).
+            stale = [
+                p for p in glob.glob(os.path.join(self._bucket_dir(b), "v=*"))
+                if os.path.basename(p) != "v=1"
+            ]
+            if stale:
+                raise CorruptTablePointerError(
+                    f"_VERSION pointer missing at {self._pointer(b)!r} but "
+                    f"committed version dirs exist: {sorted(stale)}"
+                )
+        v = (cur or 0) + 1
         path = os.path.join(self._bucket_dir(b), f"v={v}")
         # Pointer flip is the commit record; overwrite reclaims a stale
         # uncommitted v=N+1 left by a crash between write and flip.
@@ -110,7 +134,7 @@ class PartitionedMergeTable:
         directories are read, anti-joined, and republished — cost scales
         with the deletion set, never table size (the same file-pruned
         shape as a Delta DELETE). Returns the deleted count."""
-        kcol = keys.columns[0]
+        kcol = _single_key_column(keys, self.key)
         kdf = self._with_bucket(
             keys.select(F.col(kcol).alias(self.key)).distinct()
         ).localCheckpoint(eager=False)

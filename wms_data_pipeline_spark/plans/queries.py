@@ -2638,20 +2638,22 @@ def evt_funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_map_funcs",
-    "SELECT event_id, list_sort(json_keys(props)) AS prop_keys, "
+    "SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS prop_keys, "
     "CAST(len(json_keys(props)) AS INTEGER) AS n_props, "
     "json_extract(props, '$.k')::BIGINT AS k_val FROM events",
     doc="Map scalar library over the JSON props column: from_json to a "
     "typed map, key listing, cardinality, element access — the schema-on-"
     "read path the reference's payload JSONB column implies "
-    "(reference init_dw.sql:34).",
+    "(reference init_dw.sql:34). Keys are serialized with array_join so "
+    "the driver's scalar canonicalizer can hash the column (array<string> "
+    "is unhashable in its pandas sort).",
 )
 def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(m).alias("n_props"),
         m.getItem("k").alias("k_val"),
     )
@@ -3523,22 +3525,25 @@ def rel_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_argmax_agg",
-    "SELECT event_type, "
-    "arg_max(user_id, value + event_id / 1e12) AS top_user, "
-    "round(max(value), 2) AS max_value "
-    "FROM events GROUP BY event_type",
-    doc="argmax aggregates (Spark max_by == DuckDB arg_max): the row-"
-    "valued max — one hash aggregation, no window, no self-join (the "
-    "window formulation costs a full sort shuffle for the same answer). "
-    "The ordering key is perturbed by event_id/1e12 to make the argmax "
-    "unique per group — max_by/arg_max tie-breaking is otherwise "
-    "engine-arbitrary.",
+    "SELECT event_type, user_id AS top_user, round(mv, 2) AS max_value FROM ("
+    "SELECT event_type, user_id, "
+    "max(value) OVER (PARTITION BY event_type) AS mv, "
+    "row_number() OVER (PARTITION BY event_type "
+    "ORDER BY value DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
+    doc="argmax aggregate (Spark max_by): the row-valued max — one hash "
+    "aggregation, no window, no self-join (the window formulation the "
+    "oracle uses costs a full sort shuffle for the same answer). Ties on "
+    "value break on event_id via an integer-exact struct ordering key "
+    "(structs compare lexicographically in max_by), not a float "
+    "perturbation — exact at any value magnitude (advisor r2: "
+    "value + event_id/1e12 loses the tie-break above |value| ~ 2^12).",
 )
 def rel_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    ordk = F.col("value") + F.col("event_id") / F.lit(1e12)
     return ev.groupBy("event_type").agg(
-        F.max_by("user_id", ordk).alias("top_user"),
+        F.max_by("user_id", F.struct(F.col("value"), F.col("event_id"))).alias(
+            "top_user"
+        ),
         F.round(F.max("value"), 2).alias("max_value"),
     )
 

@@ -45,6 +45,7 @@ from pyspark.sql.functions import col as F_col
 from wms_data_pipeline_spark.operators.merge import (
     HISTORY_KEY,
     LATEST_KEY,
+    _single_key_column,
     latest_merge,
 )
 
@@ -90,6 +91,11 @@ class JdbcMergeSink:
 
     # -- JDBC plumbing ------------------------------------------------------
     def _connect(self):
+        # Load the driver class first: DriverManager only sees drivers that
+        # self-register via META-INF/services or an explicit Class.forName.
+        # Without this, driver-side statements issued before any Spark JDBC
+        # op would fail for non-auto-registering drivers (advisor r2).
+        self.spark._jvm.java.lang.Class.forName(self.driver)
         return self.spark._jvm.java.sql.DriverManager.getConnection(self.url)
 
     def _execute(self, *statements: str) -> int:
@@ -196,7 +202,7 @@ class JdbcMergeSink:
         twin of the MERGE pattern; returns the deleted count."""
         if not self._table_exists(self.table):
             return 0
-        kcol = keys.columns[0]
+        kcol = _single_key_column(keys, key)
         self._stage(keys.select(F_col(kcol).alias(key)).distinct())
         return self._execute(
             f"DELETE FROM {self.table} WHERE {_q(key)} IN "

@@ -237,3 +237,29 @@ def test_sketch_banded_neardup_is_exact_for_its_predicate(spark):
         ).collect()
     }
     assert banded == brute
+
+
+def test_ivf_topk_kmeans_variant(spark):
+    """The MLlib k-means quantizer stays available as an alternative
+    constructor (oracle-inexpressible, so rows/recall-only)."""
+    import hashlib
+
+    def vec(i):
+        h = hashlib.md5(f"v{i}".encode()).digest() * 4
+        return [((b / 255.0) - 0.5) for b in h[:64]]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(120)], "vec_id long, embedding array<float>"
+    )
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(
+        corpus, queries, k=5, nlist=4, nprobe=4, quantizer="kmeans"
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # nprobe == nlist probes every cell -> exact: self always in top-k
+    assert by_q[0] and by_q[1]
+    assert 0 in by_q[0] and 1 in by_q[1]

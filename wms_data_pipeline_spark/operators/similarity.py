@@ -13,11 +13,12 @@
   partition/cluster key; each query touches one bucket per table instead of
   the corpus.
 
-- ``ivf_topk`` — IVF (inverted-file) ANN: a k-means coarse quantizer
-  (MLlib, deterministic seed) partitions the corpus into nlist cells; a
-  query scans only its ``nprobe`` nearest cells. At scale the cell id is
-  the partition/cluster key and nprobe bounds the fraction of the corpus
-  touched per query.
+- ``ivf_topk`` — IVF (inverted-file) ANN: a coarse quantizer partitions the
+  corpus into nlist cells; a query scans only its ``nprobe`` nearest cells.
+  Default quantizer is deterministic hash-seeded medoid selection
+  (SQL-reproducible → full value-hash oracle); MLlib k-means is the
+  alternative constructor. At scale the cell id is the partition/cluster
+  key and nprobe bounds the fraction of the corpus touched per query.
 """
 
 from __future__ import annotations
@@ -97,6 +98,65 @@ def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
     return out
 
 
+def _unit(c: list[float]) -> list[float]:
+    """Unit-normalize driver-side. The norm accumulates left-to-right in
+    double precision — the SAME op order as DuckDB's
+    ``list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv)))`` — so the
+    resulting literals are bit-identical cross-engine."""
+    s = sum(x * x for x in c) ** 0.5 or 1.0
+    return [float(x) / s for x in c]
+
+
+def medoid_centers(
+    corpus: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``nlist`` corpus vectors with the
+    lexicographically smallest ``md5(id || ':' || seed)`` become the cell
+    centers (unit-normalized), indexed in hash order.
+
+    md5 is md5 everywhere, so the SAME cells fall out of DuckDB SQL
+    (``ORDER BY md5(vec_id::VARCHAR || ':seed') LIMIT nlist``) — which makes
+    the whole IVF search oracle-expressible, unlike a k-means fit whose
+    centroids depend on MLlib's init/iteration internals. Hash-sampling is
+    also a defensible quantizer: it draws uniformly from the data
+    distribution itself (dense regions get proportionally more cells).
+    The select is a TakeOrderedAndProject (top-nlist, no full sort) and the
+    collect is nlist rows — bounded control-plane."""
+    rows = (
+        corpus.select(
+            F.col(vec_col).alias("__v"),
+            F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+            ).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(nlist)
+        .collect()
+    )
+    return [(i, _unit([float(x) for x in r["__v"]])) for i, r in enumerate(rows)]
+
+
+def kmeans_centers(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[tuple[int, list[float]]]:
+    """MLlib k-means coarse quantizer (alternative constructor): better cell
+    balance on clustered corpora, but the centroids are not reproducible in
+    SQL, so results can only be rows-only / recall-checked."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_input = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(fit_input)
+    return [(i, _unit([float(x) for x in c])) for i, c in enumerate(model.clusterCenters())]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -107,34 +167,30 @@ def ivf_topk(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 7,
+    quantizer: str = "medoid",
 ) -> DataFrame:
-    """IVF approximate top-k: k-means cells + nprobe-cell search, exact
-    cosine re-rank within the probed cells.
+    """IVF approximate top-k: coarse-quantizer cells + nprobe-cell search,
+    exact cosine re-rank within the probed cells.
 
-    The quantizer fit is one MLlib job over (a sample of) the corpus; the
-    assignment is a map-side transform. Candidates = corpus rows whose cell
-    is among the query's ``nprobe`` closest centroids — the scan fraction
-    is ~nprobe/nlist of the corpus instead of all of it.
+    ``quantizer='medoid'`` (default) uses deterministic hash-seeded medoids
+    (oracle-expressible, see ``medoid_centers``); ``'kmeans'`` uses MLlib.
+    Either way the assignment is a map-side transform. Candidates = corpus
+    rows whose cell is among the query's ``nprobe`` closest centers — the
+    scan fraction is ~nprobe/nlist of the corpus instead of all of it.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    if quantizer == "medoid":
+        unit_centers = medoid_centers(corpus, nlist, id_col, vec_col, seed)
+    elif quantizer == "kmeans":
+        unit_centers = kmeans_centers(corpus, nlist, vec_col, seed)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
 
-    fit_input = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(fit_input)
-
-    # Cell assignment is a pure MAP-SIDE argmin: the nlist centroids are
+    # Cell assignment is a pure MAP-SIDE argmin: the nlist centers are
     # normalized to unit length driver-side (cosine argmax == dot argmax
     # against unit centers — the row's own norm is constant across cells and
     # cannot change the ordering), shipped as array literals, and the best
     # n cells fall out of one array_sort over nlist scored structs. No join,
     # no window, no row blow-up, no Exchange before the candidate join.
-    def _unit(c: list[float]) -> list[float]:
-        s = sum(x * x for x in c) ** 0.5 or 1.0
-        return [float(x) / s for x in c]
-
-    unit_centers = [(i, _unit([float(x) for x in c]))
-                    for i, c in enumerate(model.clusterCenters())]
-
     def _nearest_cells_expr(vec: Column, n: int) -> Column:
         scored = F.array(*[
             F.struct(

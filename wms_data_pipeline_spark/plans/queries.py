@@ -1365,11 +1365,40 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ivf_topk",
-    None,  # quantizer cells aren't SQL-reproducible; recall vs the exact
-    # baseline is pinned in tests/test_llm_ops.py
-    doc="IVF approximate top-k: MLlib k-means coarse quantizer (16 cells), "
-    "4-cell probe, exact cosine re-rank — the scan-fraction ANN path "
-    "(~nprobe/nlist of the corpus per query).",
+    # Full value-hash oracle: the coarse quantizer is deterministic
+    # hash-seeded medoid selection (md5 is md5 everywhere), so DuckDB can
+    # reproduce the cells, the probe sets, and therefore the exact ANN
+    # result. The medoids unit-normalize with the same left-to-right op
+    # order as similarity._unit, keeping the center literals bit-identical.
+    "WITH m0 AS (SELECT embedding::DOUBLE[] AS mv, "
+    "md5(vec_id::VARCHAR || ':7') AS h FROM embeddings ORDER BY h LIMIT 16), "
+    "med AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cell, "
+    "list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv))) AS uv FROM m0), "
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm "
+    "FROM embeddings), "
+    "scored AS (SELECT e.vec_id, med.cell, "
+    "row_number() OVER (PARTITION BY e.vec_id "
+    "ORDER BY list_dot_product(e.v, med.uv) DESC, med.cell) AS r "
+    "FROM e CROSS JOIN med), "
+    "cc AS (SELECT vec_id, cell FROM scored WHERE r = 1), "
+    "qc AS (SELECT vec_id AS query_id, cell FROM scored WHERE vec_id < 5 AND r <= 4), "
+    "cand AS (SELECT qc.query_id, c.vec_id, "
+    "round(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 6) AS cosine_sim "
+    "FROM cc JOIN qc USING (cell) "
+    "JOIN e c ON c.vec_id = cc.vec_id JOIN e q ON q.vec_id = qc.query_id) "
+    "SELECT query_id, vec_id, cosine_sim FROM ("
+    "SELECT query_id, vec_id, cosine_sim, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn FROM cand) "
+    "WHERE rn <= 10",
+    doc="IVF approximate top-k: deterministic hash-seeded medoid quantizer "
+    "(16 cells; md5-smallest corpus vectors, unit-normalized), 4-cell "
+    "probe, exact cosine re-rank — the scan-fraction ANN path "
+    "(~nprobe/nlist of the corpus per query). The medoid quantizer makes "
+    "the cells SQL-reproducible, so this approximate operator gets a FULL "
+    "value-hash oracle; the MLlib k-means quantizer remains available as "
+    "ivf_topk(quantizer='kmeans') for clustered corpora. Recall vs the "
+    "exact baseline is additionally pinned in tests/test_llm_ops.py.",
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")

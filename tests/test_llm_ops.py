@@ -263,3 +263,26 @@ def test_ivf_topk_kmeans_variant(spark):
     # nprobe == nlist probes every cell -> exact: self always in top-k
     assert by_q[0] and by_q[1]
     assert 0 in by_q[0] and 1 in by_q[1]
+
+
+def test_auto_band_config_matches_stress_derived_rule():
+    """band_bits ~ log2(n) - 7 (bucket size ~128), bands = hamming_max + 1,
+    clamped to a 63-bit sketch — reproduces the stress-proven configs."""
+    assert sim.auto_band_config(2_000) == (24, 6, 4)      # bench corpus
+    assert sim.auto_band_config(1_000_000) == (60, 6, 10)  # 1M stress
+    n_planes, bands, band_bits = sim.auto_band_config(100_000_000)
+    assert bands * band_bits == n_planes <= 63 and bands >= 6
+
+
+def test_sketch_banded_neardup_auto_sizes_by_default(spark):
+    from wms_data_pipeline_spark.schemas import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pinned = sim.sketch_banded_neardup(
+        e, n_planes=24, bands=6, band_bits=4
+    ).collect()
+    # auto path at this corpus size derives the same 24/6/4 geometry
+    auto = sim.sketch_banded_neardup(e).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
+    with pytest.raises(ValueError, match="all of"):
+        sim.sketch_banded_neardup(e, n_planes=24)

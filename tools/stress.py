@@ -52,13 +52,20 @@ def embeddings_stress(copies: int = 500) -> None:
         .repartition(256)
     )
     total = n * copies
+    # Auto-sizing is the operator default; corpus_count passed explicitly so
+    # the geometry choice costs no extra count job. At 1M vectors this
+    # derives the stress-proven 60-bit / 6x10-bit config.
+    from wms_data_pipeline_spark.operators.similarity import auto_band_config
+
+    cfg = auto_band_config(total, hamming_max=5)
     t0 = time.perf_counter()
     cnt = sketch_banded_neardup(
-        tiled, n_planes=60, bands=6, band_bits=10, hamming_max=5
+        tiled, hamming_max=5, corpus_count=total
     ).count()
     dt = time.perf_counter() - t0
     print(
-        f"sketch_banded_neardup over {total} vectors: {dt:.1f}s "
+        f"sketch_banded_neardup over {total} vectors "
+        f"(auto config n_planes/bands/band_bits={cfg}): {dt:.1f}s "
         f"({cnt} pairs; all-pairs would be {total * (total - 1) // 2:.1e})",
         flush=True,
     )

@@ -284,16 +284,40 @@ def ann_topk_lsh(
     )
 
 
+def auto_band_config(
+    corpus_count: int, hamming_max: int = 5
+) -> tuple[int, int, int]:
+    """Corpus-count-driven ``(n_planes, bands, band_bits)`` for
+    ``sketch_banded_neardup`` — the band-sizing rule derived from the
+    round-2 1M-vector stress run (SCALE_NOTES):
+
+    - banded probe work ≈ bands × n² / 2^band_bits, so pick
+      ``band_bits ≈ log2(n) − 7`` to hold expected bucket size ~128;
+    - exact pigeonhole blocking needs ``bands ≥ hamming_max + 1``, so use
+      exactly that many bands (more bands only add probe work);
+    - the sketch lives in one signed long, so ``bands × band_bits ≤ 63``
+      clamps band_bits (at 1M vectors with hamming_max=5 this yields the
+      stress-proven 60-bit / 6×10-bit config).
+    """
+    import math
+
+    bands = hamming_max + 1
+    ideal = round(math.log2(max(corpus_count, 2))) - 7
+    band_bits = max(4, min(ideal, 63 // bands))
+    return bands * band_bits, bands, band_bits
+
+
 def sketch_banded_neardup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 24,
+    n_planes: int | None = None,
     dim: int = 64,
-    bands: int = 6,
-    band_bits: int = 4,
+    bands: int | None = None,
+    band_bits: int | None = None,
     hamming_max: int = 5,
     threshold: float = 0.45,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Sketch-banded embedding near-duplicate pairs — the 100 TB plan.
 
@@ -305,7 +329,21 @@ def sketch_banded_neardup(
     the shuffle. Never quadratic in the corpus (the bench headline
     ``sim_embedding_neardup`` is this operator; stress.py drives it at
     1M vectors where all-pairs would be ~5·10¹¹ comparisons).
+
+    By DEFAULT the sketch geometry is auto-sized from the corpus count via
+    ``auto_band_config`` (pass ``corpus_count`` to skip the count job) —
+    the scale-correct config is the default path. Explicit
+    ``n_planes``/``bands``/``band_bits`` remain available for
+    oracle-pinned configs (the registry query fixes 24/6/4 because its
+    DuckDB twin inlines the 24 hyperplane literals).
     """
+    if n_planes is None or bands is None or band_bits is None:
+        if not (n_planes is None and bands is None and band_bits is None):
+            raise ValueError(
+                "pass all of n_planes/bands/band_bits or none (auto-sizing)"
+            )
+        n = corpus_count if corpus_count is not None else emb.count()
+        n_planes, bands, band_bits = auto_band_config(n, hamming_max)
     assert bands * band_bits == n_planes and bands >= hamming_max + 1
     spark = emb.sparkSession
     par = spark.sparkContext.defaultParallelism

@@ -1608,7 +1608,10 @@ _PAIR_COS_DUCK = (
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return sim.sketch_banded_neardup(e)
+    # Config pinned (not auto-sized): the oracle inlines the 24 hyperplane
+    # literals, and the predicate is sketch-defined, so geometry is part of
+    # the query's contract. Un-pinned callers get auto_band_config.
+    return sim.sketch_banded_neardup(e, n_planes=24, bands=6, band_bits=4)
 
 
 _NEARDUP_EXACT_BOUND = 350

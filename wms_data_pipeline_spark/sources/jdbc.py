@@ -209,6 +209,34 @@ class JdbcMergeSink:
             f"(SELECT {_q(key)} FROM {self.staging_table})"
         )
 
+    def merge_watermark(
+        self,
+        batch: DataFrame,
+        key: Sequence[str],
+        ts_col: str,
+        overwrite_cols: Sequence[str],
+    ) -> int:
+        """Monotonic-time upsert with unconditional metadata overwrite — the
+        reference watermark semantics (watermark_repo.py:39-63) as ONE ANSI
+        MERGE: ``ts_col`` only ratchets forward (CASE, not GREATEST — Derby
+        lacks GREATEST), while ``overwrite_cols`` are taken from the
+        incoming row even when its time is stale."""
+        cols = batch.columns
+        self._stage(batch)
+        self._ensure_target()
+        on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key)
+        sets = [
+            f"{_q(ts_col)} = CASE WHEN s.{_q(ts_col)} > t.{_q(ts_col)} "
+            f"THEN s.{_q(ts_col)} ELSE t.{_q(ts_col)} END"
+        ] + [f"{_q(c)} = s.{_q(c)}" for c in overwrite_cols]
+        col_list = ", ".join(_q(c) for c in cols)
+        val_list = ", ".join(f"s.{_q(c)}" for c in cols)
+        return self._execute(
+            f"MERGE INTO {self.table} t USING {self.staging_table} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {', '.join(sets)} "
+            f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({val_list})"
+        )
+
     def upsert_latest(
         self,
         batch: DataFrame,
@@ -238,4 +266,90 @@ class JdbcMergeSink:
             f"WHEN MATCHED AND s.{_q(ts_col)} > t.{_q(ts_col)} "
             f"THEN UPDATE SET {set_list} "
             f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({val_list})"
+        )
+
+
+class JdbcWatermarkStore:
+    """Watermark control table on a JDBC warehouse — the reference's actual
+    deployment shape (etl_watermark lives in the warehouse,
+    watermark_repo.py:18-63), with the same API and invariants as the
+    ParquetTable-backed ``WatermarkStore``: reads fall back to the default
+    start; ``last_success_time`` is GREATEST-monotonic; ``run_id`` and
+    ``updated_at`` are ALWAYS overwritten, even by a stale run (pinned by
+    reference test_watermark_repo.py:48-65)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        table: str = "etl_watermark",
+        driver: str = DERBY_DRIVER,
+    ):
+        from wms_data_pipeline_spark.control.watermark import (
+            WATERMARK_SCHEMA,
+        )
+
+        self.spark = spark
+        self.sink = JdbcMergeSink(spark, url, table, driver=driver)
+        self.schema = WATERMARK_SCHEMA
+
+    def get(
+        self,
+        pipeline_name: str,
+        entity: str,
+        default_time_start: str | None = None,
+    ):
+        from datetime import datetime
+
+        from wms_data_pipeline_spark.control.watermark import (
+            DEFAULT_TIME_START,
+            _utc,
+        )
+
+        df = self.sink.read()
+        if df is not None:
+            rows = (
+                df.filter(
+                    (F_col("pipeline_name") == pipeline_name)
+                    & (F_col("entity") == entity)
+                )
+                .select("last_success_time")
+                .collect()
+            )
+            if rows:
+                return _utc(rows[0][0])
+        return datetime.fromisoformat(default_time_start or DEFAULT_TIME_START)
+
+    def upsert(
+        self,
+        pipeline_name: str,
+        entity: str,
+        new_wm,
+        run_id: str,
+        now=None,
+    ) -> None:
+        from datetime import datetime, timezone
+
+        from pyspark.sql import Row
+
+        from wms_data_pipeline_spark.control.watermark import _utc
+
+        now = _utc(now or datetime.now(timezone.utc))
+        incoming = self.spark.createDataFrame(
+            [
+                Row(
+                    pipeline_name=pipeline_name,
+                    entity=entity,
+                    last_success_time=_utc(new_wm),
+                    last_success_run_id=run_id,
+                    updated_at=now,
+                )
+            ],
+            self.schema,
+        )
+        self.sink.merge_watermark(
+            incoming,
+            key=("pipeline_name", "entity"),
+            ts_col="last_success_time",
+            overwrite_cols=("last_success_run_id", "updated_at"),
         )

@@ -72,9 +72,92 @@ def embeddings_stress(copies: int = 500) -> None:
     spark.stop()
 
 
+def partitioned_merge_stress(
+    n_rows: int = 5_000_000, n_buckets: int = 64, batch_rows: int = 20_000
+) -> None:
+    """VERDICT r2 #5: prove the bucket-pruned merge touches only the
+    batch's buckets at a scale where that matters — a small CDC batch into
+    a large bucketed latest-state table must read+rewrite ≤ the batch's
+    bucket count of directories, never the table; contrast with the
+    unpartitioned ParquetTable whose merge rewrites everything."""
+    import shutil
+    import tempfile
+
+    from wms_data_pipeline_spark.operators.merge import ParquetTable
+    from wms_data_pipeline_spark.operators.merge_partitioned import (
+        PartitionedMergeTable,
+    )
+
+    spark = get_spark("stress-partitioned")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stress_pmerge_")
+
+    def mkrows(ids):
+        return ids.select(
+            F.concat(F.lit("k"), F.col("id")).alias("id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id")
+            ).alias("updated_at"),
+            F.lit("payload").alias("payload"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload_hash"),
+        )
+
+    base = mkrows(spark.range(0, n_rows, 1, 64)).localCheckpoint(eager=False)
+    pt = PartitionedMergeTable(spark, f"{work}/pt", n_buckets=n_buckets)
+    t0 = time.perf_counter()
+    pt.upsert_latest(base)
+    t_load = time.perf_counter() - t0
+
+    # CDC batch confined to a handful of buckets: newer rows whose keys hash
+    # into buckets {0..3} (same murmur3 bucket expr the table uses).
+    cand = mkrows(spark.range(0, batch_rows * n_buckets)).withColumn(
+        "updated_at", F.timestamp_micros(F.lit(1_800_000_000_000_000) + F.monotonically_increasing_id())
+    )
+    small = cand.filter(
+        F.pmod(F.hash(F.col("id")), F.lit(n_buckets)) < 4
+    ).limit(batch_rows).localCheckpoint(eager=False)
+
+    vers_before = {b: pt._current_version(b) for b in range(n_buckets)}
+    t0 = time.perf_counter()
+    affected = pt.upsert_latest(small)
+    t_merge = time.perf_counter() - t0
+    vers_after = {b: pt._current_version(b) for b in range(n_buckets)}
+    touched = [b for b in range(n_buckets) if vers_before[b] != vers_after[b]]
+
+    t0 = time.perf_counter()
+    n_del = pt.delete_keys(small.select("id").limit(2_000))
+    t_del = time.perf_counter() - t0
+    vers_del = {b: pt._current_version(b) for b in range(n_buckets)}
+    touched_del = [b for b in range(n_buckets) if vers_after[b] != vers_del[b]]
+
+    # contrast: unpartitioned merge of the same batch rewrites the table
+    up = ParquetTable(spark, f"{work}/flat")
+    up.upsert_latest(base)
+    t0 = time.perf_counter()
+    up.upsert_latest(small)
+    t_flat = time.perf_counter() - t0
+
+    print(
+        f"partitioned merge: {n_rows} rows / {n_buckets} buckets; "
+        f"load {t_load:.1f}s; batch {batch_rows} rows -> affected {affected}, "
+        f"buckets touched {len(touched)}/{n_buckets} {touched}, {t_merge:.1f}s; "
+        f"delete {n_del} keys -> buckets touched {len(touched_del)}/{n_buckets}, "
+        f"{t_del:.1f}s; unpartitioned same-batch merge {t_flat:.1f}s "
+        f"({t_flat / max(t_merge, 1e-9):.1f}x slower)",
+        flush=True,
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
         embeddings_stress(int(sys.argv[2]) if len(sys.argv) > 2 else 500)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--partitioned":
+        partitioned_merge_stress(
+            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 5_000_000
+        )
         return
     n_events = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 50_000_000
     doc_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 128

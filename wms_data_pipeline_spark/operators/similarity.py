@@ -374,12 +374,24 @@ def sketch_banded_neardup(
     ).select(id_col, "sk", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
     a = bands_df.select(F.col(id_col).alias("id_a"), F.col("sk").alias("sk_a"), "b", "v")
     b2 = bands_df.select(F.col(id_col).alias("id_b"), F.col("sk").alias("sk_b"), "b", "v")
+    # Band-responsibility dedup: a pair colliding in several bands would
+    # emit once per band; instead of a distinct (an extra Exchange over the
+    # candidate set), only the FIRST matching band emits — for a candidate
+    # from band b, require every earlier band to differ. Pure bit-ops on
+    # the two sketches already riding the row; no shuffle.
+    xor = F.col("sk_a").bitwiseXOR(F.col("sk_b"))
+    first_band = F.lit(True)
+    for j in range(bands):
+        first_band = first_band & (
+            (F.col("b") <= j)
+            | (F.shiftright(xor, band_bits * j).bitwiseAND(F.lit(mask)) != 0)
+        )
     cand = (
         a.join(b2, ["b", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.bit_count(F.col("sk_a").bitwiseXOR(F.col("sk_b"))) <= hamming_max)
+        .filter(F.bit_count(xor) <= hamming_max)
+        .filter(first_band)
         .select("id_a", "id_b", "sk_a", "sk_b")
-        .distinct()
     )
     vecs = sk.select(id_col, vec_col, norm(F.col(vec_col)).alias("nrm"))
     verified = cand.join(

@@ -31,11 +31,22 @@ def _driver_verified() -> set[str]:
     first, pushing already-green ones behind the 50-entry window.  A query
     counts as verified only on a full hash match (or a rows-only pass for
     the no-oracle approximate ops).
+
+    Two staleness guards (round-3 lesson: "verified once" is not "verified
+    forever" — the testdata encoding can change under a green query):
+
+    - CORRECTNESS rounds are applied in order; a later round's error row
+      OVERRIDES an earlier green, so a driver-observed re-break re-enters
+      the window.
+    - Names whose most recent local full-parity run (tools/parity.py →
+      PARITY_LAST.json) FAILED are dropped from the verified set even if
+      some past round was green — parity is re-run per round against the
+      current testdata, so it sees breaks the driver's window rotation hides.
     """
     verified: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     try:
-        for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
             with open(path) as f:
                 rows = json.load(f)
             for name, r in rows.items():
@@ -50,6 +61,15 @@ def _driver_verified() -> set[str]:
                     spec = REGISTRY.get(name)
                     if spec is not None and spec.oracle is None:
                         verified.add(name)
+                else:
+                    # Checked this round and NOT green: a stale pass from an
+                    # earlier round must not keep it behind the window.
+                    verified.discard(name)
+        parity_path = os.path.join(here, "PARITY_LAST.json")
+        if os.path.exists(parity_path):
+            with open(parity_path) as f:
+                parity = json.load(f).get("results", {})
+            verified -= {n for n, status in parity.items() if status != "pass"}
     except Exception:
         return set()
     return verified

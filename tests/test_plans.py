@@ -30,7 +30,11 @@ def test_watermark_predicate_pushes_into_scan(spark):
     reach the parquet scan as a pushed filter."""
     plan = _plan(spark, "wm_incremental_filter")
     assert "PushedFilters: [" in plan
-    assert "GreaterThanOrEqual(ts" in plan
+    # Exact comparator varies with the testdata's ts encoding (legacy nanos
+    # bigint → GreaterThanOrEqual on the long; NTZ timestamp → GreaterThan
+    # after UnwrapCastInBinaryComparison); the contract is that SOME range
+    # predicate on ts reaches the scan.
+    assert "GreaterThan(ts" in plan or "GreaterThanOrEqual(ts" in plan
 
 
 @needs_testdata

@@ -1,8 +1,19 @@
 """Head-to-head: every oracle-paired headline query timed on this engine
-(Spark, warm, best-of-2) AND on DuckDB running the oracle SQL over the same
-parquet. DuckDB is a much stronger single-node bar than the reference
-(pandas + Postgres executemany); matching it on local[32] while carrying a
-distributed execution model is the round target's spirit.
+(Spark) AND on DuckDB running the oracle SQL over the same parquet. DuckDB
+is a much stronger single-node bar than the reference (pandas + Postgres
+executemany); matching it on local[32] while carrying a distributed
+execution model is the round target's spirit.
+
+Both engines are measured in BOTH regimes:
+- serial best-of-2 per query (the floor-dominated regime — at sf0.1 Spark
+  pays its ~0.3-0.5 s scheduling/AQE floor once per query);
+- concurrent: every query submitted simultaneously from threads (Spark:
+  per-query FAIR pools; DuckDB: per-thread cursors on the shared
+  connection).  This is the busy-cluster regime — the per-query floor
+  overlaps with other queries' execution instead of summing.  Both engines
+  get the same treatment; DuckDB gains little because each of its queries
+  already saturates the cores, which is exactly the point: the serial gap
+  is scheduling floor, not execution-speed deficit.
 
 Usage: python tools/bench_compare.py [sf_dir]
 """
@@ -12,20 +23,58 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from wms_data_pipeline_spark.benchlib import concurrent_wall
 from wms_data_pipeline_spark.plans.queries import headline_queries
 from wms_data_pipeline_spark.schemas import TESTDATA_TABLES
 from wms_data_pipeline_spark.session import get_spark
 
 
+def _duckdb_concurrent(con, oracles: dict[str, str], runs: int = 2) -> float:
+    """Whole-batch wall for all oracle queries submitted at once, each on
+    its own cursor (DuckDB cursors share the connection's catalog/views and
+    run concurrently)."""
+    best = float("inf")
+    for _ in range(runs):
+        barrier = threading.Barrier(len(oracles) + 1)
+        errors: list[BaseException] = []
+
+        def _run(sql: str) -> None:
+            cur = con.cursor()
+            barrier.wait()
+            try:
+                cur.sql(sql).fetchall()
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+            finally:
+                cur.close()
+
+        threads = [
+            threading.Thread(target=_run, args=(sql,), daemon=True)
+            for sql in oracles.values()
+        ]
+        for t in threads:
+            t.start()
+        barrier.wait()
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        if errors:
+            raise errors[0]
+        best = min(best, wall)
+    return best
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    spark = get_spark("bench-compare")
+    spark = get_spark("bench-compare", extra_conf={"spark.scheduler.mode": "FAIR"})
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id)").collect()
 
@@ -34,8 +83,9 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    out = {}
-    for name, spec in headline_queries().items():
+    specs = headline_queries()
+    out: dict[str, dict[str, float | None]] = {}
+    for name, spec in specs.items():
         best_s = float("inf")
         for _ in range(2):
             # fn() INSIDE the timer (same as bench.py): iterative operators
@@ -55,7 +105,31 @@ def main() -> None:
             "spark_sec": round(best_s, 3),
             "duckdb_sec": round(best_d, 3) if best_d is not None else None,
         }
-    print(json.dumps(out, indent=1))
+
+    # Concurrent regime (codegen warm from the serial pass) — only the
+    # oracle-paired queries, so both engines run the identical workload.
+    oracles = {n: s.oracle for n, s in specs.items() if s.oracle}
+    jobs = [
+        (name, lambda spec=specs[name]: spec.fn(spark, sf_dir)
+            .write.format("noop").mode("overwrite").save())
+        for name in oracles
+    ]
+    spark_conc = concurrent_wall(spark, jobs, runs=2)
+    duck_conc = _duckdb_concurrent(con, oracles, runs=2)
+
+    paired = [v for v in out.values() if v["duckdb_sec"] is not None]
+    spark_serial = round(sum(v["spark_sec"] for v in paired), 3)
+    duck_serial = round(sum(v["duckdb_sec"] for v in paired), 3)
+    summary = {
+        "paired_queries": len(oracles),
+        "spark_serial_sec": spark_serial,
+        "duckdb_serial_sec": duck_serial,
+        "serial_ratio": round(spark_serial / duck_serial, 3),
+        "spark_concurrent_sec": round(spark_conc, 3),
+        "duckdb_concurrent_sec": round(duck_conc, 3),
+        "concurrent_ratio": round(spark_conc / duck_conc, 3),
+    }
+    print(json.dumps({"queries": out, "summary": summary}, indent=1))
     spark.stop()
 
 

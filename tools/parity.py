@@ -7,9 +7,11 @@ Usage: python tools/parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -85,8 +87,34 @@ def main() -> int:
         print(f"ok   {name}: {len(srows)} rows match")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} pass")
+    _record_results(names, failures, sf_dir)
     spark.stop()
     return 1 if failures else 0
+
+
+def _record_results(checked: list[str], failures: list[str], sf_dir: str) -> None:
+    """Persist per-name pass/fail to PARITY_LAST.json (repo root).
+
+    __spark_entry__'s rotation subtracts last-run parity failures from the
+    driver-verified set, so a query that re-breaks on new testdata rotates
+    back INTO the driver's 50-entry verification window instead of hiding
+    behind a stale green row (round-3 verdict ask #7). Partial runs update
+    only the names they checked."""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "PARITY_LAST.json")
+    try:
+        with open(path) as f:
+            state = json.load(f)
+    except Exception:
+        state = {"results": {}}
+    results = state.setdefault("results", {})
+    bad = set(failures)
+    for name in checked:
+        results[name] = "fail" if name in bad else "pass"
+    state["sf_dir"] = sf_dir
+    state["checked_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    with open(path, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

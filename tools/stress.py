@@ -52,16 +52,15 @@ def embeddings_stress(copies: int = 500) -> None:
         .repartition(256)
     )
     total = n * copies
-    # Auto-sizing is the operator default; corpus_count passed explicitly so
-    # the geometry choice costs no extra count job. At 1M vectors this
-    # derives the stress-proven 60-bit / 6x10-bit config.
+    # Auto-sizing INSIDE the timer (VERDICT r3 #8): the operator runs its
+    # own corpus-count control job and derives the geometry, exactly the
+    # path a user gets by default. At 1M vectors this yields the
+    # stress-proven 60-bit / 6x10-bit config.
     from wms_data_pipeline_spark.operators.similarity import auto_band_config
 
     cfg = auto_band_config(total, hamming_max=5)
     t0 = time.perf_counter()
-    cnt = sketch_banded_neardup(
-        tiled, hamming_max=5, corpus_count=total
-    ).count()
+    cnt = sketch_banded_neardup(tiled, hamming_max=5).count()
     dt = time.perf_counter() - t0
     print(
         f"sketch_banded_neardup over {total} vectors "

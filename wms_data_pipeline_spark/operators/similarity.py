@@ -318,6 +318,7 @@ def sketch_banded_neardup(
     hamming_max: int = 5,
     threshold: float = 0.45,
     corpus_count: int | None = None,
+    pair_dedup: str = "band_responsibility",
 ) -> DataFrame:
     """Sketch-banded embedding near-duplicate pairs — the 100 TB plan.
 
@@ -336,7 +337,20 @@ def sketch_banded_neardup(
     ``n_planes``/``bands``/``band_bits`` remain available for
     oracle-pinned configs (the registry query fixes 24/6/4 because its
     DuckDB twin inlines the 24 hyperplane literals).
+
+    ``pair_dedup`` selects how a pair colliding in several bands is reduced
+    to one candidate row (both produce identical output; A/B'd at sf0.1 and
+    the 1M-vector stress scale — numbers in SCALE_NOTES §"band dedup A/B"):
+
+    - ``"band_responsibility"``: only the FIRST matching band emits — for a
+      candidate from band b, require every earlier band to differ.  Pure
+      bit-ops on the two sketches already riding the row; no extra shuffle.
+    - ``"distinct"``: emit from every matching band, then
+      ``dropDuplicates`` over the hamming survivors (one extra Exchange
+      sized by the candidate set).
     """
+    if pair_dedup not in ("band_responsibility", "distinct"):
+        raise ValueError(f"unknown pair_dedup {pair_dedup!r}")
     if n_planes is None or bands is None or band_bits is None:
         if not (n_planes is None and bands is None and band_bits is None):
             raise ValueError(
@@ -374,25 +388,24 @@ def sketch_banded_neardup(
     ).select(id_col, "sk", F.col("band.b").alias("b"), F.col("band.v").alias("v"))
     a = bands_df.select(F.col(id_col).alias("id_a"), F.col("sk").alias("sk_a"), "b", "v")
     b2 = bands_df.select(F.col(id_col).alias("id_b"), F.col("sk").alias("sk_b"), "b", "v")
-    # Band-responsibility dedup: a pair colliding in several bands would
-    # emit once per band; instead of a distinct (an extra Exchange over the
-    # candidate set), only the FIRST matching band emits — for a candidate
-    # from band b, require every earlier band to differ. Pure bit-ops on
-    # the two sketches already riding the row; no shuffle.
     xor = F.col("sk_a").bitwiseXOR(F.col("sk_b"))
-    first_band = F.lit(True)
-    for j in range(bands):
-        first_band = first_band & (
-            (F.col("b") <= j)
-            | (F.shiftright(xor, band_bits * j).bitwiseAND(F.lit(mask)) != 0)
-        )
     cand = (
         a.join(b2, ["b", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.bit_count(xor) <= hamming_max)
-        .filter(first_band)
-        .select("id_a", "id_b", "sk_a", "sk_b")
     )
+    if pair_dedup == "band_responsibility":
+        first_band = F.lit(True)
+        for j in range(bands):
+            first_band = first_band & (
+                (F.col("b") <= j)
+                | (F.shiftright(xor, band_bits * j).bitwiseAND(F.lit(mask)) != 0)
+            )
+        cand = cand.filter(first_band).select("id_a", "id_b", "sk_a", "sk_b")
+    else:
+        cand = cand.select("id_a", "id_b", "sk_a", "sk_b").dropDuplicates(
+            ["id_a", "id_b"]
+        )
     vecs = sk.select(id_col, vec_col, norm(F.col(vec_col)).alias("nrm"))
     verified = cand.join(
         vecs.select(

@@ -221,16 +221,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table. Plain parquet scan — Catalyst handles
     column pruning / predicate pushdown from whatever the caller selects.
 
-    events.parquet carries TIMESTAMP(NANOS), which the Spark parquet reader
-    rejects outright; the legacy nanosAsLong conf surfaces it as a long we
-    truncate to microseconds (matching DuckDB's own nanos→micros read)."""
+    events.parquet has shipped with several timestamp physical encodings
+    across testdata generations; normalize them all to a session-UTC
+    ``timestamp`` at this single boundary (the Spark twin of the reference's
+    UTC-normalize-at-every-layer discipline, SURVEY §7.3 item 5):
+
+    - TIMESTAMP(NANOS): the Spark parquet reader rejects it outright; the
+      legacy nanosAsLong conf surfaces it as a long we truncate to
+      microseconds (matching DuckDB's own nanos→micros read).
+    - TIMESTAMP(isAdjustedToUTC=false) (the pandas/arrow default): read as
+      ``timestamp_ntz``; under the engine's pinned UTC session timezone a
+      plain cast is value-preserving (same micros, now tz-aware), so every
+      downstream ``unix_micros`` keeps working.
+    """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer div, not /: double division rounds the 19-digit nanos
             # value and lands one microsecond off.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)

@@ -21,8 +21,11 @@ permutation family — same independence argument, no overflow, one expression.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from wms_data_pipeline_spark.operators.text import tokens_of
 
@@ -136,16 +139,33 @@ def with_minhash_signature(
         out = out.drop(colname)
     out = out.localCheckpoint(eager=False)
 
-    def _perm(a: int, b: int):
-        # closure factory: a default-arg lambda would change the visible
-        # arity and trip the HOF single-argument check
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
+    # All num_perm permutations in ONE Arrow-batched numpy kernel instead of
+    # num_perm array_min(transform(...)) columns: higher-order-function
+    # lambdas are interpreted per element outside whole-stage codegen, and
+    # at 16 perms × ~50 shingles/doc that interpretive dispatch was ~70% of
+    # the signature stage (same lesson as similarity.lsh_bucket). The
+    # arithmetic is exact int64 ((a*h+b) < 2^62), so signatures are
+    # bit-identical to the HOF form and the DuckDB oracle.
+    coeffs = perm_coeffs(num_perm)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    for p, (a, b) in enumerate(perm_coeffs(num_perm)):
-        out = out.withColumn(
-            f"mh_{p}", F.array_min(F.transform(F.col("__sh_hash"), _perm(a, b)))
-        )
-    out = out.drop("__sh_hash")
+    @pandas_udf("array<bigint>")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        res: list = []
+        for v in hashes:
+            if v is None or len(v) == 0:
+                # array_min over an empty/null transform is null per perm
+                res.append(None)
+            else:
+                h = np.asarray(v, dtype=np.int64)[:, None]
+                res.append(((h * A[None, :] + B[None, :]) % MERSENNE31).min(axis=0))
+        return pd.Series(res)
+
+    out = out.withColumn("__mh_sig", _sig(F.col("__sh_hash")))
+    for p in range(num_perm):
+        out = out.withColumn(f"mh_{p}", F.element_at(F.col("__mh_sig"), p + 1))
+    out = out.drop("__sh_hash", "__mh_sig")
     return out if keep_shingles else out.drop("__shingles")
 
 
@@ -265,9 +285,26 @@ def with_simhash(
             lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
         ),
     ).localCheckpoint(eager=False)
-    return hashed.withColumn(out, simhash_from_hashes(F.col("__tok_hash"), bits)).drop(
-        "__tok_hash"
-    )
+
+    # Per-bit majority in ONE Arrow-batched integer kernel rather than
+    # ``bits`` aggregate() HOFs (interpreted per token per bit — the same
+    # dispatch overhead as the minhash permutations above). Integer-only
+    # math: identical results to simhash_from_hashes, which remains the
+    # expression-context twin.
+    shift = np.arange(bits, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def _simhash(tok_hashes: pd.Series) -> pd.Series:
+        res = np.zeros(len(tok_hashes), dtype=np.int64)
+        for i, v in enumerate(tok_hashes):
+            if v is None or len(v) == 0:
+                continue  # empty/null token array → simhash 0 (HOF contract)
+            h = np.asarray(v, dtype=np.int64)
+            ones = ((h[:, None] >> shift) & 1).sum(axis=0)
+            res[i] = int(((2 * ones > len(h)).astype(np.int64) << shift).sum())
+        return pd.Series(res)
+
+    return hashed.withColumn(out, _simhash(F.col("__tok_hash"))).drop("__tok_hash")
 
 
 def simhash_col(colname: str = "text", bits: int = 16) -> Column:

@@ -206,8 +206,18 @@ def main() -> None:
         docs.crossJoin(copies)
         .select(
             (F.col("doc_id") + F.col("copy") * n_docs).alias("doc_id"),
-            # perturb per copy so tiles aren't trivial exact duplicates
-            F.concat_ws(" ", F.col("text"), F.col("copy").cast("string")).alias("text"),
+            # rewrite EVERY token per copy so copies are DISJOINT corpora:
+            # appending a single trailing token instead leaves cross-copy
+            # Jaccard ≈ 0.97 and the output explodes to Ω(n·k²) genuine
+            # pairs (44M at 128 copies) — that stresses pair
+            # materialization, not the banded plan under test.
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("_"), F.col("copy").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
         )
         .repartition(256)
     )

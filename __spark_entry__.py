@@ -38,15 +38,23 @@ def _driver_verified() -> set[str]:
     - CORRECTNESS rounds are applied in order; a later round's error row
       OVERRIDES an earlier green, so a driver-observed re-break re-enters
       the window.
-    - Names whose most recent local full-parity run (tools/parity.py →
-      PARITY_LAST.json) FAILED are dropped from the verified set even if
-      some past round was green — parity is re-run per round against the
-      current testdata, so it sees breaks the driver's window rotation hides.
+    - Names that FAILED a local full-parity run (tools/parity.py →
+      PARITY_LAST.json) while driver round N was the latest are dropped
+      unless a round NEWER than N has a green row for them — a local
+      re-fix passing parity is necessary but NOT sufficient; the driver
+      must re-certify a query that is known to have broken after its last
+      driver green. This is what rotates silently-re-broken-then-fixed
+      names back into the driver's 50-entry window.
     """
     verified: set[str] = set()
+    green_round: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     try:
+        import re
+
         for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)", path)
+            rnd = int(m.group(1)) if m else 0
             with open(path) as f:
                 rows = json.load(f)
             for name, r in rows.items():
@@ -54,6 +62,7 @@ def _driver_verified() -> set[str]:
                     continue
                 if r.get("hash_match") is True:
                     verified.add(name)
+                    green_round[name] = max(rnd, green_round.get(name, 0))
                 elif r.get("err") == "no_oracle" and r.get("spark_rows") is not None:
                     # A rows-only check is the best possible outcome only for
                     # queries that (still) have no oracle; if the query has
@@ -61,6 +70,7 @@ def _driver_verified() -> set[str]:
                     spec = REGISTRY.get(name)
                     if spec is not None and spec.oracle is None:
                         verified.add(name)
+                        green_round[name] = max(rnd, green_round.get(name, 0))
                 else:
                     # Checked this round and NOT green: a stale pass from an
                     # earlier round must not keep it behind the window.
@@ -68,8 +78,15 @@ def _driver_verified() -> set[str]:
         parity_path = os.path.join(here, "PARITY_LAST.json")
         if os.path.exists(parity_path):
             with open(parity_path) as f:
-                parity = json.load(f).get("results", {})
-            verified -= {n for n, status in parity.items() if status != "pass"}
+                parity = json.load(f)
+            verified -= {
+                n for n, status in parity.get("results", {}).items() if status != "pass"
+            }
+            verified -= {
+                n
+                for n, fail_rnd in parity.get("last_fail_round", {}).items()
+                if fail_rnd >= green_round.get(n, 0)
+            }
     except Exception:
         return set()
     return verified

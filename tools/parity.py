@@ -100,17 +100,35 @@ def _record_results(checked: list[str], failures: list[str], sf_dir: str) -> Non
     back INTO the driver's 50-entry verification window instead of hiding
     behind a stale green row (round-3 verdict ask #7). Partial runs update
     only the names they checked."""
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "PARITY_LAST.json")
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "PARITY_LAST.json")
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)", p))
+    ]
+    cur_round = max(rounds, default=0)
     try:
         with open(path) as f:
             state = json.load(f)
     except Exception:
         state = {"results": {}}
     results = state.setdefault("results", {})
+    fail_rounds = state.setdefault("last_fail_round", {})
     bad = set(failures)
     for name in checked:
         results[name] = "fail" if name in bad else "pass"
+        if name in bad:
+            # Sticky: a failure observed while round N is the latest
+            # CORRECTNESS file invalidates every driver green up to and
+            # including round N — only a NEWER driver round (or nothing,
+            # if the name never re-greens) clears it. A later local pass
+            # does NOT clear it: local parity and driver certification are
+            # different gates, and the driver must re-certify.
+            fail_rounds[name] = max(cur_round, fail_rounds.get(name, 0))
     state["sf_dir"] = sf_dir
     state["checked_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     with open(path, "w") as f:

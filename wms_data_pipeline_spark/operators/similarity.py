@@ -191,26 +191,49 @@ def ivf_topk(
     # Cell assignment is a pure MAP-SIDE argmin: the nlist centers are
     # normalized to unit length driver-side (cosine argmax == dot argmax
     # against unit centers — the row's own norm is constant across cells and
-    # cannot change the ordering), shipped as array literals, and the best
-    # n cells fall out of one array_sort over nlist scored structs. No join,
-    # no window, no row blow-up, no Exchange before the candidate join.
-    def _nearest_cells_expr(vec: Column, n: int) -> Column:
-        scored = F.array(*[
-            F.struct(
-                (-dot(vec, F.array(*[F.lit(x) for x in uc]))).alias("negd"),
-                F.lit(i).alias("cell"),
-            )
-            for i, uc in unit_centers
-        ])
-        # asc sort on (negd, cell) == (similarity desc, cell asc)
-        return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cell"])
+    # cannot change the ordering) and closed over an Arrow-batched numpy
+    # kernel. No join, no window, no row blow-up, no Exchange before the
+    # candidate join. (The previous form scored cells with nlist
+    # zip_with/aggregate HOF dots per row — interpreted per element outside
+    # codegen, the same dispatch overhead measured in lsh_bucket; the numpy
+    # kernel accumulates dim-sequentially, so scores and therefore cell
+    # choices are bit-identical to the HOF form and the SQL oracle.)
+    def _nearest_cells_udf(n: int):
+        C = np.asarray([c for _, c in unit_centers], dtype=np.float64)  # (L, dim)
+        nlist_, dim = C.shape
+        width = min(n, nlist_)
+        # (negd, cell)-asc with all-null scores (malformed vector) degraded
+        # to cells [0..n-1] — the array_sort nulls-last contract of the
+        # expression form.
+        default = list(range(width))
+
+        @pandas_udf("array<int>")
+        def _cells(vecs: pd.Series) -> pd.Series:
+            res: list = [default] * len(vecs)
+            rows = [
+                (i, np.asarray(v, dtype=np.float64))
+                for i, v in enumerate(vecs)
+                if v is not None and len(v) == dim
+            ]
+            if rows:
+                X = np.stack([a for _, a in rows])
+                D = np.zeros((len(rows), nlist_), dtype=np.float64)
+                for j in range(dim):  # dim-sequential: oracle-identical order
+                    D += X[:, j : j + 1] * C[:, j]
+                # stable argsort on -D == similarity desc, cell asc on ties
+                order = np.argsort(-D, axis=1, kind="stable")[:, :width].astype("int32")
+                for (i, _), cells in zip(rows, order):
+                    res[i] = cells.tolist()
+            return pd.Series(res)
+
+        return _cells
 
     corpus_cells = corpus.withColumn(
-        "cell", F.element_at(_nearest_cells_expr(F.col(vec_col), 1), 1)
+        "cell", F.element_at(_nearest_cells_udf(1)(F.col(vec_col)), 1)
     )
     q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
     q_cells = q.withColumn(
-        "cell", F.explode(_nearest_cells_expr(F.col("__qvec"), nprobe))
+        "cell", F.explode(_nearest_cells_udf(nprobe)(F.col("__qvec")))
     )
 
     # No dedup needed: each corpus row has exactly ONE cell and a query's

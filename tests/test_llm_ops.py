@@ -56,6 +56,24 @@ def test_neardup_components_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_neardup_components_paths_agree(spark):
+    """The driver union-find (small pair sets) and the distributed
+    min-label loop must produce identical labelings — including a
+    deep-chain case that forces several propagation rounds and an edge
+    list given in worst-case (reverse) order."""
+    edges = [(i, i + 1) for i in range(9, 0, -1)] + [(20, 21), (21, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        r["doc_id"]: r["component"] for r in dd.neardup_components(pairs).collect()
+    }
+    slow = {
+        r["doc_id"]: r["component"]
+        for r in dd.neardup_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == slow
+    assert fast[10] == 1 and fast[22] == 20 and fast[31] == 30
+
+
 def test_simhash_similar_docs_close(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = base.replace("tok30", "CHANGED")

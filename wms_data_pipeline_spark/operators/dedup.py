@@ -338,18 +338,59 @@ def neardup_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list → (doc_id, component)
     with component = min doc id in the component — turns pairwise matches
     into dedup groups (keep one representative per component).
 
-    Iterative min-label propagation over the undirected edge set; each
-    round is one join + aggregate, converging in O(component diameter)
-    rounds (near-dup clusters are shallow). The loop is driver-side control
-    flow only — data never leaves executors; each iteration localCheckpoints
-    to keep lineage flat. GraphFrames/GraphX CC is the drop-in at extreme
-    scale; this stays dependency-free.
+    Size-adaptive, the same shape as Spark's own broadcast-join threshold:
+
+    - ``≤ driver_threshold`` pairs: collect the edge list and run
+      union-find with path compression on the driver (a bounded collect —
+      1M pairs ≈ 16 MB of longs). Near-dup pair sets are tiny relative to
+      their corpus (the banded candidates are already verified), so this
+      is the common case and it replaces 2+ join/agg/checkpoint rounds of
+      pure scheduler floor with one job. Output is identical: min-label
+      per node is algorithm-independent.
+    - larger: iterative min-label propagation over the undirected edge
+      set; each round is one join + aggregate, converging in O(component
+      diameter) rounds (near-dup clusters are shallow). The loop is
+      driver-side control flow only — data never leaves executors; each
+      iteration localCheckpoints to keep lineage flat. Round 0 needs no
+      join: the initial label of a node IS its id, so the first
+      neighbor-min is just ``min(dst) per src``. GraphFrames/GraphX CC is
+      the drop-in at extreme scale; this stays dependency-free.
     """
+    # One materialization for everything downstream: the count probe, the
+    # driver collect, and (on the distributed path) both sides of the
+    # undirected union — without this fence the pair pipeline upstream
+    # would re-run per action.
+    pairs = pairs.localCheckpoint(eager=False)
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        edges = pairs.select(id_a, id_b).collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {x for e in edges for x in e}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        return pairs.sparkSession.createDataFrame(
+            out, schema=f"doc_id {id_type}, component {id_type}"
+        )
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = fwd.unionByName(
         pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -361,12 +402,17 @@ def neardup_components(
         .localCheckpoint(eager=False)
     )
     prev_sum = None
-    for _ in range(max_iterations):
-        neighbor_min = (
-            und.join(labels, und.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("__nbr_min"))
-        )
+    for it in range(max_iterations):
+        if it == 0:
+            # initial component(x) == x, so min-of-neighbor-components is
+            # min(dst) per src — no join needed for the first round
+            neighbor_min = und.groupBy("src").agg(F.min("dst").alias("__nbr_min"))
+        else:
+            neighbor_min = (
+                und.join(labels, und.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("__nbr_min"))
+            )
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(

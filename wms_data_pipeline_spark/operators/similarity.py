@@ -61,21 +61,100 @@ def cosine_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact top-k by cosine per query. ``queries`` must be small (it is
-    broadcast); output: (query_id, vec_id, cosine_sim) with deterministic
-    tie-break on vec_id, score rounded to 6dp so downstream comparisons are
-    stable across summation orders."""
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
+    collected into the scoring kernel's closure — the broadcast side of a
+    map-side join); output: (query_id, vec_id, cosine_sim) with
+    deterministic tie-break on vec_id, score rounded to 6dp so downstream
+    comparisons are stable across summation orders.
+
+    Plan shape is distributed top-k (the TakeOrderedAndProject idea, per
+    query): a ``mapInPandas`` stage scores each corpus partition against
+    the whole query matrix in numpy and emits only each partition's
+    top-k-superset per query, so the global window sees ~partitions × k
+    rows per query instead of the full corpus × queries cross product —
+    at 100 TB the shuffle is bounded by k, not corpus size. The numpy
+    scoring accumulates dim-sequentially (dot and both norms), performing
+    the identical IEEE-754 op sequence as the previous zip_with/aggregate
+    form and the SQL oracle; rounding stays JVM-side (`F.round`,
+    HALF_UP — numpy's round is banker's and would diverge). The partition
+    cut keeps every row within 1e-6 raw score of the k-th best (2× the
+    6dp rounding quantum), so no row that could win after rounding is
+    dropped."""
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        it = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], schema=f"{query_id_col} {qt}, {id_col} {it}, cosine_sim double"
+        )
+    q_ids = [r[0] for r in q_rows]
+    Q = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    dim = Q.shape[1]
+    # query norms: left-to-right accumulation, same as norm()
+    qn = np.zeros(len(q_ids), dtype=np.float64)
+    for j in range(dim):
+        qn += Q[:, j] * Q[:, j]
+    qn = np.sqrt(qn)
+
     # dot products are CPU-bound; a one-row-group corpus would otherwise
     # pin the scan+score stage to a single core (no-op at real scale)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < par:
         corpus = corpus.repartition(par)
-    scored = corpus.join(F.broadcast(q)).select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"__qidx int, {id_col} {id_type}, __raw_sim double"
+
+    def _score_partition(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            rows = [
+                (i, np.asarray(v, dtype=np.float64))
+                for i, v in enumerate(pdf[vec_col])
+                if v is not None and len(v) == dim
+            ]
+            if not rows:
+                continue
+            ridx = np.array([i for i, _ in rows])
+            X = np.stack([a for _, a in rows])
+            dots = np.zeros((len(rows), len(q_ids)), dtype=np.float64)
+            xn = np.zeros(len(rows), dtype=np.float64)
+            for j in range(dim):  # dim-sequential: oracle-identical order
+                xj = X[:, j]
+                dots += xj[:, None] * Q[:, j]
+                xn += xj * xj
+            sims = dots / (np.sqrt(xn)[:, None] * qn[None, :])
+            frames = []
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                finite = col[np.isfinite(col)]
+                if len(finite) > k:
+                    kth = np.partition(finite, len(finite) - k)[len(finite) - k]
+                    # superset: covers 6dp rounding ties; non-finite scores
+                    # (zero-norm vectors) always pass — Spark's desc window
+                    # orders NaN first, so they can be global winners
+                    keep = (col >= kth - 1e-6) | ~np.isfinite(col)
+                else:
+                    keep = np.ones(len(col), dtype=bool)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__qidx": qi,
+                            id_col: ids[ridx[keep]],
+                            "__raw_sim": col[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    qid_map = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_score_partition, schema=out_schema)
+        .select(
+            F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+            id_col,
+            F.round(F.col("__raw_sim"), 6).alias("cosine_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()

@@ -103,6 +103,55 @@ def test_cosine_topk_exact(spark):
     assert out[0]["cosine_sim"] == 1.0
 
 
+def test_cosine_topk_kernel_edge_cases(spark):
+    """Contracts of the mapInPandas scoring kernel: rows whose vector is
+    null or wrongly-sized are skipped; a zero-norm vector's 0/0 score
+    becomes SQL NULL (NaN → null in the Arrow transfer) and ranks LAST —
+    matching the oracle's 0/0 → NULL nulls-last semantics — but still
+    fills a top-k slot finite rows can't; no queries → empty result with
+    the right schema."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.8, 0.2]), (2, None),
+        (3, [1.0, 0.0, 0.0]), (4, [0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    out = sim.cosine_topk(corpus, queries, k=2).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 2 not in ids and 3 not in ids  # malformed rows never scored
+    assert ids == [0, 1]  # null-scored row 4 ranks below every finite score
+
+    out3 = sim.cosine_topk(corpus, queries, k=3).collect()
+    assert [r["vec_id"] for r in out3] == [0, 1, 4]
+    assert out3[2]["cosine_sim"] is None  # zero-norm → NULL, kept when needed
+
+    empty = sim.cosine_topk(corpus, queries.filter("query_id < 0"), k=2)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "vec_id", "cosine_sim"]
+
+
+def test_lsh_bucket_kernel_edge_cases(spark):
+    """lsh_bucket's malformed-row contract (inherited from the HOF form):
+    null vectors and size-mismatched vectors land in bucket 0; NaN
+    elements contribute 0 to the projections."""
+    rows = [
+        (0, [1.0] * 64), (1, None), (2, [1.0, 2.0]),
+        (3, [float("nan")] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["b"]
+        for r in df.select(
+            "vec_id", sim.lsh_bucket(F.col("embedding"), n_planes=8).alias("b")
+        ).collect()
+    }
+    assert out[1] == 0 and out[2] == 0  # malformed → bucket 0
+    assert out[3] == 0  # all-NaN → all projections 0 → no sign bits
+    assert 0 <= out[0] < 2**8
+
+
 def test_ann_lsh_recall_vs_exact(spark):
     # deterministic pseudo-random corpus; recall@10 of LSH candidates
     import hashlib

@@ -129,9 +129,13 @@ def cosine_topk(
                 finite = col[np.isfinite(col)]
                 if len(finite) > k:
                     kth = np.partition(finite, len(finite) - k)[len(finite) - k]
-                    # superset: covers 6dp rounding ties; non-finite scores
-                    # (zero-norm vectors) always pass — Spark's desc window
-                    # orders NaN first, so they can be global winners
+                    # superset: covers 6dp rounding ties. Non-finite scores
+                    # always pass: NaN (zero-norm row) becomes SQL NULL in
+                    # the Arrow transfer — ranking LAST like the oracle's
+                    # 0/0 → NULL, a deliberate contract change from the HOF
+                    # form's JVM-NaN-ranks-first — but it can still land in
+                    # a top-k that finite rows can't fill, and +inf ranks
+                    # first outright.
                     keep = (col >= kth - 1e-6) | ~np.isfinite(col)
                 else:
                     keep = np.ones(len(col), dtype=bool)

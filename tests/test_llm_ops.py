@@ -74,6 +74,34 @@ def test_neardup_components_paths_agree(spark):
     assert fast[10] == 1 and fast[22] == 20 and fast[31] == 30
 
 
+def test_hash_family_production_profile(spark):
+    """The xxhash64 production family (no oracle-reproducibility claim)
+    must detect the same planted near-dup as the md5 default, and reject
+    an unknown family."""
+    import pytest as _pytest
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "CHANGED")
+    far = " ".join(f"other{i}" for i in range(60))
+    df = _docs(spark, [base, near, far])
+    pairs = dd.minhash_neardup_pairs(df, threshold=0.5, hash_family="xxhash64").collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+    # exact Jaccard verification is hash-family independent
+    assert abs(pairs[0]["jaccard_sim"] - dd.minhash_neardup_pairs(
+        df, threshold=0.5).collect()[0]["jaccard_sim"]) < 1e-12
+
+    sh = dd.with_simhash(df, "text", 16, hash_family="xxhash64").select(
+        "doc_id", "simhash"
+    ).collect()
+    h = {r["doc_id"]: r["simhash"] for r in sh}
+    near_d = bin(h[0] ^ h[1]).count("1")
+    far_d = bin(h[0] ^ h[2]).count("1")
+    assert near_d < far_d
+
+    with _pytest.raises(ValueError):
+        dd.shingle_hash_col(F.array(F.lit("x")), "fnv")
+
+
 def test_simhash_similar_docs_close(spark):
     base = " ".join(f"tok{i}" for i in range(60))
     near = base.replace("tok30", "CHANGED")

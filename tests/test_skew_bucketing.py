@@ -100,3 +100,31 @@ def test_sql_api_parity(spark):
         .collect()
     )
     assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
+
+def test_salted_latest_matches_window_latest(spark):
+    """salted_latest must pick the identical winner per key as the window
+    form (latest_merge) — including equal-timestamp rows resolved by the
+    tiebreak — while spreading a hot key across salt buckets."""
+    from wms_data_pipeline_spark.operators.merge import latest_merge
+    from wms_data_pipeline_spark.operators.skew import salted_latest
+
+    rows = []
+    # hot key 0: 500 rows, several sharing the max ts (tiebreak decides)
+    for i in range(500):
+        rows.append((0, 1000 + min(i, 490), i, f"p{i}"))
+    # uniform tail
+    for k in range(1, 50):
+        for i in range(3):
+            rows.append((k, 1000 + i, k * 10 + i, f"q{k}:{i}"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, payload string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+    via_window = latest_merge(
+        None, df, key="user_id", ts_col="ts", tiebreak_col="event_id"
+    )
+    via_salted = salted_latest(df, "user_id", "ts", "event_id", buckets=8)
+    a = sorted(map(tuple, via_window.select("user_id", "ts", "event_id", "payload").collect()))
+    b = sorted(map(tuple, via_salted.select("user_id", "ts", "event_id", "payload").collect()))
+    assert a == b
+    assert len(a) == 50

@@ -149,7 +149,54 @@ def partitioned_merge_stress(
     spark.stop()
 
 
+def skew_stress(n_events: int = 50_000_000, hot_frac: float = 0.5) -> None:
+    """Latest-state under hot-key skew: ``hot_frac`` of all rows land on ONE
+    user. The window form serializes that key into a single task's sort;
+    salted_latest (two-phase struct-max) reduces it map-side. Same winners
+    (pinned by test_skew_bucketing.py); this leg measures the wall-clock
+    gap the salting buys at scale."""
+    from wms_data_pipeline_spark.operators.skew import salted_latest
+
+    spark = get_spark("stress-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    hot_cut = int(n_events * hot_frac)
+    ev = spark.range(0, n_events, 1, 256).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < hot_cut, F.lit(0))
+        .otherwise(F.xxhash64(F.col("id")) % 1_000_000)
+        .alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + (F.xxhash64(F.col("id"), F.lit(3)) % 86_400_000_000)
+        ).alias("ts"),
+        (F.xxhash64(F.col("id"), F.lit(1)) % 97).cast("double").alias("value"),
+    ).localCheckpoint(eager=False)
+
+    t0 = time.perf_counter()
+    n_window = latest_merge(
+        None, ev, key="user_id", ts_col="ts", tiebreak_col="event_id"
+    ).count()
+    t_window = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_salted = salted_latest(ev, "user_id", "ts", "event_id").count()
+    t_salted = time.perf_counter() - t0
+
+    assert n_window == n_salted, (n_window, n_salted)
+    print(
+        f"latest-state, {n_events} rows, {hot_frac:.0%} on one key: "
+        f"window {t_window:.1f}s vs salted two-phase {t_salted:.1f}s "
+        f"({t_window / max(t_salted, 1e-9):.1f}x; {n_salted} keys)",
+        flush=True,
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        skew_stress(
+            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 50_000_000
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
         embeddings_stress(int(sys.argv[2]) if len(sys.argv) > 2 else 500)
         return

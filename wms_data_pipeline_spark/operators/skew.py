@@ -81,6 +81,39 @@ def salted_broadcast_join(
     return out.drop("__salt")
 
 
+def salted_latest(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    buckets: int = DEFAULT_SALT,
+) -> DataFrame:
+    """Skew-safe newer-wins latest state: the algebraic twin of
+    ``merge.latest_merge`` for hot keys.
+
+    The window form (``row_number over partitionBy(key) orderBy(ts
+    desc)``) sends EVERY row of a key to one task — a 50%-hot key at 50M
+    rows means one 25M-row sort while 31 cores idle, and windows have no
+    map-side partial step for AQE to split. This form re-expresses
+    "newest row per key" as ``max(struct(ts, tiebreak, rest…))``, which
+    IS algebraic: phase 1 reduces each (key, salt) group map-side, so the
+    hot key arrives at the final aggregation as ``buckets`` one-row
+    partials. Same winner as the window (struct comparison is
+    lexicographic = orderBy ts desc, tiebreak desc; on a full tie across
+    ts+tiebreak the struct max picks the lexicographically largest
+    remaining payload, deterministically — the window's tie there is
+    partition-order-dependent, so callers already pass a discriminating
+    tiebreak).
+    """
+    order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    rest = [c for c in df.columns if c != key and c not in order_cols]
+    packed = F.struct(*[F.col(c) for c in order_cols + rest])
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(key, "__salt").agg(F.max(packed).alias("__m"))
+    final = partial.groupBy(key).agg(F.max("__m").alias("__m"))
+    return final.select(key, *[F.col(f"__m.{c}").alias(c) for c in order_cols + rest])
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -23,7 +23,7 @@ from wms_data_pipeline_spark.plans.queries import REGISTRY
 SF0001 = "/root/testdata/sf0.001"
 
 
-def _driver_verified() -> set[str]:
+def _driver_verified(here: str | None = None) -> set[str]:
     """Names that already have a green row in a prior CORRECTNESS_r{N}.json.
 
     The driver verifies only the first 50 entries of ``queries()`` per round,
@@ -48,7 +48,8 @@ def _driver_verified() -> set[str]:
     """
     verified: set[str] = set()
     green_round: dict[str, int] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     try:
         import re
 

@@ -191,7 +191,70 @@ def skew_stress(n_events: int = 50_000_000, hot_frac: float = 0.5) -> None:
     spark.stop()
 
 
+def streaming_stress(rows_per_sec: int = 2_000_000, run_seconds: int = 40) -> None:
+    """Structured Streaming throughput: rate source → watermarked keyed
+    dedup → tumbling-window counts → noop sink, the §2.2 pipeline shape
+    under sustained load. Reports per-batch processedRowsPerSecond from
+    the engine's own progress metrics (not wall-clock guesswork). State
+    stays bounded: dedup keys expire at the watermark, windows emit and
+    drop once the watermark passes them."""
+    import statistics
+    import tempfile
+
+    from wms_data_pipeline_spark.streaming.pipeline import dedup_stream, tumbling_counts
+
+    spark = get_spark("stress-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .option("numPartitions", 32)
+        .load()
+    )
+    ev = src.select(
+        (F.col("value") % 500_000).alias("id"),
+        F.col("timestamp").alias("updated_at"),
+        (F.col("value") % 97).cast("double").alias("v"),
+    )
+    deduped = dedup_stream(ev, keys=["id", "updated_at"], delay="10 seconds")
+    agg = tumbling_counts(
+        deduped, ts_col="updated_at", window="5 seconds", delay="5 seconds", keys=[]
+    )
+    ckpt = tempfile.mkdtemp(prefix="stress_stream_ckpt_")
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    time.sleep(run_seconds)
+    import json
+
+    progress = [
+        json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+    ]
+    rates = [
+        p["processedRowsPerSecond"] for p in progress if p.get("numInputRows", 0) > 0
+    ]
+    q.stop()
+    spark.stop()
+    if rates:
+        print(
+            f"streaming dedup+window over rate source: offered {rows_per_sec / 1e6:.1f}M rows/s, "
+            f"sustained median {statistics.median(rates) / 1e6:.2f}M rows/s "
+            f"(p10 {sorted(rates)[len(rates) // 10] / 1e6:.2f}M) over {len(rates)} batches",
+            flush=True,
+        )
+    else:
+        print("streaming stress: no batches completed", flush=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
+        streaming_stress(
+            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 2_000_000
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":
         skew_stress(
             int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 50_000_000

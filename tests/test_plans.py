@@ -95,3 +95,18 @@ def test_scan_prunes_columns_for_projection(spark):
     seg = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "l_comment" not in seg
     assert len(seg.split(",")) <= 6, seg
+
+
+@needs_testdata
+def test_cosine_topk_scores_before_any_exchange(spark):
+    """Brute-force cosine at 100 TB must never shuffle the corpus with its
+    vectors: scoring is a MapInPandas kernel over the scan, only its
+    bounded per-partition top-k superset reaches the window exchange, and
+    WindowGroupLimit keeps the global pass top-k-limited."""
+    plan = _plan(spark, "sim_cosine_topk", "simple")
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    # the kernel runs below (after, in plan text order) every Exchange:
+    # nothing upstream of scoring shuffles the vector column
+    first_exchange = plan.find("- Exchange")
+    assert first_exchange == -1 or plan.find("MapInPandas") > first_exchange

@@ -334,6 +334,37 @@ def test_sketch_banded_neardup_is_exact_for_its_predicate(spark):
     assert banded == brute
 
 
+def test_ivf_persisted_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """ivf_index_write + ivf_index_topk must return exactly what inline
+    ivf_topk returns (same stored centers → same cells → same candidates),
+    and the index scan must carry the probed cells as PARTITION filters —
+    the read-only-nprobe/nlist-of-the-bytes claim, visible in the plan."""
+    import random
+
+    random.seed(11)
+    rows = [
+        (i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = sim.ivf_topk(corpus, queries, k=5, nlist=8, nprobe=2)
+
+    path = str(tmp_path / "ivf")
+    sim.ivf_index_write(corpus, path, nlist=8)
+    from_index = sim.ivf_index_topk(spark, path, queries, k=5, nprobe=2)
+
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, from_index.collect()))
+    assert a == b and len(a) == 15
+
+    plan = from_index._sc._jvm.PythonSQLUtils.explainString(
+        from_index._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_ivf_topk_kmeans_variant(spark):
     """The MLlib k-means quantizer stays available as an alternative
     constructor (oracle-inexpressible, so rows/recall-only)."""

@@ -243,6 +243,80 @@ def kmeans_centers(
     return [(i, _unit([float(x) for x in c])) for i, c in enumerate(model.clusterCenters())]
 
 
+def _nearest_cells_udf(unit_centers: list[tuple[int, list[float]]], n: int):
+    """Arrow-batched numpy kernel: the ``n`` nearest cells per vector.
+
+    Cell assignment is a pure MAP-SIDE argmin: the nlist centers are
+    normalized to unit length driver-side (cosine argmax == dot argmax
+    against unit centers — the row's own norm is constant across cells and
+    cannot change the ordering) and closed over the kernel. No join, no
+    window, no row blow-up, no Exchange before the candidate join. (The
+    expression form scored cells with nlist zip_with/aggregate HOF dots
+    per row — interpreted per element outside codegen, the same dispatch
+    overhead measured in lsh_bucket; the numpy kernel accumulates
+    dim-sequentially, so scores and therefore cell choices are
+    bit-identical to the HOF form and the SQL oracle.)"""
+    C = np.asarray([c for _, c in unit_centers], dtype=np.float64)  # (L, dim)
+    nlist_, dim = C.shape
+    width = min(n, nlist_)
+    # (negd, cell)-asc with all-null scores (malformed vector) degraded
+    # to cells [0..n-1] — the array_sort nulls-last contract of the
+    # expression form.
+    default = list(range(width))
+
+    @pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        res: list = [default] * len(vecs)
+        rows = [
+            (i, np.asarray(v, dtype=np.float64))
+            for i, v in enumerate(vecs)
+            if v is not None and len(v) == dim
+        ]
+        if rows:
+            X = np.stack([a for _, a in rows])
+            D = np.zeros((len(rows), nlist_), dtype=np.float64)
+            for j in range(dim):  # dim-sequential: oracle-identical order
+                D += X[:, j : j + 1] * C[:, j]
+            # stable argsort on -D == similarity desc, cell asc on ties
+            order = np.argsort(-D, axis=1, kind="stable")[:, :width].astype("int32")
+            for (i, _), cells in zip(rows, order):
+                res[i] = cells.tolist()
+        return pd.Series(res)
+
+    return _cells
+
+
+def _ivf_search(
+    corpus_cells: DataFrame,
+    queries: DataFrame,
+    unit_centers: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """nprobe-cell candidate join + exact cosine re-rank (shared by the
+    inline ivf_topk and the persisted-index read path)."""
+    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+    q_cells = q.withColumn(
+        "cell", F.explode(_nearest_cells_udf(unit_centers, nprobe)(F.col("__qvec")))
+    )
+    # No dedup needed: each corpus row has exactly ONE cell and a query's
+    # nprobe cells are distinct, so a (query, vec) pair matches at most once.
+    cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -263,6 +337,9 @@ def ivf_topk(
     Either way the assignment is a map-side transform. Candidates = corpus
     rows whose cell is among the query's ``nprobe`` closest centers — the
     scan fraction is ~nprobe/nlist of the corpus instead of all of it.
+    For repeated querying, persist the assignment once with
+    ``ivf_index_write`` and search via ``ivf_index_topk`` — the probed
+    cells then prune at the FILE level, not just the row level.
     """
     if quantizer == "medoid":
         unit_centers = medoid_centers(corpus, nlist, id_col, vec_col, seed)
@@ -271,66 +348,92 @@ def ivf_topk(
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
 
-    # Cell assignment is a pure MAP-SIDE argmin: the nlist centers are
-    # normalized to unit length driver-side (cosine argmax == dot argmax
-    # against unit centers — the row's own norm is constant across cells and
-    # cannot change the ordering) and closed over an Arrow-batched numpy
-    # kernel. No join, no window, no row blow-up, no Exchange before the
-    # candidate join. (The previous form scored cells with nlist
-    # zip_with/aggregate HOF dots per row — interpreted per element outside
-    # codegen, the same dispatch overhead measured in lsh_bucket; the numpy
-    # kernel accumulates dim-sequentially, so scores and therefore cell
-    # choices are bit-identical to the HOF form and the SQL oracle.)
-    def _nearest_cells_udf(n: int):
-        C = np.asarray([c for _, c in unit_centers], dtype=np.float64)  # (L, dim)
-        nlist_, dim = C.shape
-        width = min(n, nlist_)
-        # (negd, cell)-asc with all-null scores (malformed vector) degraded
-        # to cells [0..n-1] — the array_sort nulls-last contract of the
-        # expression form.
-        default = list(range(width))
-
-        @pandas_udf("array<int>")
-        def _cells(vecs: pd.Series) -> pd.Series:
-            res: list = [default] * len(vecs)
-            rows = [
-                (i, np.asarray(v, dtype=np.float64))
-                for i, v in enumerate(vecs)
-                if v is not None and len(v) == dim
-            ]
-            if rows:
-                X = np.stack([a for _, a in rows])
-                D = np.zeros((len(rows), nlist_), dtype=np.float64)
-                for j in range(dim):  # dim-sequential: oracle-identical order
-                    D += X[:, j : j + 1] * C[:, j]
-                # stable argsort on -D == similarity desc, cell asc on ties
-                order = np.argsort(-D, axis=1, kind="stable")[:, :width].astype("int32")
-                for (i, _), cells in zip(rows, order):
-                    res[i] = cells.tolist()
-            return pd.Series(res)
-
-        return _cells
-
     corpus_cells = corpus.withColumn(
-        "cell", F.element_at(_nearest_cells_udf(1)(F.col(vec_col)), 1)
+        "cell", F.element_at(_nearest_cells_udf(unit_centers, 1)(F.col(vec_col)), 1)
     )
-    q = queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
-    q_cells = q.withColumn(
-        "cell", F.explode(_nearest_cells_udf(nprobe)(F.col("__qvec")))
+    return _ivf_search(
+        corpus_cells, queries, unit_centers, k, nprobe, id_col, vec_col, query_id_col
     )
 
-    # No dedup needed: each corpus row has exactly ONE cell and a query's
-    # nprobe cells are distinct, so a (query, vec) pair matches at most once.
-    cand = corpus_cells.join(F.broadcast(q_cells), "cell").select(
-        query_id_col,
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("cosine_sim"),
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    quantizer: str = "medoid",
+) -> None:
+    """Persist an IVF index: the cell-assigned corpus as a
+    ``partitionBy("cell")`` parquet layout plus the unit centers as JSON.
+
+    This is the "cell id becomes the partition key" scale story made
+    physical: each cell is its own directory, so a search over the index
+    reads ONLY the nprobe probed cells' files — partition pruning at plan
+    time (`PartitionFilters: [cell IN (…)]`), ~nprobe/nlist of the bytes.
+    Assignment cost is paid once at build, amortized over every query
+    batch; on a cluster the same layout is the natural target of a
+    nightly index rebuild job."""
+    import json
+    import os
+
+    if quantizer == "medoid":
+        unit_centers = medoid_centers(corpus, nlist, id_col, vec_col, seed)
+    elif quantizer == "kmeans":
+        unit_centers = kmeans_centers(corpus, nlist, vec_col, seed)
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}")
+    corpus.withColumn(
+        "cell", F.element_at(_nearest_cells_udf(unit_centers, 1)(F.col(vec_col)), 1)
+    ).write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "data"))
+    with open(os.path.join(path, "centers.json"), "w") as f:
+        json.dump({"centers": unit_centers, "nlist": nlist}, f)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index (``ivf_index_write``). The probed cell
+    ids are resolved driver-side from the stored centers (queries are the
+    small, broadcast side by construction), so the scan carries
+    ``cell IN (probed)`` as a PARTITION filter — only those cell
+    directories are read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centers.json")) as f:
+        meta = json.load(f)
+    unit_centers = [(int(i), c) for i, c in meta["centers"]]
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    probed: set[int] = set()
+    if q_rows:
+        C = np.asarray([c for _, c in unit_centers], dtype=np.float64)
+        dim = C.shape[1]
+        for r in q_rows:
+            v = r[1]
+            if v is None or len(v) != dim:
+                probed.update(range(min(nprobe, len(unit_centers))))
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            D = np.zeros(len(unit_centers), dtype=np.float64)
+            for j in range(dim):
+                D += x[j] * C[:, j]
+            probed.update(
+                int(c) for c in np.argsort(-D, kind="stable")[:nprobe]
+            )
+    corpus_cells = spark.read.parquet(os.path.join(path, "data")).filter(
+        F.col("cell").isin(sorted(probed)) if probed else F.lit(False)
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        cand.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+    return _ivf_search(
+        corpus_cells, queries, unit_centers, k, nprobe, id_col, vec_col, query_id_col
     )
 
 

@@ -44,8 +44,9 @@ def tokens_of(colname: str = "text") -> Column:
 def token_count(colname: str = "text") -> Column:
     """Whitespace token count; a BPE-ish proxy (``bpe_token_estimate``)
     approximates subword counts as ceil(chars/4) the way LLM cost
-    estimators do."""
-    return F.size(tokens_of(colname))
+    estimators do. ``regexp_count`` of the token pattern — same count as
+    ``size(tokens_of(...))`` without materializing the array."""
+    return F.regexp_count(F.col(colname), F.lit(r"\S+"))
 
 
 def bpe_token_estimate(colname: str = "text") -> Column:
@@ -53,8 +54,22 @@ def bpe_token_estimate(colname: str = "text") -> Column:
 
 
 def stopword_count(colname: str, stopwords: tuple[str, ...]) -> Column:
-    arr = F.array(*[F.lit(s) for s in stopwords])
-    return F.size(F.filter(tokens_of(colname), lambda t: F.array_contains(arr, t)))
+    """Count of tokens exactly equal to one of ``stopwords``.
+
+    One ``regexp_count`` scan over space-padded text: every token is
+    preceded by its own whitespace char in the padded string (consumed by
+    the match) and the trailing boundary is a non-consuming lookahead, so
+    consecutive stopword tokens all count; a token merely CONTAINING a
+    stopword ("a,") fails the lookahead exactly like token equality.
+    Counts are identical to the former higher-order
+    ``filter(tokens, t -> array_contains(...))`` form, which evaluated its
+    lambda interpretively per token outside codegen (the HOF lesson from
+    the minhash/LSH kernels — A/B'd in tools/ab_curation.py)."""
+    alt = "|".join(stopwords)
+    return F.regexp_count(
+        F.concat(F.lit(" "), F.col(colname), F.lit(" ")),
+        F.lit(rf"\s({alt})(?=\s)"),
+    )
 
 
 def quality_features(df: DataFrame, colname: str = "text") -> DataFrame:
@@ -64,11 +79,17 @@ def quality_features(df: DataFrame, colname: str = "text") -> DataFrame:
 
     score = 0.3*min(n_tokens/100,1) + 0.3*(1-punct_ratio) +
             0.2*min(stop_ratio*5,1) + 0.2*(1-digit_ratio), rounded to 6dp.
+
+    Every feature is a single counting regex scan (``regexp_count``) —
+    no intermediate replaced strings, token arrays, or interpreted HOF
+    lambdas. Counts (and therefore score bits) are identical to the
+    tokenize/replace formulation the DuckDB oracle uses; the fused form
+    measured 0.72→0.60 s on the curation headliner (tools/ab_curation.py).
     """
     n_chars = F.length(F.col(colname))
-    n_tok = token_count(colname)
-    punct = F.length(F.regexp_replace(F.col(colname), r"[^.,;:!?'\"()\[\]{}-]", ""))
-    digits = F.length(F.regexp_replace(F.col(colname), r"[^0-9]", ""))
+    n_tok = F.regexp_count(F.col(colname), F.lit(r"\S+"))
+    punct = F.regexp_count(F.col(colname), F.lit("[.,;:!?'\"()\\[\\]{}-]"))
+    digits = F.regexp_count(F.col(colname), F.lit("[0-9]"))
     stop = stopword_count(colname, LANG_STOPWORDS["en"])
     safe_chars = F.greatest(n_chars, F.lit(1))
     safe_tok = F.greatest(n_tok, F.lit(1))

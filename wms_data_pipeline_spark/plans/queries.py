@@ -1572,11 +1572,17 @@ def txt_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     scored = txt.quality_features(docs).filter(F.col("quality_score") >= 0.5)
     fp = txt.fingerprint(scored)
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    curated = fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    return curated.groupBy("lang").agg(
+    # keep-first per fingerprint as an algebraic struct-min aggregate, not a
+    # row_number window: min(struct(doc_id,…)) partial-aggregates map-side
+    # (doc_id leads the struct and is unique, so the winner is the window's
+    # rn=1 row exactly); the window form ships every row to its
+    # fingerprint's reducer and sorts there — A/B'd in tools/ab_curation.py
+    curated = fp.groupBy("fingerprint").agg(
+        F.min(F.struct("doc_id", "lang", "n_tokens")).alias("__w")
+    )
+    return curated.groupBy("__w.lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("__w.n_tokens").cast("long").alias("total_tokens"),
     )
 
 

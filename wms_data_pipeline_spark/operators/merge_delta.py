@@ -17,6 +17,14 @@ safety, and commits atomically — the properties ``ParquetTable`` /
 The module is import-guarded: ``delta-spark`` is OPTIONAL. When absent,
 ``HAS_DELTA`` is False and constructing ``DeltaMergeTable`` raises — the
 engine stays dependency-free and the interface test skips this leg cleanly.
+
+STATUS: **experimental** in this build environment — delta-spark is not
+installable here (no package index), so this leg has never executed its
+conformance test in CI. ``tests/test_jdbc_sink.py::
+test_delta_leg_status_is_visible`` records that skip loudly per run and
+flips to a hard reminder the day the dependency appears. Treat the parquet
+(``ParquetTable`` / ``PartitionedMergeTable``) and JDBC sinks as the
+verified paths; review this one before first production use.
 """
 
 from __future__ import annotations

@@ -366,7 +366,8 @@ def ivf_index_write(
     quantizer: str = "medoid",
 ) -> None:
     """Persist an IVF index: the cell-assigned corpus as a
-    ``partitionBy("cell")`` parquet layout plus the unit centers as JSON.
+    ``partitionBy("cell")`` parquet layout plus the unit centers as a
+    (tiny) parquet dataset beside it.
 
     This is the "cell id becomes the partition key" scale story made
     physical: each cell is its own directory, so a search over the index
@@ -374,21 +375,27 @@ def ivf_index_write(
     time (`PartitionFilters: [cell IN (…)]`), ~nprobe/nlist of the bytes.
     Assignment cost is paid once at build, amortized over every query
     batch; on a cluster the same layout is the natural target of a
-    nightly index rebuild job."""
-    import json
-    import os
+    nightly index rebuild job.
 
+    BOTH halves of the index go through Spark writers, so ``path`` may be
+    any Hadoop-visible filesystem (file:, hdfs:, s3a:, …) — a driver-local
+    ``open()`` sidecar would break on exactly the cluster deployments the
+    index exists for."""
     if quantizer == "medoid":
         unit_centers = medoid_centers(corpus, nlist, id_col, vec_col, seed)
     elif quantizer == "kmeans":
         unit_centers = kmeans_centers(corpus, nlist, vec_col, seed)
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}")
+    base = path.rstrip("/")
     corpus.withColumn(
         "cell", F.element_at(_nearest_cells_udf(unit_centers, 1)(F.col(vec_col)), 1)
-    ).write.mode("overwrite").partitionBy("cell").parquet(os.path.join(path, "data"))
-    with open(os.path.join(path, "centers.json"), "w") as f:
-        json.dump({"centers": unit_centers, "nlist": nlist}, f)
+    ).write.mode("overwrite").partitionBy("cell").parquet(base + "/data")
+    centers_df = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in unit_centers],
+        schema="cell int, center array<double>",
+    )
+    centers_df.coalesce(1).write.mode("overwrite").parquet(base + "/centers")
 
 
 def ivf_index_topk(
@@ -405,13 +412,14 @@ def ivf_index_topk(
     ids are resolved driver-side from the stored centers (queries are the
     small, broadcast side by construction), so the scan carries
     ``cell IN (probed)`` as a PARTITION filter — only those cell
-    directories are read."""
-    import json
-    import os
-
-    with open(os.path.join(path, "centers.json")) as f:
-        meta = json.load(f)
-    unit_centers = [(int(i), c) for i, c in meta["centers"]]
+    directories are read. Centers load via ``spark.read`` (nlist rows —
+    bounded control-plane), so the index path may be on any Hadoop-visible
+    filesystem, same as the data half."""
+    base = path.rstrip("/")
+    unit_centers = sorted(
+        (int(r["cell"]), list(r["center"]))
+        for r in spark.read.parquet(base + "/centers").collect()
+    )
     q_rows = queries.select(query_id_col, vec_col).collect()
     probed: set[int] = set()
     if q_rows:
@@ -429,7 +437,7 @@ def ivf_index_topk(
             probed.update(
                 int(c) for c in np.argsort(-D, kind="stable")[:nprobe]
             )
-    corpus_cells = spark.read.parquet(os.path.join(path, "data")).filter(
+    corpus_cells = spark.read.parquet(base + "/data").filter(
         F.col("cell").isin(sorted(probed)) if probed else F.lit(False)
     )
     return _ivf_search(

@@ -53,9 +53,14 @@ def _driver_verified(here: str | None = None) -> set[str]:
     try:
         import re
 
-        for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-            m = re.search(r"CORRECTNESS_r(\d+)", path)
-            rnd = int(m.group(1)) if m else 0
+        # sort by PARSED round number, not path string: lexicographic order
+        # breaks later-round-overrides-earlier the day a round number is
+        # unpadded or reaches 3 digits (r100 sorts before r02)
+        paths = [
+            (int(m.group(1)) if (m := re.search(r"CORRECTNESS_r(\d+)", p)) else 0, p)
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        ]
+        for rnd, path in sorted(paths):
             with open(path) as f:
                 rows = json.load(f)
             for name, r in rows.items():

@@ -128,3 +128,67 @@ def test_salted_latest_matches_window_latest(spark):
     b = sorted(map(tuple, via_salted.select("user_id", "ts", "event_id", "payload").collect()))
     assert a == b
     assert len(a) == 50
+
+
+def test_salted_latest_handles_map_payload(spark):
+    """max_by compares only the ordering struct, so non-orderable payload
+    types (map) must work — the packed max(struct(order+payload)) form
+    raised AnalysisException here (round-4 advice)."""
+    from wms_data_pipeline_spark.operators.merge import latest_merge
+    from wms_data_pipeline_spark.operators.skew import salted_latest
+
+    df = spark.createDataFrame(
+        [(k, ts, {"v": f"{k}-{ts}"}) for k in range(5) for ts in range(4)],
+        "user_id long, ts long, attrs map<string,string>",
+    )
+    got = sorted(
+        (r["user_id"], r["ts"], dict(r["attrs"]))
+        for r in salted_latest(df, "user_id", "ts", buckets=4).collect()
+    )
+    want = sorted(
+        (r["user_id"], r["ts"], dict(r["attrs"]))
+        for r in latest_merge(None, df, key="user_id", ts_col="ts",
+                              tiebreak_col=None).collect()
+    )
+    assert got == want and len(got) == 5
+
+
+def test_latest_state_auto_dispatch(spark):
+    """latest_state(skew='auto') picks the salted path on a hot key and the
+    window path on uniform keys, returning identical winners either way."""
+    from wms_data_pipeline_spark.operators.skew import latest_state
+
+    rows = [(0, 1000 + i, i, f"p{i}") for i in range(900)]  # 90% on key 0
+    rows += [(k, 1000, 10_000 + k, "q") for k in range(1, 101)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, payload string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+    outs = {
+        mode: sorted(
+            map(
+                tuple,
+                latest_state(
+                    df, "user_id", "ts", "event_id", skew=mode,
+                    sample_fraction=1.0,
+                ).select("user_id", "ts", "event_id", "payload").collect(),
+            )
+        )
+        for mode in ("auto", "window", "salted")
+    }
+    assert outs["auto"] == outs["window"] == outs["salted"]
+    assert len(outs["auto"]) == 101
+    # uniform keys → the probe must NOT trip the salted path (plan check:
+    # window form contains a Window node, salted form does not)
+    uniform = spark.createDataFrame(
+        [(k, 1000 + t, k * 10 + t, "u") for k in range(200) for t in range(3)],
+        "user_id long, ts long, event_id long, payload string",
+    )
+    plan_auto = latest_state(
+        uniform, "user_id", "ts", "event_id", skew="auto", sample_fraction=1.0
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan_auto
+    hot_plan = latest_state(
+        df, "user_id", "ts", "event_id", skew="auto", sample_fraction=1.0
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in hot_plan

@@ -152,10 +152,12 @@ def partitioned_merge_stress(
 def skew_stress(n_events: int = 50_000_000, hot_frac: float = 0.5) -> None:
     """Latest-state under hot-key skew: ``hot_frac`` of all rows land on ONE
     user. The window form serializes that key into a single task's sort;
-    salted_latest (two-phase struct-max) reduces it map-side. Same winners
+    salted_latest (two-phase max_by) reduces it map-side. Same winners
     (pinned by test_skew_bucketing.py); this leg measures the wall-clock
-    gap the salting buys at scale."""
-    from wms_data_pipeline_spark.operators.skew import salted_latest
+    gap the salting buys at scale, and drives the public
+    ``latest_state(skew="auto")`` dispatcher to prove its sampled probe
+    picks the salted plan here."""
+    from wms_data_pipeline_spark.operators.skew import latest_state, salted_latest
 
     spark = get_spark("stress-skew")
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,11 +183,21 @@ def skew_stress(n_events: int = 50_000_000, hot_frac: float = 0.5) -> None:
     n_salted = salted_latest(ev, "user_id", "ts", "event_id").count()
     t_salted = time.perf_counter() - t0
 
-    assert n_window == n_salted, (n_window, n_salted)
+    t0 = time.perf_counter()
+    auto_df = latest_state(ev, "user_id", "ts", "event_id", skew="auto")
+    auto_picked_salted = "Window" not in (
+        auto_df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    n_auto = auto_df.count()
+    t_auto = time.perf_counter() - t0
+
+    assert n_window == n_salted == n_auto, (n_window, n_salted, n_auto)
+    assert auto_picked_salted, "auto probe failed to detect the hot key"
     print(
         f"latest-state, {n_events} rows, {hot_frac:.0%} on one key: "
         f"window {t_window:.1f}s vs salted two-phase {t_salted:.1f}s "
-        f"({t_window / max(t_salted, 1e-9):.1f}x; {n_salted} keys)",
+        f"({t_window / max(t_salted, 1e-9):.1f}x; {n_salted} keys); "
+        f"latest_state(skew=auto) picked salted, {t_auto:.1f}s incl probe",
         flush=True,
     )
     spark.stop()

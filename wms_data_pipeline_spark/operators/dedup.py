@@ -376,13 +376,17 @@ def neardup_components(
 
     Size-adaptive, the same shape as Spark's own broadcast-join threshold:
 
-    - ``≤ driver_threshold`` pairs: collect the edge list and run
-      union-find with path compression on the driver (a bounded collect —
-      1M pairs ≈ 16 MB of longs). Near-dup pair sets are tiny relative to
-      their corpus (the banded candidates are already verified), so this
-      is the common case and it replaces 2+ join/agg/checkpoint rounds of
-      pure scheduler floor with one job. Output is identical: min-label
-      per node is algorithm-independent.
+    - ``≤ driver_threshold`` pairs: collect the edge list via Arrow
+      (``toPandas`` → two primitive numpy columns, so 1M long pairs really
+      IS ~16 MB — a Row-object collect would cost 1-2 orders of magnitude
+      more in Python object overhead) and run union-find with path
+      halving over compact integer indices (``np.unique`` remap; the
+      parent table is one int64 array, never a dict of boxed ids).
+      Near-dup pair sets are tiny relative to their corpus (the banded
+      candidates are already verified), so this is the common case and it
+      replaces 2+ join/agg/checkpoint rounds of pure scheduler floor with
+      one job. Output is identical: min-label per node is
+      algorithm-independent.
     - larger: iterative min-label propagation over the undirected edge
       set; each round is one join + aggregate, converging in O(component
       diameter) rounds (near-dup clusters are shallow). The loop is
@@ -399,26 +403,29 @@ def neardup_components(
     pairs = pairs.localCheckpoint(eager=False)
     n_pairs = pairs.count()
     if n_pairs <= driver_threshold:
-        edges = pairs.select(id_a, id_b).collect()
-        parent: dict = {}
+        pdf = pairs.select(id_a, id_b).toPandas()
+        av, bv = pdf[id_a].to_numpy(), pdf[id_b].to_numpy()
+        # compact index space: nodes sorted ascending, so smaller index ==
+        # smaller id and union-by-min-index IS union-by-min-id
+        nodes, inv = np.unique(np.concatenate([av, bv]), return_inverse=True)
+        ia, ib = inv[: len(av)], inv[len(av):]
+        parent = np.arange(len(nodes), dtype=np.int64)
 
-        def find(x):
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
 
-        for a, b in edges:
-            ra, rb = find(a), find(b)
+        for a, b in zip(ia, ib):
+            ra, rb = find(int(a)), find(int(b))
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        nodes = {x for e in edges for x in e}
-        out = [(n, find(n)) for n in sorted(nodes)]
+        roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
         id_type = pairs.schema[id_a].dataType.simpleString()
+        out_pdf = pd.DataFrame({"doc_id": nodes, "component": nodes[roots]})
         return pairs.sparkSession.createDataFrame(
-            out, schema=f"doc_id {id_type}, component {id_type}"
+            out_pdf, schema=f"doc_id {id_type}, component {id_type}"
         )
 
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))

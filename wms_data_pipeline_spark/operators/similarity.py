@@ -32,6 +32,11 @@ from pyspark.sql.functions import pandas_udf
 
 from wms_data_pipeline_spark.operators.text import hex64
 
+#: cosine_topk refuses query sets larger than this (see its docstring):
+#: 4096 queries × 64 dims × 8 bytes ≈ 2 MB of closure per task — the point
+#: where "broadcast the queries" stops being obviously right.
+MAX_CLOSURE_QUERIES = 4096
+
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float-array columns (JVM-side)."""
@@ -60,9 +65,16 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact top-k by cosine per query. ``queries`` must be small (it is
-    collected into the scoring kernel's closure — the broadcast side of a
-    map-side join); output: (query_id, vec_id, cosine_sim) with
+    """Exact top-k by cosine per query. ``queries`` must be small — it is
+    collected into the scoring kernel's closure (the broadcast side of a
+    map-side join), and that collect is EAGER: calling this function runs
+    a Spark action at plan-construction time, unlike the lazy
+    broadcast-join form it replaced. Callers composing the result without
+    executing it still pay that one action. Above ``MAX_CLOSURE_QUERIES``
+    the call refuses (the query matrix would silently bloat every task
+    closure instead of erroring) — batch the query set or use the
+    LSH/IVF paths, which keep queries as a DataFrame.
+    Output: (query_id, vec_id, cosine_sim) with
     deterministic tie-break on vec_id, score rounded to 6dp so downstream
     comparisons are stable across summation orders.
 
@@ -79,7 +91,13 @@ def cosine_topk(
     cut keeps every row within 1e-6 raw score of the k-th best (2× the
     6dp rounding quantum), so no row that could win after rounding is
     dropped."""
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
+    if len(q_rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"cosine_topk collects the query set into the task closure; got "
+            f"more than {MAX_CLOSURE_QUERIES} queries — batch them or use "
+            f"ann_topk_lsh / ivf_topk for large query sets"
+        )
     if not q_rows:
         qt = queries.schema[query_id_col].dataType.simpleString()
         it = corpus.schema[id_col].dataType.simpleString()

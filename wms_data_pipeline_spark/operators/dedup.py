@@ -96,10 +96,13 @@ def shingle_hash_col(shingles: Column, hash_family: str = "md5") -> Column:
     ``hash_family="md5"`` (default) is the cross-engine convention — the
     identical expression exists in the DuckDB oracles, so results are
     bit-reproducible across engines. ``"xxhash64"`` is the production
-    profile: Spark's native codegen intrinsic, ~3× cheaper per shingle,
-    with no cross-engine reproducibility claim (signatures differ from
-    the md5 family but near-dup detection quality is equivalent — the
-    permutation layer only needs a uniform base hash)."""
+    profile: Spark's native codegen intrinsic, MEASURED 1.79× faster for
+    the whole signature stage at the 640k-doc stress scale (34.5 s →
+    19.3 s, tools/ab_hashfamily.py), with no cross-engine reproducibility
+    claim (signatures differ from the md5 family but near-dup detection
+    quality is equivalent — pair-set Jaccard 0.996 on the same corpus,
+    and the permutation layer only needs a uniform base hash; recall
+    equivalence is pinned by test_hash_family_pair_recall_equivalent)."""
     if hash_family == "md5":
         return F.transform(
             shingles,
@@ -201,7 +204,8 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, Jaccard-verified.
     ``hash_family``: see ``shingle_hash_col`` — "md5" (oracle-reproducible
-    default) or "xxhash64" (production profile, ~3× cheaper base hash;
+    default) or "xxhash64" (production profile, measured 1.79× faster
+    signature stage at 640k docs;
     the Jaccard verification makes the final pair set insensitive to the
     family except at the LSH candidate-recall margin).
 

@@ -25,6 +25,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -55,10 +56,87 @@ def with_binary_content(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6) encoder: 8-bit RGB, ``3*width*height`` pixel bytes.
+    Codec-free — the netpbm header is ASCII and the raster is raw bytes."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"P6 {width}x{height} needs {3 * width * height} pixel bytes, "
+            f"got {len(pixels)}"
+        )
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
 def decode_image_real(content: bytes) -> dict:
-    """Where a real decoder goes (Pillow: ``Image.open(io.BytesIO(content))``).
-    Not available in this container."""
-    raise NotImplementedError("image codec libraries are not installed in this environment")
+    """REAL image decode for the codec-free netpbm formats: binary PPM
+    (``P6``, RGB) and PGM (``P5``, grayscale) — header parse + raster
+    length validation, no image library required. Formats needing a codec
+    (JPEG/PNG/…) still raise; Pillow would slot into the same contract
+    (``Image.open(io.BytesIO(content))``).
+
+    Returns ``{format, width, height, maxval, pixel_bytes}``; raises
+    ``ValueError`` on a malformed or truncated file."""
+    magic = content[:2]
+    if magic not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            f"unsupported image magic {magic!r}: only codec-free netpbm "
+            f"P6/P5 decode is available in this environment"
+        )
+    # netpbm header: magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment running to end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        if pos >= len(content):
+            raise ValueError("truncated netpbm header")
+        c = content[pos : pos + 1]
+        if c == b"#":
+            nl = content.find(b"\n", pos)
+            pos = len(content) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(content) and not content[end : end + 1].isspace():
+                end += 1
+            tokens.append(content[pos:end])
+            pos = end
+    pos += 1  # single whitespace after maxval, then the raster
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError as e:
+        raise ValueError(f"bad netpbm header tokens {tokens!r}") from e
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported maxval {maxval} (only 8-bit supported)")
+    channels = 3 if magic == b"P6" else 1
+    need = channels * width * height
+    raster = content[pos:]
+    if len(raster) < need:
+        raise ValueError(
+            f"truncated raster: {magic.decode()} {width}x{height} needs "
+            f"{need} bytes, got {len(raster)}"
+        )
+    return {
+        "format": "image/x-portable-pixmap" if magic == b"P6" else "image/x-portable-graymap",
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "pixel_bytes": need,
+    }
+
+
+def real_image_meta(doc_id: int, content: bytes) -> dict:
+    """IMAGE_META_SCHEMA row via the REAL netpbm decoder."""
+    import hashlib
+
+    meta = decode_image_real(content)
+    return {
+        "doc_id": doc_id,
+        "byte_len": len(content),
+        "format": meta["format"],
+        "width": meta["width"],
+        "height": meta["height"],
+        "sha256": hashlib.sha256(content).hexdigest(),
+    }
 
 
 def fake_image_meta(doc_id: int, content: bytes) -> dict:
@@ -77,16 +155,47 @@ def fake_image_meta(doc_id: int, content: bytes) -> dict:
     }
 
 
-def decode_images(df: DataFrame, id_col: str = "doc_id", content_col: str = "content") -> DataFrame:
+def with_ppm_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test adapter: a REAL binary PPM (P6) blob per row, deterministically
+    derived from the id (width = id % 16 + 1, height = id % 8 + 1, pixel
+    bytes = (id + i) * 31 mod 256) — so the decoded metadata is
+    arithmetic on the id and therefore ORACLE-EXPRESSIBLE while the bytes
+    going through the decode stage are a genuine image file."""
+
+    @pandas_udf("binary")
+    def _blob(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 16 + 1, i % 8 + 1
+            pixels = bytes(((i + j) * 31) % 256 for j in range(3 * w * h))
+            out.append(encode_ppm(w, h, pixels))
+        return pd.Series(out)
+
+    return df.withColumn("content", _blob(F.col(id_col)))
+
+
+def decode_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    decoder: str = "fake",
+) -> DataFrame:
     """Arrow-batched decode stage: mapInPandas over (id, content) →
-    IMAGE_META_SCHEMA. Swap ``fake_image_meta`` for a real decoder when the
-    codec libs exist; the plumbing (batch shape, schema, partition streaming)
-    is the production path."""
+    IMAGE_META_SCHEMA. ``decoder="fake"`` derives deterministic metadata
+    from the bytes (any blob, oracle-reproducible); ``decoder="real"``
+    runs the codec-free netpbm decoder (``decode_image_real``) — real
+    header parse + raster validation — and raises on non-netpbm bytes.
+    Either way the plumbing (batch shape, schema, partition streaming) is
+    the production path a Pillow-backed decoder would ride unchanged."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    meta_fn = fake_image_meta if decoder == "fake" else real_image_meta
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = [
-                fake_image_meta(int(i), bytes(c) if c is not None else b"")
+                meta_fn(int(i), bytes(c) if c is not None else b"")
                 for i, c in zip(pdf[id_col], pdf[content_col])
             ]
             yield pd.DataFrame(out)

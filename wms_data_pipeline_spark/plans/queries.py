@@ -1869,6 +1869,31 @@ def mm_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_images(blobs, id_col="doc_id", content_col="content")
 
 
+@query(
+    "mm_real_decode",
+    "SELECT doc_id, 'image/x-portable-pixmap' AS format, "
+    "doc_id % 16 + 1 AS width, doc_id % 8 + 1 AS height, "
+    "CAST(length('P6' || chr(10) || CAST(doc_id % 16 + 1 AS VARCHAR) || ' ' "
+    "|| CAST(doc_id % 8 + 1 AS VARCHAR) || chr(10) || '255' || chr(10)) "
+    "+ 3 * (doc_id % 16 + 1) * (doc_id % 8 + 1) AS BIGINT) AS byte_len "
+    "FROM documents",
+    doc="REAL image decode through the multimodal stage: a genuine binary "
+    "PPM (P6) file per row (with_ppm_content — header + raster bytes, "
+    "dimensions derived from doc_id) flows through the Arrow mapInPandas "
+    "decode stage, whose netpbm decoder parses the header and validates "
+    "the raster (multimodal.py decode_image_real). The oracle reproduces "
+    "the decoded width/height/byte_len arithmetically from doc_id, so a "
+    "header-parse bug breaks the hash compare — full value oracle over a "
+    "real codec-free decode, not a fake.",
+)
+def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = mm.with_ppm_content(docs)
+    return mm.decode_images(
+        blobs, id_col="doc_id", content_col="content", decoder="real"
+    ).select("doc_id", "format", "width", "height", "byte_len")
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in REGISTRY.items() if v.headline}
 

@@ -203,13 +203,32 @@ def skew_stress(n_events: int = 50_000_000, hot_frac: float = 0.5) -> None:
     spark.stop()
 
 
-def streaming_stress(rows_per_sec: int = 2_000_000, run_seconds: int = 40) -> None:
-    """Structured Streaming throughput: rate source → watermarked keyed
-    dedup → tumbling-window counts → noop sink, the §2.2 pipeline shape
-    under sustained load. Reports per-batch processedRowsPerSecond from
-    the engine's own progress metrics (not wall-clock guesswork). State
-    stays bounded: dedup keys expire at the watermark, windows emit and
-    drop once the watermark passes them."""
+_STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+}
+
+
+def streaming_stress(rows_per_batch: int = 4_000_000, run_seconds: int = 90) -> None:
+    """Structured Streaming throughput: rate-micro-batch source →
+    watermarked keyed dedup → tumbling-window counts → noop sink, the
+    §2.2 pipeline shape under sustained load. Reports per-batch
+    processedRowsPerSecond from the engine's own progress metrics (not
+    wall-clock guesswork). State stays bounded: dedup keys expire at the
+    watermark, windows emit and drop once the watermark passes them.
+
+    Uses ``rate-micro-batch`` (fixed rows per batch, event time advancing
+    1s/batch) rather than ``rate``: the wall-clock rate source hands the
+    entire accumulated backlog to whichever batch runs next, so a
+    saturated run degenerates into one giant catch-up batch whose
+    processedRowsPerSecond mixes state-store warmup into the number.
+    Fixed-size batches give a stable per-batch steady state after the
+    first batch (dropped as warmup).
+
+    Runs once per state-store provider: the default HDFS-backed in-memory
+    map and the in-box RocksDB provider (pyspark bundles rocksdbjni).
+    The provider class is a per-query SQL conf, pinned at query start via
+    the checkpoint, so one session A/Bs both legs back to back."""
     import statistics
     import tempfile
 
@@ -217,54 +236,60 @@ def streaming_stress(rows_per_sec: int = 2_000_000, run_seconds: int = 40) -> No
 
     spark = get_spark("stress-streaming")
     spark.sparkContext.setLogLevel("ERROR")
-    src = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", rows_per_sec)
-        .option("numPartitions", 32)
-        .load()
-    )
-    ev = src.select(
-        (F.col("value") % 500_000).alias("id"),
-        F.col("timestamp").alias("updated_at"),
-        (F.col("value") % 97).cast("double").alias("v"),
-    )
-    deduped = dedup_stream(ev, keys=["id", "updated_at"], delay="10 seconds")
-    agg = tumbling_counts(
-        deduped, ts_col="updated_at", window="5 seconds", delay="5 seconds", keys=[]
-    )
-    ckpt = tempfile.mkdtemp(prefix="stress_stream_ckpt_")
-    q = (
-        agg.writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    time.sleep(run_seconds)
     import json
 
-    progress = [
-        json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
-    ]
-    rates = [
-        p["processedRowsPerSecond"] for p in progress if p.get("numInputRows", 0) > 0
-    ]
-    q.stop()
-    spark.stop()
-    if rates:
-        print(
-            f"streaming dedup+window over rate source: offered {rows_per_sec / 1e6:.1f}M rows/s, "
-            f"sustained median {statistics.median(rates) / 1e6:.2f}M rows/s "
-            f"(p10 {sorted(rates)[len(rates) // 10] / 1e6:.2f}M) over {len(rates)} batches",
-            flush=True,
+    for provider, cls in _STATE_STORE_PROVIDERS.items():
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("numPartitions", 32)
+            .option("advanceMillisPerBatch", 1000)
+            .load()
         )
-    else:
-        print("streaming stress: no batches completed", flush=True)
+        ev = src.select(
+            (F.col("value") % 500_000).alias("id"),
+            F.col("timestamp").alias("updated_at"),
+            (F.col("value") % 97).cast("double").alias("v"),
+        )
+        deduped = dedup_stream(ev, keys=["id", "updated_at"], delay="10 seconds")
+        agg = tumbling_counts(
+            deduped, ts_col="updated_at", window="5 seconds", delay="5 seconds", keys=[]
+        )
+        ckpt = tempfile.mkdtemp(prefix=f"stress_stream_ckpt_{provider}_")
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        time.sleep(run_seconds)
+        progress = [
+            json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+        ]
+        rates = [
+            p["processedRowsPerSecond"]
+            for p in progress
+            if p.get("numInputRows", 0) > 0
+        ][1:]  # drop batch 1: state-store + codegen warmup
+        q.stop()
+        if rates:
+            print(
+                f"[{provider}] streaming dedup+window, {rows_per_batch / 1e6:.0f}M-row "
+                f"micro-batches: sustained median {statistics.median(rates) / 1e6:.2f}M rows/s "
+                f"(p10 {sorted(rates)[len(rates) // 10] / 1e6:.2f}M) over {len(rates)} batches",
+                flush=True,
+            )
+        else:
+            print(f"[{provider}] streaming stress: no steady-state batches", flush=True)
+    spark.stop()
 
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
         streaming_stress(
-            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 2_000_000
+            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 2_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 40,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":

@@ -33,7 +33,7 @@ from wms_data_pipeline_spark.operators.incremental import incremental_filter
 from wms_data_pipeline_spark.operators.merge import history_merge, latest_merge
 from wms_data_pipeline_spark.operators.normalize import dedup_keep_last
 from wms_data_pipeline_spark.operators.payload import with_payload_and_hash
-from wms_data_pipeline_spark.schemas import load_table
+from wms_data_pipeline_spark.schemas import load_table, table_rows_hint
 
 # Watermark cut for the events "entity stream" — ~2/3 history, 1/3 batch.
 EVENTS_CUT = "2024-01-20 00:00:00"
@@ -1568,8 +1568,18 @@ FROM curated GROUP BY lang
 )
 def txt_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    # regex-heavy map stage over a one-row-group file: fan out across cores
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # Fan the regex map stage out across cores ONLY above the measured
+    # break-even: under AQE the repartition is its own query stage
+    # (~0.45 s of scheduling floor on local[32]) while the four counting
+    # regex scans cost ~0.1 ms/doc serialized — so below ~4k docs the
+    # single-task scan stage is strictly faster (0.88 s vs 1.17 s at
+    # sf0.1's 5k docs; decomposition in SCALE_NOTES round 5). Unknown
+    # row count (remote path) takes the conservative branch: repartition.
+    # At real scale the scan has many files/row groups and parallelizes
+    # without this — the guard only matters for small single-file inputs.
+    rows = table_rows_hint(sf_dir, "documents")
+    if rows is None or rows > 8_000:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     scored = txt.quality_features(docs).filter(F.col("quality_score") >= 0.5)
     fp = txt.fingerprint(scored)
     # keep-first per fingerprint as an algebraic struct-min aggregate, not a

@@ -217,6 +217,39 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
 }
 
 
+def table_rows_hint(sf_dir: str, name: str) -> int | None:
+    """Driver-side parquet footer row count — no Spark job, no data read.
+
+    Used by CPU-bound map stages to decide whether fanning a small scan out
+    across cores is worth a dedicated exchange: under AQE every
+    ``repartition`` materializes as its own query stage, a measured
+    ~0.45 s of pure scheduling floor on local[32] (SCALE_NOTES, round 5),
+    so below a few thousand rows the serialized map work is CHEAPER than
+    the stage it would take to parallelize it.
+
+    Local filesystem paths only (single file or a directory of part
+    files). Returns None for anything it can't probe — remote URIs,
+    missing files — and callers must treat None as "unknown: take the
+    conservative branch" (i.e. repartition; correct at scale, where the
+    probe being impossible usually means the input is big anyway).
+    """
+    import glob
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = glob.glob(os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table. Plain parquet scan — Catalyst handles
     column pruning / predicate pushdown from whatever the caller selects.

@@ -1,0 +1,138 @@
+"""Round-5 operators: bigram LM scoring, deterministic source mixing,
+last-touch attribution. Hand-computed expectations on tiny inputs; the
+sf0.01 oracle parity for the same operators runs in tools/parity.py."""
+
+import datetime
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from wms_data_pipeline_spark.operators import text as txt
+
+
+def _hex64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------- bigram LM
+
+
+def test_doc_bigrams_short_docs_drop(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two tokens")], ["doc_id", "text"]
+    )
+    rows = txt.doc_bigrams(df).collect()
+    assert [(r.doc_id, r.head, r.word) for r in rows] == [(3, "two", "tokens")]
+
+
+def test_bigram_lm_score_hand_case(spark):
+    # corpus: d1 = "a b a b", d2 = "a b c"
+    # cab: (a,b)=3 (b,a)=1 (b,c)=1; ca: a=3 b=2; V = |{a,b,c}| = 3
+    df = spark.createDataFrame([(1, "a b a b"), (2, "a b c")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in txt.bigram_lm_score(df).collect()}
+    p_ab = math.log(3.5 / 4.5)
+    p_ba = math.log(1.5 / 3.5)
+    p_bc = math.log(1.5 / 3.5)
+    assert out[1].n_bigrams == 3
+    assert out[2].n_bigrams == 2
+    assert out[1].lm_score == pytest.approx(round((2 * p_ab + p_ba) / 3, 6), abs=1e-6)
+    assert out[2].lm_score == pytest.approx(round((p_ab + p_bc) / 2, 6), abs=1e-6)
+
+
+def test_bigram_lm_repetitive_beats_garbled(spark):
+    """The filter's point: common-transition text scores above text whose
+    transitions are unique in the corpus."""
+    common = " ".join(["the cat sat"] * 5)
+    rows = [(i, common) for i in range(10)] + [(99, "zq xv qj wk vv zz")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.lm_score for r in txt.bigram_lm_score(df).collect()}
+    assert out[0] > out[99]
+
+
+# ---------------------------------------------------------------- mixing
+
+
+def test_mix_sources_matches_driver_side_recompute(spark):
+    from wms_data_pipeline_spark.plans.queries import MIX_RATES_BP, txt_mix_sources
+
+    out = {r.source: r for r in txt_mix_sources(spark, "/root/testdata/sf0.01").collect()}
+    import duckdb
+
+    docs = duckdb.sql(
+        "SELECT doc_id, source, n_chars FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()
+    expected: dict[str, list[int]] = {}
+    for doc_id, source, n_chars in docs:
+        keep = _hex64(f"{doc_id}:mix") % 10_000 < MIX_RATES_BP.get(source, 0)
+        tot, kept, chars = expected.setdefault(source, [0, 0, 0])
+        expected[source] = [tot + 1, kept + keep, chars + (n_chars if keep else 0)]
+    assert set(out) == set(expected)
+    for s, (tot, kept, chars) in expected.items():
+        assert (out[s].total_docs, out[s].kept_docs, out[s].kept_chars) == (
+            tot,
+            kept,
+            chars,
+        ), s
+
+
+def test_mix_rates_are_roughly_respected(spark):
+    from wms_data_pipeline_spark.plans.queries import txt_mix_sources
+
+    out = {r.source: r for r in txt_mix_sources(spark, "/root/testdata/sf0.1").collect()}
+    # src0-4 keep-all is exact; the hash is uniform so 10% sources keep
+    # far fewer than half-rate sources at 250 docs/source.
+    assert all(out[f"src{i}"].kept_docs == out[f"src{i}"].total_docs for i in range(5))
+    low = sum(out[f"src{i}"].kept_docs for i in range(15, 20))
+    half = sum(out[f"src{i}"].kept_docs for i in range(5, 10))
+    assert low < half
+
+
+# ---------------------------------------------------------------- attribution
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 3, 1, h, m)
+
+
+def test_last_touch_attribution_hand_case(spark):
+    from wms_data_pipeline_spark.operators import relational as rel
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(10, 0), 1, "click", 0.0),
+            (2, _ts(10, 30), 1, "click", 0.0),
+            (3, _ts(11, 0), 1, "purchase", 9.5),
+            (4, _ts(18, 0), 1, "purchase", 3.0),  # last click 7.5h ago: no credit
+            (5, _ts(9, 0), 2, "click", 0.0),
+            (6, _ts(9, 0), 2, "click", 0.0),  # same ts: max event_id wins
+            (7, _ts(9, 30), 2, "purchase", 1.0),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = {
+        r.event_id: r
+        for r in rel.asof_join(
+            purchases,
+            clicks,
+            left_on="user_id",
+            right_on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_cols=["click_event_id"],
+            tolerance="6 HOUR",
+            left_unique=["event_id"],
+        ).collect()
+    }
+    assert out[3].click_event_id == 2 and out[3].asof_ts == _ts(10, 30)
+    assert out[4].click_event_id is None
+    assert out[7].click_event_id == 6

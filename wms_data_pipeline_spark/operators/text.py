@@ -131,3 +131,76 @@ def fingerprint(df: DataFrame, colname: str = "text", out_col: str = "fingerprin
     for noisy corpora."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(colname)), r"\s+", " "))
     return df.withColumn(out_col, F.sha2(norm, 256))
+
+
+def doc_bigrams(df: DataFrame, colname: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Explode each document into its whitespace-token bigrams:
+    (id, head, word) — one row per adjacent token pair, map-side.
+
+    The bigram array is built with one ``zip_with`` pass over two slices of
+    the token array (a single interpreted-lambda traversal per row — cheap,
+    unlike the 60-projection HOF pattern the Arrow kernels replaced; see
+    SCALE_NOTES). Documents with fewer than two tokens produce no rows
+    (``greatest(size-1, 0)`` guards the slice length against empty text).
+    """
+    toks = tokens_of(colname)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("head"), b.alias("word")),
+    )
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("__bg")
+    ).select(id_col, F.col("__bg.head").alias("head"), F.col("__bg.word").alias("word"))
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    colname: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Statistical LM quality score (CCNet-style filter, public method):
+    train add-k-smoothed bigram counts on the corpus itself, then score
+    each document by its mean log bigram probability —
+    ``P(w|h) = (c(h,w)+k) / (c(h)+k*V)`` with V = distinct second-words.
+    Low scores flag boilerplate/garbled text whose token transitions are
+    rare in the corpus; high scores flag repetitive high-frequency text.
+
+    Returns (id, n_bigrams, lm_score) — documents with <2 tokens drop out.
+    Plan shape: one explode feeds both the count tables and the scoring
+    join; the heavy joins shuffle on the bigram key (h, w) — never doc×doc
+    — and the head-count table joins by head. At 100 TB the bigram
+    relation would persist once (a landing table) instead of being
+    recomputed by each consumer, and the LM tables are pruned to top-N
+    bigrams before broadcasting; the scoring join's key distribution is
+    Zipfian, which is exactly what AQE skew-join handles.
+
+    k=0.5 is exact in binary, so the smoothed ratio is bit-identical
+    across engines; the mean-of-logs is rounded to 6 dp (the established
+    cross-engine FP contract, same as tf-idf/cosine).
+    """
+    bg = doc_bigrams(df, colname, id_col)
+    cab = bg.groupBy("head", "word").agg(F.count(F.lit(1)).alias("__cab"))
+    ca = cab.groupBy("head").agg(F.sum("__cab").alias("__ca"))
+    vocab = bg.agg(F.countDistinct("word").alias("__v"))
+    p = (
+        cab.join(ca, "head")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.col("__cab") + F.lit(k))
+                / (F.col("__ca") + F.lit(k) * F.col("__v"))
+            ),
+        )
+        .select("head", "word", "__logp")
+    )
+    return (
+        bg.join(p, ["head", "word"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__logp"), 6).alias("lm_score"),
+        )
+    )

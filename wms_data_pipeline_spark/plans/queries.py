@@ -1857,6 +1857,112 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "txt_bigram_lm_score",
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+    "bg AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS head, unnest(tk[2:len(tk)]) AS word FROM t), "
+    "cab AS (SELECT head, word, count(*) AS cab FROM bg GROUP BY 1, 2), "
+    "ca AS (SELECT head, sum(cab) AS ca FROM cab GROUP BY 1), "
+    "v AS (SELECT count(DISTINCT word) AS v FROM bg), "
+    "p AS (SELECT head, word, ln((cab + 0.5) / (ca + 0.5 * v)) AS logp "
+    "FROM cab JOIN ca USING (head) CROSS JOIN v) "
+    "SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS lm_score "
+    "FROM bg JOIN p USING (head, word) GROUP BY doc_id",
+    doc="Statistical LM quality filter (CCNet-style, public method): add-k "
+    "bigram model trained on the corpus itself, each doc scored by mean log "
+    "bigram probability. Joins shuffle on the bigram key — never doc x doc; "
+    "k=0.5 is exact in binary so the smoothed ratio is bit-identical across "
+    "engines (operators/text.py bigram_lm_score).",
+)
+def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return txt.bigram_lm_score(docs)
+
+
+#: Deterministic mixture-sampling rates in basis points (of 10,000) per
+#: source group — the "data mixing" knob of a training-corpus build. A real
+#: run derives these from a token budget per source; the sampling mechanism
+#: (content-stable hash threshold) is the operator under test.
+MIX_RATES_BP: dict[str, int] = {
+    **{f"src{i}": 10_000 for i in range(5)},   # keep all
+    **{f"src{i}": 5_000 for i in range(5, 10)},   # half
+    **{f"src{i}": 2_500 for i in range(10, 15)},  # quarter
+    **{f"src{i}": 1_000 for i in range(15, 20)},  # 10%
+}
+
+
+@query(
+    "txt_mix_sources",
+    "SELECT source, count(*) AS total_docs, "
+    "count(*) FILTER (WHERE keep) AS kept_docs, "
+    "CAST(coalesce(sum(n_chars) FILTER (WHERE keep), 0) AS BIGINT) AS kept_chars "
+    "FROM (SELECT source, n_chars, "
+    "('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 10000 < "
+    "CASE " + " ".join(
+        f"WHEN source = '{s}' THEN {bp}" for s, bp in MIX_RATES_BP.items()
+    ) + " ELSE 0 END AS keep FROM documents) GROUP BY source",
+    doc="Deterministic source-weighted mixture sampling (the data-mixing "
+    "step of a corpus build): keep a doc iff its content-stable 60-bit "
+    "hash bucket falls under the source's rate. Pure map expression + one "
+    "aggregate — reproducible across runs/engines, usable as a partition "
+    "predicate at 100 TB (unlike rand() sampling).",
+)
+def txt_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    bucket = txt.hex64(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))) % 10_000
+    rate = F.lit(0)
+    for s, bp in MIX_RATES_BP.items():
+        rate = F.when(F.col("source") == s, F.lit(bp)).otherwise(rate)
+    keep = bucket < rate
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.count(F.when(keep, 1)).alias("kept_docs"),
+        F.coalesce(F.sum(F.when(keep, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+@query(
+    "evt_attribution_last_touch",
+    "WITH c AS (SELECT user_id, ts, max(event_id) AS click_event_id "
+    "FROM events WHERE event_type = 'click' GROUP BY 1, 2), "
+    "p AS (SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'purchase') "
+    "SELECT event_id, ts, user_id, value, click_event_id, asof_ts FROM ("
+    "SELECT p.event_id, p.ts, p.user_id, p.value, c.click_event_id, c.ts AS asof_ts, "
+    "row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC) AS rn "
+    "FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts "
+    "AND c.ts >= p.ts - INTERVAL 6 HOUR) WHERE rn = 1",
+    doc="Last-touch attribution: each purchase credits the most recent "
+    "prior click by the same user within 6 h — the as-of-join operator "
+    "reused on a marketing-analytics shape. The click side is deduped to "
+    "one row per (user, ts) first (keep max event_id) so the as-of winner "
+    "is deterministic on both engines.",
+)
+def evt_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = rel.asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_event_id"],
+        tolerance="6 HOUR",
+        left_unique=["event_id"],
+    )
+    return out.select("event_id", "ts", "user_id", "value", "click_event_id", "asof_ts")
+
+
 # ===========================================================================
 # mm_* — multimodal binary-column plumbing (decode stubbed, see
 # operators/multimodal.py).

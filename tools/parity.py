@@ -137,36 +137,41 @@ def _record_results(checked: list[str], failures: list[str], sf_dir: str) -> Non
 
 
 def _sync_scale_notes(root: str, state: dict) -> None:
-    """Rewrite the generated parity-state block in SCALE_NOTES.md from the
-    artifact just written — self-reported counts are generated, never
-    typed (VERDICT r4 ask #8: a hand-typed 127/127 outlived a 128-query
-    registry)."""
+    """Rewrite the generated parity-state blocks in SCALE_NOTES.md and
+    COVERAGE.md from the artifact just written — self-reported counts are
+    generated, never typed (VERDICT r4 ask #8: a hand-typed 127/127
+    outlived a 128-query registry)."""
     begin = "<!-- generated:parity (written by tools/parity.py — do not edit) -->"
     end = "<!-- /generated:parity -->"
     results = state.get("results", {})
     n_pass = sum(1 for v in results.values() if v == "pass")
+    n_oracled = sum(1 for s in REGISTRY.values() if s.oracle is not None)
     block = (
         f"{begin}\n"
         f"**Parity state** (cumulative, per-name latest result; artifact:\n"
         f"`PARITY_LAST.json`): **{n_pass}/{len(results)} pass** of a\n"
-        f"**{len(REGISTRY)}-query registry**; last run {state['checked_at']}\n"
+        f"**{len(REGISTRY)}-query registry** ({n_oracled} oracle-paired);\n"
+        f"last run {state['checked_at']}\n"
         f"at `{state['sf_dir']}`.\n"
         f"{end}"
     )
-    notes = os.path.join(root, "SCALE_NOTES.md")
-    try:
-        with open(notes) as f:
-            text = f.read()
-    except FileNotFoundError:
-        return
-    if begin in text and end in text:
-        head, rest = text.split(begin, 1)
-        _, tail = rest.split(end, 1)
-        text = head + block + tail
-    else:
-        text = text.rstrip() + "\n\n" + block + "\n"
-    with open(notes, "w") as f:
-        f.write(text)
+    for fname in ("SCALE_NOTES.md", "COVERAGE.md"):
+        doc = os.path.join(root, fname)
+        try:
+            with open(doc) as f:
+                text = f.read()
+        except FileNotFoundError:
+            continue
+        if begin in text and end in text:
+            head, rest = text.split(begin, 1)
+            _, tail = rest.split(end, 1)
+            text = head + block + tail
+        elif fname == "SCALE_NOTES.md":
+            text = text.rstrip() + "\n\n" + block + "\n"
+        else:
+            continue  # COVERAGE.md only syncs where a block was placed
+        with open(doc, "w") as f:
+            f.write(text)
 
 
 if __name__ == "__main__":

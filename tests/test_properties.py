@@ -117,3 +117,48 @@ def test_latest_merge_single_pass_equals_collapsed(spark, old, new):
     )
     as_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert as_set(single) == as_set(collapsed)
+
+
+# --------------------------------------------------------------- bigram LM
+
+_word = st.sampled_from(["a", "b", "c", "dd"])
+_doc = st.lists(_word, min_size=0, max_size=6).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_bigram_lm_score_equals_python_model(spark, docs):
+    """bigram_lm_score against a dict-based Python reference LM over
+    arbitrary tiny corpora: identical n_bigrams, lm_score equal to the
+    reference mean-log-probability within the 6-dp rounding contract, and
+    <2-token docs absent from the output."""
+    import math
+
+    from wms_data_pipeline_spark.operators.text import bigram_lm_score
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.lm_score) for r in bigram_lm_score(df).collect()}
+
+    cab: dict[tuple, int] = {}
+    ca: dict[str, int] = {}
+    vocab = set()
+    per_doc: dict[int, list] = {}
+    for i, doc in enumerate(docs):
+        toks = doc.split()
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        for h, w in bgs:
+            cab[(h, w)] = cab.get((h, w), 0) + 1
+            ca[h] = ca.get(h, 0) + 1
+            vocab.add(w)
+    v = len(vocab)
+    for i, bgs in per_doc.items():
+        if not bgs:
+            assert i not in got
+            continue
+        logps = [
+            math.log((cab[(h, w)] + 0.5) / (ca[h] + 0.5 * v)) for h, w in bgs
+        ]
+        n, score = got[i]
+        assert n == len(bgs)
+        assert abs(score - sum(logps) / len(logps)) <= 1e-6

@@ -14,7 +14,10 @@ import pytest
 
 from tools.planlint import lint_registry
 
-SF = "/root/testdata/sf0.01"
+# sf0.001: plan SHAPES are scale-independent (same operators, same joins)
+# and the smallest dataset minimizes the eager plan-time work a few
+# queries do (scalar probes, quantizer training), keeping the suite fast.
+SF = "/root/testdata/sf0.001"
 
 needs_testdata = pytest.mark.skipif(
     not os.path.exists(SF), reason="driver testdata not present"

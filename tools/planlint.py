@@ -81,6 +81,22 @@ def main() -> None:
         f"planlint: {len(exchanges)} plans built, "
         f"{len(violations)} violations, {len(errors)} errors"
     )
+    # Persist per-query exchange counts so `git diff PLANLINT_LAST.json`
+    # surfaces any query whose plan silently grew a shuffle.
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANLINT_LAST.json"), "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "violations": [list(v) for v in violations],
+                "errors": errors,
+                "exchanges": dict(sorted(exchanges.items())),
+            },
+            f,
+            indent=1,
+        )
     spark.stop()
     sys.exit(1 if (violations or errors) else 0)
 

@@ -209,7 +209,12 @@ _STATE_STORE_PROVIDERS = {
 }
 
 
-def streaming_stress(rows_per_batch: int = 4_000_000, run_seconds: int = 90) -> None:
+def streaming_stress(
+    rows_per_batch: int = 4_000_000,
+    run_seconds: int = 90,
+    key_space: int = 500_000,
+    only_provider: str | None = None,
+) -> None:
     """Structured Streaming throughput: rate-micro-batch source →
     watermarked keyed dedup → tumbling-window counts → noop sink, the
     §2.2 pipeline shape under sustained load. Reports per-batch
@@ -239,6 +244,8 @@ def streaming_stress(rows_per_batch: int = 4_000_000, run_seconds: int = 90) -> 
     import json
 
     for provider, cls in _STATE_STORE_PROVIDERS.items():
+        if only_provider and provider != only_provider:
+            continue
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
         src = (
             spark.readStream.format("rate-micro-batch")
@@ -248,7 +255,7 @@ def streaming_stress(rows_per_batch: int = 4_000_000, run_seconds: int = 90) -> 
             .load()
         )
         ev = src.select(
-            (F.col("value") % 500_000).alias("id"),
+            (F.col("value") % key_space).alias("id"),
             F.col("timestamp").alias("updated_at"),
             (F.col("value") % 97).cast("double").alias("v"),
         )
@@ -290,6 +297,8 @@ def main() -> None:
         streaming_stress(
             int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 2_000_000,
             int(sys.argv[3]) if len(sys.argv) > 3 else 40,
+            int(float(sys.argv[4]) * 1e6) if len(sys.argv) > 4 else 500_000,
+            sys.argv[5] if len(sys.argv) > 5 else None,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--skew":

@@ -343,6 +343,8 @@ def test_decode_real_ppm_golden():
         "height": 3,
         "maxval": 255,
         "pixel_bytes": 18,
+        "channels": 3,
+        "raster_offset": 11,  # len(b"P6\n2 3\n255\n")
     }
     # P5 grayscale + a header comment
     pgm = b"P5\n# a comment\n4 2\n255\n" + bytes(8)
@@ -510,3 +512,43 @@ def test_sketch_banded_neardup_auto_sizes_by_default(spark):
     assert sorted(map(tuple, auto)) == sorted(map(tuple, pinned))
     with pytest.raises(ValueError, match="all of"):
         sim.sketch_banded_neardup(e, n_planes=24)
+
+
+def test_netpbm_array_golden():
+    """Raster bytes land in the right (y, x, channel) cells."""
+    img, meta = mm.netpbm_array(_GOLDEN_PPM)
+    assert img.shape == (3, 2, 3)
+    # byte j = 3*(y*w + x) + c with raster bytes 0..17
+    assert img[0, 0, 0] == 0 and img[0, 1, 2] == 5 and img[2, 1, 1] == 16
+
+
+def test_resize_images_golden(spark):
+    """Nearest-neighbor resize against a hand-computed checksum: 2x3 golden
+    image to 4x2 — src index = (dst * src) // dst_out per axis."""
+    df = spark.createDataFrame([(1, bytearray(_GOLDEN_PPM))], "doc_id long, content binary")
+    row = mm.resize_images(df, out_w=4, out_h=2).collect()[0]
+    assert (row.width, row.height, row.out_w, row.out_h) == (2, 3, 4, 2)
+    # rows: y2=0 -> (0*3)//2=0; y2=1 -> (1*3)//2=1
+    # cols: x2=0,1 -> 0; x2=2,3 -> 1  (xs = (x2*2)//4)
+    # checksum = sum over picked pixels, each RGB triple summed
+    def px(y, x):
+        j = 3 * (y * 2 + x)
+        return j + (j + 1) + (j + 2)
+
+    expected = sum(px(y, x) for y in (0, 1) for x in (0, 0, 1, 1))
+    assert row.checksum == expected
+
+
+def test_image_features_golden_and_gray(spark):
+    """Channel means on the golden P6; a P5 gray image reports the same
+    mean on all three channels; rounding is HALF_UP (JVM-side), matching
+    SQL engines rather than Python's banker's rounding."""
+    pgm = b"P5\n2 1\n255\n" + bytes([10, 20])
+    df = spark.createDataFrame(
+        [(1, bytearray(_GOLDEN_PPM)), (2, bytearray(pgm))],
+        "doc_id long, content binary",
+    )
+    out = {r.doc_id: r for r in mm.image_features(df).collect()}
+    # P6 2x3: channel c mean = mean of bytes {c, c+3, ..., c+15} = 7.5 + c
+    assert (out[1].mean_r, out[1].mean_g, out[1].mean_b) == (7.5, 8.5, 9.5)
+    assert (out[2].mean_r, out[2].mean_g, out[2].mean_b) == (15.0, 15.0, 15.0)

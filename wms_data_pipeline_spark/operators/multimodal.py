@@ -6,11 +6,15 @@ Design: a multimodal table carries ``content: binary`` plus typed metadata
 ``mapInPandas`` stages so the Python cost is amortized per batch, never per
 row, and each partition streams — no driver materialization.
 
-The actual codec step is STUBBED (no image/audio libs in this container):
-``decode_image_meta`` is a deterministic fake deriving plausible metadata
-from the bytes; ``decode_image_real`` raises NotImplementedError and marks
-where Pillow/torchaudio/pyav would slot in. The Spark-side plumbing —
-schema, batch iteration, partition flow — is real and tested.
+Codec-FREE formats are decoded for real: ``decode_image_real`` parses
+binary netpbm (P6 RGB / P5 gray) headers and rasters with no image
+library, and ``resize_images`` / ``image_features`` run genuine numpy
+pixel work on the decoded rasters. Formats that need a codec (JPEG/PNG/
+video) still raise NotImplementedError at the decode step —
+Pillow/torchaudio/pyav would slot into the same contract — while
+``decoder="fake"`` keeps a deterministic byte-derived twin for arbitrary
+blobs. The Spark-side plumbing — schema, batch iteration, partition
+flow — is identical for all of them and is real and tested.
 
 Scale notes: binary columns make parquet row groups huge; keep
 ``spark.sql.files.maxPartitionBytes`` moderate and store blobs in their own
@@ -28,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -121,6 +126,8 @@ def decode_image_real(content: bytes) -> dict:
         "height": height,
         "maxval": maxval,
         "pixel_bytes": need,
+        "channels": channels,
+        "raster_offset": pos,
     }
 
 
@@ -206,6 +213,138 @@ def decode_images(
     if narrow.rdd.getNumPartitions() < par:
         narrow = narrow.repartition(par)
     return narrow.mapInPandas(_decode, IMAGE_META_SCHEMA)
+
+
+def netpbm_array(content: bytes):
+    """Decode a netpbm blob to an (height, width, channels) uint8 numpy
+    array — real pixel access, no codec library (P6/P5 rasters are raw
+    bytes after the ASCII header)."""
+    import numpy as np
+
+    meta = decode_image_real(content)
+    off, need = meta["raster_offset"], meta["pixel_bytes"]
+    arr = np.frombuffer(content[off : off + need], dtype=np.uint8)
+    return arr.reshape(meta["height"], meta["width"], meta["channels"]), meta
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """REAL nearest-neighbor resize of netpbm images in the Arrow decode
+    stage: source index = ``(dst * src_extent) // dst_extent`` (integer
+    floor — the standard NN mapping, exactly reproducible in SQL for an
+    arithmetic test raster). Emits original + target dims and the resized
+    raster's byte checksum; at scale the resized bytes themselves would be
+    re-encoded and written back as a binary column — same stage, same
+    batch shape, heavier payload."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                img, meta = netpbm_array(bytes(c))
+                h, w = img.shape[0], img.shape[1]
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized = img[rows][:, cols]
+                out.append(
+                    {
+                        "doc_id": int(i),
+                        "width": w,
+                        "height": h,
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "checksum": int(resized.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    narrow = df.select(id_col, content_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL per-channel feature extraction (mean intensity) over decoded
+    netpbm rasters — the embedding-ish reduce a vision pipeline runs after
+    decode. Grayscale images report the same value on all three channels.
+
+    The Python stage emits EXACT integer channel sums; the mean =
+    ``round(sum / (w*h), 6)`` division happens JVM-side (``F.round``,
+    decimal HALF_UP — the same rule SQL engines use). Rounding inside the
+    UDF would use Python's banker's rounding, which disagrees with SQL at
+    exact .5 ulps — e.g. any 16×8 raster, where n=128 makes x/128 land on
+    a 7-decimal-digit 5."""
+    import numpy as np
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                img, meta = netpbm_array(bytes(c))
+                h, w, ch = img.shape
+                sums = [int(s) for s in img.sum(axis=(0, 1), dtype=np.int64)]
+                if ch == 1:
+                    sums = sums * 3
+                out.append(
+                    {
+                        "doc_id": int(i),
+                        "width": w,
+                        "height": h,
+                        "sum_r": sums[0],
+                        "sum_g": sums[1],
+                        "sum_b": sums[2],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    narrow = df.select(id_col, content_col)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    feats = narrow.mapInPandas(_features, FEATURES_SCHEMA)
+    n = F.col("width") * F.col("height")
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.col("sum_r") / n, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / n, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / n, 6).alias("mean_b"),
+    )
 
 
 def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:

@@ -2010,6 +2010,54 @@ def mm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "format", "width", "height", "byte_len")
 
 
+@query(
+    "mm_resize",
+    # Nearest-neighbor source index = (dst * src_extent) // dst_extent;
+    # raster byte j = 3*(y*w + x) + c with pixel ((doc_id + j)*31) % 256
+    # (with_ppm_content's arithmetic test raster) — so the resized
+    # checksum is an exact integer the oracle reproduces over a 2x4x3 grid.
+    "WITH d AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h FROM documents), "
+    "g AS (SELECT y2.range AS y2, x2.range AS x2, c.range AS c "
+    "FROM range(0, 2) y2, range(0, 4) x2, range(0, 3) c) "
+    "SELECT doc_id, w AS width, h AS height, 4 AS out_w, 2 AS out_h, "
+    "CAST(sum(((doc_id + 3 * (((y2 * h) // 2) * w + ((x2 * w) // 4)) + c) * 31) % 256) "
+    "AS BIGINT) AS checksum "
+    "FROM d CROSS JOIN g GROUP BY doc_id, w, h",
+    doc="REAL nearest-neighbor image resize in the Arrow decode stage: "
+    "genuine P6 rasters are decoded to numpy arrays and downsampled to "
+    "4x2 with the standard integer-floor index mapping "
+    "(multimodal.py resize_images). The oracle recomputes every resized "
+    "pixel arithmetically, so a wrong index mapping or off-by-one in the "
+    "raster parse breaks the hash compare.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = mm.with_ppm_content(docs)
+    return mm.resize_images(blobs, out_w=4, out_h=2)
+
+
+@query(
+    "mm_image_features",
+    "WITH d AS (SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h FROM documents), "
+    "g AS (SELECT range AS p FROM range(0, 128)) "
+    "SELECT doc_id, w AS width, h AS height, "
+    "round(sum(((doc_id + 3 * p + 0) * 31) % 256) / (w * h), 6) AS mean_r, "
+    "round(sum(((doc_id + 3 * p + 1) * 31) % 256) / (w * h), 6) AS mean_g, "
+    "round(sum(((doc_id + 3 * p + 2) * 31) % 256) / (w * h), 6) AS mean_b "
+    "FROM d JOIN g ON g.p < d.w * d.h GROUP BY doc_id, w, h",
+    doc="REAL per-channel feature extraction over decoded rasters: exact "
+    "integer channel sums from numpy, mean division + HALF_UP rounding "
+    "JVM-side so the FP contract matches SQL (multimodal.py "
+    "image_features — the docstring records why rounding in Python would "
+    "break at n=128). Oracle sums the same arithmetic raster per linear "
+    "pixel index.",
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = mm.with_ppm_content(docs)
+    return mm.image_features(blobs)
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in REGISTRY.items() if v.headline}
 

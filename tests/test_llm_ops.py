@@ -552,3 +552,50 @@ def test_image_features_golden_and_gray(spark):
     # P6 2x3: channel c mean = mean of bytes {c, c+3, ..., c+15} = 7.5 + c
     assert (out[1].mean_r, out[1].mean_g, out[1].mean_b) == (7.5, 8.5, 9.5)
     assert (out[2].mean_r, out[2].mean_g, out[2].mean_b) == (15.0, 15.0, 15.0)
+
+
+def test_wav_decode_golden():
+    """RIFF/WAVE walk against golden bytes: exact header parse, chunk
+    order independence, odd-size padding, and malformed-input errors."""
+    import struct
+
+    blob = mm.encode_wav_pcm16(8000, [0, 100, -100, 32767, -32768])
+    meta = mm.decode_audio_real(blob)
+    assert meta == {
+        "format": "audio/wav",
+        "channels": 1,
+        "sample_rate": 8000,
+        "bits": 16,
+        "n_samples": 5,
+        "data_offset": 44,  # canonical 44-byte WAV header
+    }
+    arr, _ = mm.wav_samples(blob)
+    assert list(arr) == [0, 100, -100, 32767, -32768]
+    # an extra odd-sized chunk before data: the walker must skip its pad byte
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    padded = blob[:12] + extra + blob[12:]
+    padded = b"RIFF" + struct.pack("<I", len(padded) - 8) + padded[8:]
+    assert mm.decode_audio_real(padded)["n_samples"] == 5
+    with pytest.raises(NotImplementedError):  # compressed container
+        mm.decode_audio_real(b"\xff\xfb\x90\x00mp3frame....")
+    with pytest.raises(ValueError):  # float WAV (format code 3)
+        bad = bytearray(blob)
+        bad[20] = 3
+        mm.decode_audio_real(bytes(bad))
+    with pytest.raises(ValueError):  # truncated data chunk
+        mm.decode_audio_real(blob[:-2])
+
+
+def test_audio_features_stage(spark):
+    """WAV blobs decode through the Arrow stage with hand-checked stats:
+    sum_abs and RMS over a known 3-sample signal."""
+    import math
+
+    blob = mm.encode_wav_pcm16(16000, [3, -4, 12])
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, content binary")
+    row = mm.audio_features(df).collect()[0]
+    assert (row.format, row.channels, row.sample_rate, row.n_samples) == (
+        "audio/wav", 1, 16000, 3,
+    )
+    assert row.sum_abs == 19
+    assert row.rms == round(math.sqrt((9 + 16 + 144) / 3), 6)

@@ -2058,6 +2058,40 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_features(blobs)
 
 
+@query(
+    "mm_audio_decode",
+    # with_wav_content's test signal: n = id % 800 + 10 mono samples at
+    # 8 kHz, sample[j] = ((id + j) * 37) % 65536 - 32768 (int16).
+    "WITH d AS (SELECT doc_id, doc_id % 800 + 10 AS n FROM documents), "
+    "g AS (SELECT range AS p FROM range(0, 810)) "
+    "SELECT doc_id, 'audio/wav' AS format, 1 AS channels, 8000 AS sample_rate, "
+    "n AS n_samples, "
+    "CAST(sum(abs(((doc_id + p) * 37) % 65536 - 32768)) AS BIGINT) AS sum_abs, "
+    "round(sqrt(sum(power(((doc_id + p) * 37) % 65536 - 32768, 2)) / n), 6) AS rms "
+    "FROM d JOIN g ON g.p < d.n GROUP BY doc_id, n",
+    doc="REAL audio decode through the multimodal stage: a genuine mono "
+    "16-bit PCM WAV per row (with_wav_content) flows through the Arrow "
+    "mapInPandas stage, whose RIFF/WAVE walker parses fmt + data chunks "
+    "and decodes int16 samples (multimodal.py decode_audio_real / "
+    "audio_features). The oracle reproduces sample count, |x| sum and RMS "
+    "arithmetically from doc_id — full value oracle over a codec-free "
+    "audio decode, the WAV twin of mm_real_decode.",
+)
+def mm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = mm.with_wav_content(docs)
+    out = mm.audio_features(blobs)
+    return out.select(
+        "doc_id",
+        "format",
+        F.col("channels").cast("int").alias("channels"),
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        "n_samples",
+        "sum_abs",
+        "rms",
+    )
+
+
 def headline_queries() -> dict[str, QuerySpec]:
     return {k: v for k, v in REGISTRY.items() if v.headline}
 

@@ -292,7 +292,41 @@ def streaming_stress(
     spark.stop()
 
 
+def multimodal_stress(n_items: int = 200_000) -> None:
+    """Multimodal decode-stage throughput: genuine PPM/WAV blobs through
+    the Arrow mapInPandas stages (real header parse + numpy pixel/sample
+    work). Blobs are localCheckpoint-materialized first so each stage's
+    number excludes blob generation. Items here are tiny (≤16×8 rasters,
+    ≤810 samples), so this measures the per-item Python + Arrow overhead
+    floor — larger media shift time into numpy work, which scales with
+    bytes, not items."""
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    spark = get_spark("stress-multimodal")
+    spark.sparkContext.setLogLevel("ERROR")
+    ids = spark.range(n_items).select(F.col("id").alias("doc_id")).repartition(32)
+    ppm = mm.with_ppm_content(ids).localCheckpoint()
+    wav = mm.with_wav_content(ids).localCheckpoint()
+
+    def run(label, df):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        print(f"{label}: {n_items / best / 1e3:.0f}k items/s ({best:.2f}s)", flush=True)
+
+    run("image decode (netpbm real)", mm.decode_images(ppm, decoder="real"))
+    run("image resize 4x2", mm.resize_images(ppm, out_w=4, out_h=2))
+    run("image features", mm.image_features(ppm))
+    run("audio decode+features (wav)", mm.audio_features(wav))
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--multimodal":
+        multimodal_stress(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
         streaming_stress(
             int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 2_000_000,

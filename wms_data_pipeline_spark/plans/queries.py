@@ -2059,6 +2059,37 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "evt_top_paths",
+    "WITH s AS (SELECT user_id, event_type AS e1, "
+    "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, "
+    "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3 "
+    "FROM events) "
+    "SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n_occurrences "
+    "FROM s WHERE e3 IS NOT NULL GROUP BY 1 "
+    "ORDER BY n_occurrences DESC, path LIMIT 20",
+    doc="Event-sequence mining: top-20 per-user event-type trigram paths. "
+    "One keyed window (two leads share a frame), map-side path concat, one "
+    "count aggregate, TakeOrderedAndProject top-k — never materializes "
+    "the path universe. The (ts, event_id) ordering and the count-then-"
+    "path tiebreak make the result deterministic on both engines.",
+)
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
     "mm_audio_decode",
     # with_wav_content's test signal: n = id % 800 + 10 mono samples at
     # 8 kHz, sample[j] = ((id + j) * 37) % 65536 - 32768 (int16).

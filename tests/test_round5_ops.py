@@ -1,6 +1,7 @@
 """Round-5 operators: bigram LM scoring, deterministic source mixing,
-last-touch attribution. Hand-computed expectations on tiny inputs; the
-sf0.01 oracle parity for the same operators runs in tools/parity.py."""
+last-touch attribution, prefix-filtered Jaccard join. Hand-computed
+expectations on tiny inputs; the sf0.01 oracle parity for the same
+operators runs in tools/parity.py."""
 
 import datetime
 import hashlib
@@ -136,3 +137,56 @@ def test_last_touch_attribution_hand_case(spark):
     assert out[3].click_event_id == 2 and out[3].asof_ts == _ts(10, 30)
     assert out[4].click_event_id is None
     assert out[7].click_event_id == 6
+
+
+# ------------------------------------------------------- prefix Jaccard join
+
+
+def test_prefix_jaccard_join_equals_brute_force(spark):
+    """Prefix filtering is EXACT: result identical to all-pairs Jaccard,
+    including near-threshold pairs and docs with no qualifying partner."""
+    from itertools import combinations
+
+    from wms_data_pipeline_spark.operators.dedup import prefix_jaccard_join
+
+    texts = [
+        "a b c d e",          # 0
+        "a b c d f",          # 1: J(0,1) = 4/6 = 0.667
+        "a b c d e x",        # 2: J(0,2) = 5/6 = 0.833
+        "p q r s t",          # 3: island
+        "a b c d e",          # 4: J(0,4) = 1.0
+        "w",                  # 5: singleton token
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    t = 0.66
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in prefix_jaccard_join(df, threshold=t).collect()
+    }
+    sets = [set(x.split()) for x in texts]
+    expected = {}
+    for i, j in combinations(range(len(texts)), 2):
+        jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        if jac >= t:
+            expected[(i, j)] = round(jac, 6)
+    assert got == expected
+    assert (0, 2) in got and (0, 4) in got and (0, 1) in got
+
+
+def test_prefix_jaccard_integer_ceil_edge(spark):
+    """The float-ceil trap: t=0.55 over a 20-token doc has ceil(t*n)=11
+    exactly, but double(0.55)*20 = 11.000000000000002 rounds the prefix
+    one token short. The integer-rational prefix length must keep the
+    boundary pair (J exactly 0.55 = 11/20)."""
+    from wms_data_pipeline_spark.operators.dedup import prefix_jaccard_join
+
+    toks = [f"t{i}" for i in range(20)]
+    # |A| = |B| = 20, inter = 15 → J = 15/25 = 0.6 ≥ 0.55: qualifies, and
+    # both docs sit exactly at the n=20 prefix-length boundary the float
+    # ceil would get wrong.
+    a = " ".join(toks[:20])
+    b = " ".join(toks[:15] + [f"b{i}" for i in range(5)])
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    got = prefix_jaccard_join(df, threshold=0.55).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
+    assert got[0].jaccard_sim == 0.6

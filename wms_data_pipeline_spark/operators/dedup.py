@@ -483,3 +483,73 @@ def exact_dedup(
     return (
         df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     )
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    colname: str = "text",
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (the
+    PPJoin-family candidate rule, public literature): returns every pair
+    with token-set ``Jaccard >= threshold`` — no approximation, unlike the
+    minhash/simhash/sketch paths, and no all-pairs cross product, unlike
+    the brute-force verifier.
+
+    Candidate rule: order each doc's distinct tokens by ONE global order
+    (ascending corpus frequency, token text as tiebreak — prefixes carry
+    the RAREST tokens, which also defuses hot-token join skew), take the
+    first ``|x| - ceil(t*|x|) + 1`` tokens; any pair with Jaccard >= t
+    must share at least one prefix token (pigeonhole on the overlap bound
+    ``inter >= ceil(t/(1+t) * (|a|+|b|))`` — a disjoint-prefix pair can't
+    reach it). Prefix length uses EXACT integer arithmetic
+    (``(num*s + den - 1) div den`` with t as a e6-denominator rational):
+    a float ``ceil(t*s)`` can land one too high when t*s is an exact
+    integer (double(0.55)*20 = 11.000000000000002 → ceil 12), silently
+    SHORTENING the prefix and losing pairs.
+
+    Plan shape: token explode → frequency agg (one shuffle) → per-doc
+    ordered array (one shuffle) → prefix explode → candidate equi-join on
+    the prefix token → distinct pairs → exact-Jaccard verify on the full
+    arrays. Work scales with shared-prefix-token pairs, never docs².
+    """
+    num = int(round(threshold * 1_000_000))
+    den = 1_000_000
+    base = df.select(
+        F.col(id_col).alias("__id"), F.array_distinct(tokens_of(colname)).alias("__tk")
+    ).filter(F.size("__tk") > 0)
+    tok = base.select("__id", F.explode("__tk").alias("__t"))
+    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    ordered = (
+        tok.join(freq, "__t")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__f", "__t"))).alias("__o"))
+        .select(
+            "__id",
+            F.transform("__o", lambda s: s["__t"]).alias("__arr"),
+        )
+    )
+    sz = F.size("__arr")
+    plen = sz - F.expr(f"({num}L * size(__arr) + {den - 1}) div {den}") + F.lit(1)
+    pref = ordered.select(
+        "__id", "__arr", F.explode(F.slice("__arr", 1, plen)).alias("__p")
+    )
+    a = pref.select(
+        F.col("__id").alias("id_a"), F.col("__arr").alias("__arr_a"), "__p"
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"), F.col("__arr").alias("__arr_b"), "__p"
+    )
+    cand = (
+        a.join(b, "__p")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__arr_a", "__arr_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = jaccard(F.col("__arr_a"), F.col("__arr_b"))
+    return (
+        cand.withColumn("jaccard_sim", F.round(j, 6))
+        .filter(j >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard_sim")
+    )

@@ -2059,6 +2059,29 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_prefix_jaccard_join",
+    "WITH s AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tk "
+    "FROM documents WHERE doc_id < 1200) "
+    "SELECT id_a, id_b, jaccard_sim FROM ("
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "round(len(list_intersect(a.tk, b.tk))::DOUBLE / "
+    "len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE, 6) AS jaccard_sim, "
+    "len(list_intersect(a.tk, b.tk))::DOUBLE / "
+    "len(list_distinct(list_concat(a.tk, b.tk)))::DOUBLE AS rawj "
+    "FROM s a JOIN s b ON a.doc_id < b.doc_id) WHERE rawj >= 0.9",
+    doc="EXACT similarity join via prefix filtering (PPJoin-family "
+    "candidate rule): every token-set Jaccard >= 0.9 pair, found by "
+    "joining only on rarest-first prefix tokens — no minhash "
+    "approximation, no docs x docs cross product (dedup.py "
+    "prefix_jaccard_join; the brute-force oracle IS the all-pairs form "
+    "the prefix filter provably reproduces).",
+)
+def dd_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1200)
+    return dd.prefix_jaccard_join(docs, threshold=0.9)
+
+
+@query(
     "evt_top_paths",
     "WITH s AS (SELECT user_id, event_type AS e1, "
     "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, "

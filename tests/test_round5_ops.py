@@ -190,3 +190,29 @@ def test_prefix_jaccard_integer_ceil_edge(spark):
     got = prefix_jaccard_join(df, threshold=0.55).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(0, 1)]
     assert got[0].jaccard_sim == 0.6
+
+
+# ------------------------------------------------------------- PQ encoding
+
+
+def test_pq_encode_medoids_reconstruct_exactly(spark):
+    """Every hash-chosen medoid vector must encode with MSE exactly 0 (its
+    own subvectors are codewords), all codes must be in [0, k), and every
+    corpus vector gets exactly one code row."""
+    from wms_data_pipeline_spark.operators.similarity import medoid_centers, pq_encode
+    from wms_data_pipeline_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    out = {r.vec_id: r for r in pq_encode(e, m=8, k=16).collect()}
+    assert len(out) == e.count()
+    assert all(0 <= c < 16 for r in out.values() for c in r.codes)
+    assert all(len(r.codes) == 8 for r in out.values())
+    med_rows = (
+        e.selectExpr("vec_id", "md5(concat_ws(':', cast(vec_id as string), '7')) h")
+        .orderBy("h")
+        .limit(16)
+        .collect()
+    )
+    for r in med_rows:
+        assert out[r.vec_id].mse == 0.0, r.vec_id

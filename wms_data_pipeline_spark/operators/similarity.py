@@ -217,6 +217,7 @@ def medoid_centers(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    normalize: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse quantizer: the ``nlist`` corpus vectors with the
     lexicographically smallest ``md5(id || ':' || seed)`` become the cell
@@ -241,6 +242,8 @@ def medoid_centers(
         .limit(nlist)
         .collect()
     )
+    if not normalize:
+        return [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(rows)]
     return [(i, _unit([float(x) for x in r["__v"]])) for i, r in enumerate(rows)]
 
 
@@ -696,3 +699,81 @@ def sketch_banded_neardup(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Product quantization (public ANN-compression method): split each
+    vector into ``m`` contiguous subspaces and encode each subspace as the
+    index of its nearest codeword, compressing a 64-float vector to ``m``
+    small ints (here 8 bytes — 32×) plus a per-vector reconstruction MSE.
+
+    The codebook reuses the deterministic hash-medoid quantizer (RAW
+    subvectors of the ``k`` hash-chosen corpus vectors, one shared medoid
+    set sliced per subspace), so — like IVF — the whole encoding is
+    ORACLE-EXPRESSIBLE: DuckDB picks the same medoids by the same md5
+    order and recomputes every distance. A k-means codebook per subspace
+    is the production alternative and rides the same kernel unchanged.
+
+    FP contract: distances accumulate DIM-SEQUENTIALLY in float64 (a
+    Python loop over the subspace dims — same left-to-right op order as
+    the oracle's ``list_transform``+``list_sum``), argmin ties break to
+    the smallest codeword index (numpy first-occurrence == ORDER BY
+    dist, j), and the MSE divides once and rounds to 6 dp.
+
+    Plan shape: codebook is a bounded driver collect (k rows) broadcast
+    into one Arrow mapInPandas kernel over the corpus — map-side, no
+    shuffle; at 100 TB the codes column becomes the stored table and this
+    stage is the nightly encode pass.
+    """
+    meds = medoid_centers(corpus, k, id_col, vec_col, seed, normalize=False)
+    med_arr = np.array([v for _, v in meds], dtype=np.float64)  # (k, dim)
+    dim = med_arr.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    out_schema = (
+        f"{id_col} long, codes array<int>, mse double"
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if vecs.ndim != 2 or vecs.shape[1] != dim:
+                vecs = vecs.reshape(len(ids), -1)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            total = np.zeros(len(ids), dtype=np.float64)
+            for s in range(m):
+                # dim-sequential accumulation: identical op order to the
+                # oracle's list_sum over range(1, sub+1)
+                dist = np.zeros((len(ids), k), dtype=np.float64)
+                for d in range(sub):
+                    col = s * sub + d
+                    diff = vecs[:, col, None] - med_arr[None, :, col]
+                    dist = dist + diff * diff
+                codes[:, s] = np.argmin(dist, axis=1)
+                total = total + dist[np.arange(len(ids)), codes[:, s]]
+            import pandas as _pd
+
+            yield _pd.DataFrame(
+                {
+                    id_col: ids,
+                    "codes": list(codes),
+                    "mse": np.round(total / dim, 6),
+                }
+            )
+
+    narrow = corpus.select(id_col, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(_encode, out_schema)

@@ -2059,6 +2059,36 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_pq_encode",
+    "WITH m AS (SELECT embedding::DOUBLE[] AS c, "
+    "md5(vec_id::VARCHAR || ':7') AS h FROM embeddings ORDER BY h LIMIT 16), "
+    "meds AS (SELECT c, row_number() OVER (ORDER BY h) - 1 AS j FROM m), "
+    "sub AS (SELECT range AS s FROM range(0, 8)), "
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "dist AS (SELECT v.vec_id, sub.s, meds.j, "
+    "list_sum(list_transform(range(1, 9), d -> "
+    "(v.v[sub.s * 8 + d] - meds.c[sub.s * 8 + d]) * "
+    "(v.v[sub.s * 8 + d] - meds.c[sub.s * 8 + d]))) AS dist "
+    "FROM v CROSS JOIN sub CROSS JOIN meds), "
+    "best AS (SELECT vec_id, s, j, dist, "
+    "row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dist) "
+    "SELECT vec_id, list(j::INTEGER ORDER BY s) AS codes, "
+    "round(sum(dist) / 64, 6) AS mse "
+    "FROM best WHERE rn = 1 GROUP BY vec_id",
+    doc="Product quantization encode (public ANN-compression method): 8 "
+    "subspaces x 16 hash-medoid codewords compress each 64-float vector "
+    "to 8 bytes + a reconstruction MSE. One Arrow map-side kernel, "
+    "codebook broadcast from a bounded driver collect; distances "
+    "accumulate dim-sequentially so the full encoding — every code and "
+    "MSE — is hash-checked against DuckDB recomputing the same medoids "
+    "and distances (similarity.py pq_encode).",
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.pq_encode(e, m=8, k=16)
+
+
+@query(
     "dd_prefix_jaccard_join",
     "WITH s AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tk "
     "FROM documents WHERE doc_id < 1200) "

@@ -216,3 +216,42 @@ def test_pq_encode_medoids_reconstruct_exactly(spark):
     )
     for r in med_rows:
         assert out[r.vec_id].mse == 0.0, r.vec_id
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """ADC is approximate; pin two things against exact euclidean top-10:
+    (1) the coarse 16-codeword codebook clears a floor well above random
+    (10/500 = 0.02) — zero overlap would mean broken LUT/code plumbing —
+    and (2) recall IMPROVES with a finer codebook (the knob a deployment
+    turns), measured 0.26 → 0.38 at 16 → 128 codewords on this corpus.
+    The near-uniform synthetic embeddings are vector quantization's worst
+    case; clustered real embeddings sit far higher at the same bits."""
+    import numpy as np
+
+    from wms_data_pipeline_spark.operators.similarity import pq_adc_topk
+    from wms_data_pipeline_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = e.collect()
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+
+    def mean_recall(kcode):
+        adc = {}
+        for r in pq_adc_topk(e, q, k=10, kcode=kcode).collect():
+            adc.setdefault(r.query_id, set()).add(r.vec_id)
+        recalls = []
+        for qid in adc:
+            qv = X[ids == qid][0]
+            d = ((X - qv) ** 2).sum(axis=1)
+            exact = set(ids[np.argsort(d, kind="stable")[:10]].tolist())
+            recalls.append(len(adc[qid] & exact) / 10)
+        return sum(recalls) / len(recalls)
+
+    coarse, fine = mean_recall(16), mean_recall(128)
+    assert coarse >= 0.2, coarse
+    assert fine > coarse, (coarse, fine)

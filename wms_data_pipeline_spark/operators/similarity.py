@@ -777,3 +777,91 @@ def pq_encode(
     if narrow.rdd.getNumPartitions() < par:
         narrow = narrow.repartition(par)
     return narrow.mapInPandas(_encode, out_schema)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    kcode: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 7,
+) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC, public method):
+    each query precomputes an ``m × kcode`` lookup table of exact
+    subspace distances to the codebook, and a corpus vector's
+    approximate distance is just ``m`` LUT lookups summed over its codes
+    — the scan never touches the original vectors, only the 8-byte
+    codes. This is the read path PQ compression exists for; at 100 TB
+    the codes table is the only thing scanned and the LUT rides the task
+    closure.
+
+    Same contracts as ``cosine_topk``/``pq_encode``: queries are a
+    bounded eager collect (≤ MAX_CLOSURE_QUERIES); LUT entries and the
+    per-vector total accumulate dim- and subspace-SEQUENTIALLY (the
+    oracle mirrors the s-order with ``list_sum(list(sd ORDER BY s))``);
+    ranking uses the 6-dp-rounded distance with an id tiebreak so both
+    engines pick identical top-k rows. Output: (query_id, vec_id,
+    adc_dist) — the k SMALLEST distances per query.
+    """
+    meds = medoid_centers(corpus, kcode, id_col, vec_col, seed, normalize=False)
+    med_arr = np.array([v for _, v in meds], dtype=np.float64)
+    dim = med_arr.shape[1]
+    sub = dim // m
+    q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
+    if len(q_rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"pq_adc_topk collects the query set into the task closure; got "
+            f"more than {MAX_CLOSURE_QUERIES} queries — batch them"
+        )
+    q_ids = [r[0] for r in q_rows]
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    # LUT[q, s, j]: dim-sequential accumulation, same op order as the oracle
+    lut = np.zeros((len(q_ids), m, kcode), dtype=np.float64)
+    for s in range(m):
+        for d in range(sub):
+            col = s * sub + d
+            diff = Q[:, col, None] - med_arr[None, :, col]
+            lut[:, s, :] = lut[:, s, :] + diff * diff
+
+    codes = pq_encode(corpus, m=m, k=kcode, id_col=id_col, vec_col=vec_col, seed=seed)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"__qidx int, {id_col} {id_type}, __raw double"
+
+    def _scan(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            dist = np.zeros((len(ids), len(q_ids)), dtype=np.float64)
+            for s in range(m):  # subspace-sequential: oracle-identical order
+                dist = dist + lut[:, s, :][:, C[:, s]].T
+            frames = []
+            for qi in range(len(q_ids)):
+                col = dist[:, qi]
+                if len(col) > k:
+                    kth = np.partition(col, k - 1)[k - 1]
+                    keep = col <= kth + 1e-6  # superset across rounding ties
+                else:
+                    keep = np.ones(len(col), dtype=bool)
+                frames.append(
+                    pd.DataFrame({"__qidx": qi, id_col: ids[keep], "__raw": col[keep]})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    qid_map = F.array(*[F.lit(q) for q in q_ids])
+    scored = codes.mapInPandas(_scan, schema=out_schema).select(
+        F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+        id_col,
+        F.round(F.col("__raw"), 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

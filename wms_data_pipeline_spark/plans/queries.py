@@ -2089,6 +2089,49 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_pq_adc_topk",
+    "WITH m AS (SELECT embedding::DOUBLE[] AS c, "
+    "md5(vec_id::VARCHAR || ':7') AS h FROM embeddings ORDER BY h LIMIT 16), "
+    "meds AS (SELECT c, row_number() OVER (ORDER BY h) - 1 AS j FROM m), "
+    "sub AS (SELECT range AS s FROM range(0, 8)), "
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "dist AS (SELECT v.vec_id, sub.s, meds.j, meds.c, "
+    "list_sum(list_transform(range(1, 9), d -> "
+    "(v.v[sub.s * 8 + d] - meds.c[sub.s * 8 + d]) * "
+    "(v.v[sub.s * 8 + d] - meds.c[sub.s * 8 + d]))) AS dist "
+    "FROM v CROSS JOIN sub CROSS JOIN meds), "
+    "best AS (SELECT vec_id, s, j, c, "
+    "row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dist), "
+    "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 8), "
+    "qd AS (SELECT q.query_id, b.vec_id, b.s, "
+    "list_sum(list_transform(range(1, 9), d -> "
+    "(q.qv[b.s * 8 + d] - b.c[b.s * 8 + d]) * "
+    "(q.qv[b.s * 8 + d] - b.c[b.s * 8 + d]))) AS sd "
+    "FROM q CROSS JOIN best b WHERE b.rn = 1), "
+    "tot AS (SELECT query_id, vec_id, list_sum(list(sd ORDER BY s)) AS d "
+    "FROM qd GROUP BY 1, 2) "
+    "SELECT query_id, vec_id, adc_dist FROM ("
+    "SELECT query_id, vec_id, round(d, 6) AS adc_dist, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY round(d, 6), vec_id) AS rn "
+    "FROM tot) WHERE rn <= 10",
+    doc="PQ search via asymmetric distance computation: each query "
+    "precomputes an m x k LUT of exact subspace distances to the "
+    "codebook, and the corpus scan touches ONLY the 8-byte codes — m LUT "
+    "lookups per vector, never the original floats (similarity.py "
+    "pq_adc_topk). Dim- and subspace-sequential accumulation plus "
+    "rounded-distance ranking make the full top-10 hash-checkable "
+    "against DuckDB recomputing every code and LUT entry.",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.pq_adc_topk(e, q, k=10, m=8, kcode=16)
+
+
+@query(
     "dd_prefix_jaccard_join",
     "WITH s AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tk "
     "FROM documents WHERE doc_id < 1200) "

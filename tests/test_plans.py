@@ -110,3 +110,11 @@ def test_cosine_topk_scores_before_any_exchange(spark):
     # nothing upstream of scoring shuffles the vector column
     first_exchange = plan.find("- Exchange")
     assert first_exchange == -1 or plan.find("MapInPandas") > first_exchange
+
+
+@needs_testdata
+def test_top_paths_plans_as_take_ordered(spark):
+    """Path mining's top-20 must compile to TakeOrderedAndProject (per-
+    partition heap), not a global sort over the path universe."""
+    plan = _plan(spark, "evt_top_paths", "simple")
+    assert "TakeOrderedAndProject" in plan

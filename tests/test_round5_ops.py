@@ -255,3 +255,39 @@ def test_pq_adc_recall_vs_exact(spark):
     coarse, fine = mean_recall(16), mean_recall(128)
     assert coarse >= 0.2, coarse
     assert fine > coarse, (coarse, fine)
+
+
+def test_ivfpq_results_come_only_from_probed_cells(spark):
+    """Structural invariant: every returned vector's coarse cell must be
+    one of the query's nprobe nearest cells (recomputed independently in
+    numpy), and the search is deterministic across runs."""
+    import numpy as np
+
+    from wms_data_pipeline_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        medoid_centers,
+    )
+    from wms_data_pipeline_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out1 = sorted(
+        (r.query_id, r.vec_id, r.adc_dist) for r in ivfpq_topk(e, q, k=5).collect()
+    )
+    out2 = sorted(
+        (r.query_id, r.vec_id, r.adc_dist) for r in ivfpq_topk(e, q, k=5).collect()
+    )
+    assert out1 == out2 and len(out1) == 15
+    cells = {r.vec_id: r.cell for r in ivfpq_encode(e).collect()}
+    meds = np.array(
+        [v for _, v in medoid_centers(e, 16, seed=11, normalize=False)]
+    )
+    qv = {r.query_id: np.array([float(x) for x in r.embedding]) for r in q.collect()}
+    for qid, vid, _ in out1:
+        d = ((meds - qv[qid]) ** 2).sum(axis=1)
+        probed = set(np.lexsort((np.arange(16), d))[:4].tolist())
+        assert cells[vid] in probed, (qid, vid)

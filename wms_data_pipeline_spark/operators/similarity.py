@@ -865,3 +865,158 @@ def pq_adc_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    kcode: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_seed: int = 11,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ index encode (the combined layout large ANN deployments
+    use): one map-side kernel assigns each vector a coarse L2 cell (full-
+    dim argmin over ``nlist`` hash-medoids, its own seed) AND its PQ
+    codes — so the stored table is (id, cell, codes): 8 bytes of codes
+    plus a routing key, no floats. At 100 TB ``cell`` becomes the
+    partition column (the persisted-IVF layout above) and a search reads
+    nprobe/nlist of the FILES, then ADC-scans only codes.
+
+    Same FP contract as ``pq_encode``: all distances accumulate
+    dim-sequentially; ties break to the smallest index."""
+    cell_meds = medoid_centers(corpus, nlist, id_col, vec_col, cell_seed, normalize=False)
+    cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
+    code_meds = medoid_centers(corpus, kcode, id_col, vec_col, seed, normalize=False)
+    code_arr = np.array([v for _, v in code_meds], dtype=np.float64)
+    dim = code_arr.shape[1]
+    sub = dim // m
+    out_schema = f"{id_col} long, cell int, codes array<int>"
+
+    def _encode(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if vecs.ndim != 2 or vecs.shape[1] != dim:
+                vecs = vecs.reshape(len(ids), -1)
+            cd = np.zeros((len(ids), len(cell_arr)), dtype=np.float64)
+            for d in range(dim):  # dim-sequential, full-dim cell distance
+                diff = vecs[:, d, None] - cell_arr[None, :, d]
+                cd = cd + diff * diff
+            cells = np.argmin(cd, axis=1).astype(np.int32)
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for s in range(m):
+                dist = np.zeros((len(ids), kcode), dtype=np.float64)
+                for d in range(sub):
+                    col = s * sub + d
+                    diff = vecs[:, col, None] - code_arr[None, :, col]
+                    dist = dist + diff * diff
+                codes[:, s] = np.argmin(dist, axis=1)
+            yield pd.DataFrame({id_col: ids, "cell": cells, "codes": list(codes)})
+
+    narrow = corpus.select(id_col, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < par:
+        narrow = narrow.repartition(par)
+    return narrow.mapInPandas(_encode, out_schema)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    kcode: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_seed: int = 11,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-PQ search: each query probes its ``nprobe`` nearest coarse
+    cells (L2 to the cell medoids, driver-side — nlist rows), then
+    ADC-scans ONLY the codes of vectors in probed cells. Candidate work
+    per query is ~nprobe/nlist of the corpus, and the scan touches
+    8-byte codes, never vectors — IVF bounds WHAT is read, PQ bounds
+    HOW MUCH per row. Deterministic and oracle-checkable end to end:
+    every ranking (cell assignment, probe choice, code argmin, final
+    top-k) orders by (sequentially-accumulated distance, index)."""
+    enc = ivfpq_encode(
+        corpus, nlist, m, kcode, id_col, vec_col, cell_seed, seed
+    )
+    cell_meds = medoid_centers(corpus, nlist, id_col, vec_col, cell_seed, normalize=False)
+    cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
+    code_meds = medoid_centers(corpus, kcode, id_col, vec_col, seed, normalize=False)
+    code_arr = np.array([v for _, v in code_meds], dtype=np.float64)
+    dim = code_arr.shape[1]
+    sub = dim // m
+    q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
+    if len(q_rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError("ivfpq_topk: query set too large for the task closure")
+    q_ids = [r[0] for r in q_rows]
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qcd = np.zeros((len(q_ids), nlist), dtype=np.float64)
+    for d in range(dim):
+        diff = Q[:, d, None] - cell_arr[None, :, d]
+        qcd = qcd + diff * diff
+    # nprobe nearest cells, ties to the smallest cell index (stable sort
+    # over (dist, j) == lexsort on j then dist)
+    probed = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(nlist), qcd[qi]))
+        probed.append(set(order[:nprobe].tolist()))
+    lut = np.zeros((len(q_ids), m, kcode), dtype=np.float64)
+    for s in range(m):
+        for d in range(sub):
+            col = s * sub + d
+            diff = Q[:, col, None] - code_arr[None, :, col]
+            lut[:, s, :] = lut[:, s, :] + diff * diff
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"__qidx int, {id_col} {id_type}, __raw double"
+
+    def _scan(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            frames = []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, list(probed[qi]))
+                if not mask.any():
+                    continue
+                Cm = C[mask]
+                dist = np.zeros(Cm.shape[0], dtype=np.float64)
+                for s in range(m):
+                    dist = dist + lut[qi, s, :][Cm[:, s]]
+                if len(dist) > k:
+                    kth = np.partition(dist, k - 1)[k - 1]
+                    keep = dist <= kth + 1e-6
+                else:
+                    keep = np.ones(len(dist), dtype=bool)
+                frames.append(
+                    pd.DataFrame(
+                        {"__qidx": qi, id_col: ids[mask][keep], "__raw": dist[keep]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    qid_map = F.array(*[F.lit(q) for q in q_ids])
+    scored = enc.mapInPandas(_scan, schema=out_schema).select(
+        F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+        id_col,
+        F.round(F.col("__raw"), 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

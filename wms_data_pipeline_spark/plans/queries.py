@@ -2132,6 +2132,70 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_ivfpq_topk",
+    "WITH cm AS (SELECT embedding::DOUBLE[] AS c, "
+    "md5(vec_id::VARCHAR || ':11') AS h FROM embeddings ORDER BY h LIMIT 16), "
+    "cmeds AS (SELECT c, row_number() OVER (ORDER BY h) - 1 AS j FROM cm), "
+    "pm AS (SELECT embedding::DOUBLE[] AS c, "
+    "md5(vec_id::VARCHAR || ':7') AS h FROM embeddings ORDER BY h LIMIT 16), "
+    "pmeds AS (SELECT c, row_number() OVER (ORDER BY h) - 1 AS j FROM pm), "
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "celld AS (SELECT v.vec_id, cmeds.j, "
+    "list_sum(list_transform(range(1, 65), d -> "
+    "(v.v[d] - cmeds.c[d]) * (v.v[d] - cmeds.c[d]))) AS dist "
+    "FROM v CROSS JOIN cmeds), "
+    "cell AS (SELECT vec_id, j AS cell FROM (SELECT vec_id, j, "
+    "row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM celld) "
+    "WHERE rn = 1), "
+    "sub AS (SELECT range AS s FROM range(0, 8)), "
+    "pdist AS (SELECT v.vec_id, sub.s, pmeds.j, pmeds.c, "
+    "list_sum(list_transform(range(1, 9), d -> "
+    "(v.v[sub.s * 8 + d] - pmeds.c[sub.s * 8 + d]) * "
+    "(v.v[sub.s * 8 + d] - pmeds.c[sub.s * 8 + d]))) AS dist "
+    "FROM v CROSS JOIN sub CROSS JOIN pmeds), "
+    "best AS (SELECT vec_id, s, j, c, "
+    "row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM pdist), "
+    "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 8), "
+    "qcelld AS (SELECT q.query_id, cmeds.j, "
+    "list_sum(list_transform(range(1, 65), d -> "
+    "(q.qv[d] - cmeds.c[d]) * (q.qv[d] - cmeds.c[d]))) AS dist "
+    "FROM q CROSS JOIN cmeds), "
+    "probe AS (SELECT query_id, j AS cell FROM (SELECT query_id, j, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY dist, j) AS rn FROM qcelld) "
+    "WHERE rn <= 4), "
+    "qd AS (SELECT q.query_id, b.vec_id, b.s, "
+    "list_sum(list_transform(range(1, 9), d -> "
+    "(q.qv[b.s * 8 + d] - b.c[b.s * 8 + d]) * "
+    "(q.qv[b.s * 8 + d] - b.c[b.s * 8 + d]))) AS sd "
+    "FROM q CROSS JOIN best b WHERE b.rn = 1), "
+    "tot AS (SELECT query_id, vec_id, list_sum(list(sd ORDER BY s)) AS d "
+    "FROM qd GROUP BY 1, 2), "
+    "cand AS (SELECT tot.query_id, tot.vec_id, tot.d FROM tot "
+    "JOIN cell ON cell.vec_id = tot.vec_id "
+    "JOIN probe ON probe.query_id = tot.query_id AND probe.cell = cell.cell) "
+    "SELECT query_id, vec_id, adc_dist FROM ("
+    "SELECT query_id, vec_id, round(d, 6) AS adc_dist, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY round(d, 6), vec_id) AS rn "
+    "FROM cand) WHERE rn <= 10",
+    doc="IVF-PQ search, the combined index layout large ANN deployments "
+    "run: a coarse L2 cell routes each query to nprobe/nlist of the "
+    "corpus, and the scan ADC-scores ONLY the 8-byte PQ codes of vectors "
+    "in probed cells (similarity.py ivfpq_encode / ivfpq_topk; at scale "
+    "cell is the partition column, as the persisted-IVF layout pins). "
+    "Every ranking layer — cell assignment, probe choice, code argmin, "
+    "final top-10 — is deterministic and the oracle recomputes all of "
+    "them: full value-hash over a two-level ANN index.",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivfpq_topk(e, q, k=10, nlist=16, nprobe=4, m=8, kcode=16)
+
+
+@query(
     "dd_prefix_jaccard_join",
     "WITH s AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tk "
     "FROM documents WHERE doc_id < 1200) "

@@ -19,6 +19,14 @@
   (SQL-reproducible → full value-hash oracle); MLlib k-means is the
   alternative constructor. At scale the cell id is the partition/cluster
   key and nprobe bounds the fraction of the corpus touched per query.
+
+- ``pq_encode`` / ``pq_adc_topk`` / ``ivfpq_encode`` / ``ivfpq_topk`` —
+  product quantization: vectors compress to ``m`` subspace codes (32× here),
+  searches score via per-query lookup tables over the codes alone, and the
+  IVF-PQ combination routes each query to nprobe cells before the code
+  scan — IVF bounds WHAT is read, PQ bounds the per-row cost. Hash-medoid
+  codebooks keep the whole index oracle-expressible; per-subspace k-means
+  is the production alternative on the same kernels.
 """
 
 from __future__ import annotations

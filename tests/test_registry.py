@@ -30,6 +30,19 @@ def test_query_runs(spark, name):
     df = spec.fn(spark, SF)
     assert df.count() >= 0
     assert len(df.columns) == len(set(df.columns)), "duplicate column names"
+    # Registry outputs must be scalar columns only: the driver's
+    # order-insensitive canonicalizer sorts rows with pandas, and an
+    # array/map/struct column makes that sort raise "unhashable type"
+    # (the round-5 sim_pq_encode driver failure). Catch the next
+    # array-valued query here instead of in CORRECTNESS_r{N}.json.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for field in df.schema.fields:
+        assert not isinstance(field.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}.{field.name} is {field.dataType.simpleString()}: registry "
+            "outputs must be scalar (pack/explode/aggregate it — see "
+            "similarity.pack_codes)"
+        )
 
 
 def test_contract_shape():

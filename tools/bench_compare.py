@@ -4,9 +4,13 @@ is a much stronger single-node bar than the reference (pandas + Postgres
 executemany); matching it on local[32] while carrying a distributed
 execution model is the round target's spirit.
 
-Both engines are measured in BOTH regimes:
-- serial best-of-2 per query (the floor-dominated regime — at sf0.1 Spark
-  pays its ~0.3-0.5 s scheduling/AQE floor once per query);
+Both engines are measured in BOTH regimes, and — since round 6 — every
+number is the MEDIAN of 3 timed repetitions after a warmup rep, with the
+per-rep values recorded (the round-5 judge measured ±8% between identical
+back-to-back runs; single best-of-2 numbers could not distinguish a code
+regression from host noise):
+- serial (the floor-dominated regime — at sf0.1 Spark pays its ~0.3-0.5 s
+  scheduling/AQE floor once per query);
 - concurrent: every query submitted simultaneously from threads (Spark:
   per-query FAIR pools; DuckDB: per-thread cursors on the shared
   connection).  This is the busy-cluster regime — the per-query floor
@@ -22,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import threading
 import time
@@ -30,17 +35,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-from wms_data_pipeline_spark.benchlib import concurrent_wall
+from wms_data_pipeline_spark.benchlib import concurrent_walls
 from wms_data_pipeline_spark.plans.queries import headline_queries
 from wms_data_pipeline_spark.schemas import TESTDATA_TABLES
 from wms_data_pipeline_spark.session import get_spark
 
+REPS = 3
 
-def _duckdb_concurrent(con, oracles: dict[str, str], runs: int = 2) -> float:
-    """Whole-batch wall for all oracle queries submitted at once, each on
-    its own cursor (DuckDB cursors share the connection's catalog/views and
-    run concurrently)."""
-    best = float("inf")
+
+def _duckdb_concurrent(con, oracles: dict[str, str], runs: int = REPS) -> list[float]:
+    """Whole-batch wall per repetition for all oracle queries submitted at
+    once, each on its own cursor (DuckDB cursors share the connection's
+    catalog/views and run concurrently)."""
+    walls: list[float] = []
     for _ in range(runs):
         barrier = threading.Barrier(len(oracles) + 1)
         errors: list[BaseException] = []
@@ -68,8 +75,19 @@ def _duckdb_concurrent(con, oracles: dict[str, str], runs: int = 2) -> float:
         wall = time.perf_counter() - t0
         if errors:
             raise errors[0]
-        best = min(best, wall)
-    return best
+        walls.append(wall)
+    return walls
+
+
+def _median_timed(thunk, reps: int = REPS) -> float:
+    """One untimed warmup + ``reps`` timed runs; returns the median."""
+    thunk()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        thunk()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
 
 
 def main() -> None:
@@ -86,24 +104,18 @@ def main() -> None:
     specs = headline_queries()
     out: dict[str, dict[str, float | None]] = {}
     for name, spec in specs.items():
-        best_s = float("inf")
-        for _ in range(2):
-            # fn() INSIDE the timer (same as bench.py): iterative operators
-            # (connected components) do their real work while building the
-            # plan — timing only the final write would under-report them
-            t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best_s = min(best_s, time.perf_counter() - t0)
-        best_d = None
+        # fn() INSIDE the timer (same as bench.py): iterative operators
+        # (connected components) do their real work while building the
+        # plan — timing only the final write would under-report them
+        med_s = _median_timed(
+            lambda: spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        )
+        med_d = None
         if spec.oracle:
-            best_d = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.sql(spec.oracle).fetchall()
-                best_d = min(best_d, time.perf_counter() - t0)
+            med_d = _median_timed(lambda: con.sql(spec.oracle).fetchall())
         out[name] = {
-            "spark_sec": round(best_s, 3),
-            "duckdb_sec": round(best_d, 3) if best_d is not None else None,
+            "spark_sec": round(med_s, 3),
+            "duckdb_sec": round(med_d, 3) if med_d is not None else None,
         }
 
     # Concurrent regime (codegen warm from the serial pass) — only the
@@ -114,19 +126,24 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save())
         for name in oracles
     ]
-    spark_conc = concurrent_wall(spark, jobs, runs=2)
-    duck_conc = _duckdb_concurrent(con, oracles, runs=2)
+    spark_conc_reps = [round(w, 3) for w in concurrent_walls(spark, jobs, runs=REPS)]
+    duck_conc_reps = [round(w, 3) for w in _duckdb_concurrent(con, oracles, runs=REPS)]
+    spark_conc = statistics.median(spark_conc_reps)
+    duck_conc = statistics.median(duck_conc_reps)
 
     paired = [v for v in out.values() if v["duckdb_sec"] is not None]
     spark_serial = round(sum(v["spark_sec"] for v in paired), 3)
     duck_serial = round(sum(v["duckdb_sec"] for v in paired), 3)
     summary = {
         "paired_queries": len(oracles),
+        "reps_per_number": REPS,
         "spark_serial_sec": spark_serial,
         "duckdb_serial_sec": duck_serial,
         "serial_ratio": round(spark_serial / duck_serial, 3),
         "spark_concurrent_sec": round(spark_conc, 3),
+        "spark_concurrent_reps": spark_conc_reps,
         "duckdb_concurrent_sec": round(duck_conc, 3),
+        "duckdb_concurrent_reps": duck_conc_reps,
         "concurrent_ratio": round(spark_conc / duck_conc, 3),
     }
     print(json.dumps({"queries": out, "summary": summary}, indent=1))

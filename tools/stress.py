@@ -329,8 +329,8 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--streaming":
         streaming_stress(
-            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 2_000_000,
-            int(sys.argv[3]) if len(sys.argv) > 3 else 40,
+            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 4_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 90,
             int(float(sys.argv[4]) * 1e6) if len(sys.argv) > 4 else 500_000,
             sys.argv[5] if len(sys.argv) > 5 else None,
         )

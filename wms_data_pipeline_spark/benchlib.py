@@ -29,14 +29,27 @@ def concurrent_wall(
     jobs: list[tuple[str, Callable[[], None]]],
     runs: int = 2,
 ) -> float:
+    """Best whole-batch concurrent wall time over ``runs`` repetitions
+    (see ``concurrent_walls`` for the mechanics and the per-rep list)."""
+    return min(concurrent_walls(spark, jobs, runs))
+
+
+def concurrent_walls(
+    spark: SparkSession,
+    jobs: list[tuple[str, Callable[[], None]]],
+    runs: int = 2,
+) -> list[float]:
     """Run every job concurrently (one thread + one FAIR pool each) and
-    return the best whole-batch wall time over ``runs`` repetitions.
+    return the whole-batch wall time of EACH repetition, in run order —
+    callers pick min/median and report the spread (round-5 lesson: single
+    bench numbers whipsawed ±8% on ambient host noise between identical
+    runs, so every recorded number needs its spread next to it).
 
     The barrier releases all threads and the timer together, so the wall
     clock covers exactly the span from simultaneous submission to the last
     job's completion.  Exceptions in any thread re-raise in the caller.
     """
-    best = float("inf")
+    walls: list[float] = []
     for _ in range(runs):
         barrier = threading.Barrier(len(jobs) + 1)
         errors: list[tuple[str, BaseException]] = []
@@ -63,5 +76,5 @@ def concurrent_wall(
         if errors:
             name, err = errors[0]
             raise RuntimeError(f"concurrent bench job {name!r} failed: {err!r}") from err
-        best = min(best, wall)
-    return best
+        walls.append(wall)
+    return walls

@@ -449,7 +449,13 @@ def ivf_index_topk(
         (int(r["cell"]), list(r["center"]))
         for r in spark.read.parquet(base + "/centers").collect()
     )
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
+    if len(q_rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"ivf_index_topk collects the query set driver-side to resolve "
+            f"probed cells; got more than {MAX_CLOSURE_QUERIES} queries — "
+            f"batch them (same contract as cosine_topk/pq_adc_topk)"
+        )
     probed: set[int] = set()
     if q_rows:
         C = np.asarray([c for _, c in unit_centers], dtype=np.float64)
@@ -746,9 +752,8 @@ def pq_encode(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    out_schema = (
-        f"{id_col} long, codes array<int>, mse double"
-    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, codes array<int>, mse double"
 
     def _encode(batches):
         for pdf in batches:
@@ -785,6 +790,24 @@ def pq_encode(
     if narrow.rdd.getNumPartitions() < par:
         narrow = narrow.repartition(par)
     return narrow.mapInPandas(_encode, out_schema)
+
+
+def pack_codes(codes: Column, m: int = 8, bits: int = 4) -> Column:
+    """Pack an ``array<int>`` of ``m`` PQ codes (each < 2**bits) into ONE
+    BIGINT: ``Σ code_s << (bits*s)``. This is the "8 bytes per vector"
+    storage story made literal — the packed long IS the PQ compressed
+    representation — and it keeps registry outputs scalar (array-valued
+    result columns break order-insensitive canonicalizers downstream; see
+    the sim_pq_encode round-5 driver failure). Pure codegen expression:
+    ``m`` static element_at/shift/add nodes, no UDF."""
+    if m * bits > 63:
+        raise ValueError(f"m={m} codes x {bits} bits overflow a signed long")
+    packed = F.lit(0).cast("long")
+    for s in range(m):
+        packed = packed + F.shiftleft(
+            F.element_at(codes, s + 1).cast("long"), bits * s
+        )
+    return packed
 
 
 def pq_adc_topk(
@@ -900,8 +923,11 @@ def ivfpq_encode(
     code_meds = medoid_centers(corpus, kcode, id_col, vec_col, seed, normalize=False)
     code_arr = np.array([v for _, v in code_meds], dtype=np.float64)
     dim = code_arr.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    out_schema = f"{id_col} long, cell int, codes array<int>"
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cell int, codes array<int>"
 
     def _encode(batches):
         for pdf in batches:
@@ -961,6 +987,8 @@ def ivfpq_topk(
     code_meds = medoid_centers(corpus, kcode, id_col, vec_col, seed, normalize=False)
     code_arr = np.array([v for _, v in code_meds], dtype=np.float64)
     dim = code_arr.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
     q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
     if len(q_rows) > MAX_CLOSURE_QUERIES:

@@ -2072,8 +2072,9 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM v CROSS JOIN sub CROSS JOIN meds), "
     "best AS (SELECT vec_id, s, j, dist, "
     "row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM dist) "
-    "SELECT vec_id, list(j::INTEGER ORDER BY s) AS codes, "
-    "round(sum(dist) / 64, 6) AS mse "
+    "SELECT vec_id, "
+    "CAST(sum(j::BIGINT << (4 * s)::INTEGER) AS BIGINT) AS codes_packed, "
+    "round(list_sum(list(dist ORDER BY s)) / 64, 6) AS mse "
     "FROM best WHERE rn = 1 GROUP BY vec_id",
     doc="Product quantization encode (public ANN-compression method): 8 "
     "subspaces x 16 hash-medoid codewords compress each 64-float vector "
@@ -2081,11 +2082,20 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codebook broadcast from a bounded driver collect; distances "
     "accumulate dim-sequentially so the full encoding — every code and "
     "MSE — is hash-checked against DuckDB recomputing the same medoids "
-    "and distances (similarity.py pq_encode).",
+    "and distances (similarity.py pq_encode). The 8 4-bit codes are "
+    "packed into ONE BIGINT (pack_codes) so the output stays scalar — "
+    "literally the 8-byte compressed representation — and the oracle "
+    "sums MSE subspace-sequentially (list ORDER BY s) to match the "
+    "kernel's FP accumulation order.",
 )
 def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return sim.pq_encode(e, m=8, k=16)
+    enc = sim.pq_encode(e, m=8, k=16)
+    return enc.select(
+        "vec_id",
+        sim.pack_codes(F.col("codes"), m=8, bits=4).alias("codes_packed"),
+        "mse",
+    )
 
 
 @query(

@@ -1,11 +1,13 @@
-"""Round-6 fixes: scalar PQ-code packing (the round-5 driver
-canonicalization failure), the ivf_index_topk closure guard, the
-ivfpq dim%m divisibility check, and id-type derivation in the encode
-schemas (ADVICE r5 items)."""
+"""Round-6 fixes and features: scalar PQ-code packing (the round-5 driver
+canonicalization failure), the ivf_index_topk closure guard, the ivfpq
+dim%m divisibility check, id-type derivation in the encode schemas
+(ADVICE r5 items), k-means PQ codebooks, and the incremental near-dup
+index."""
 
 import pytest
 from pyspark.sql import functions as F
 
+from wms_data_pipeline_spark.operators import dedup as dd
 from wms_data_pipeline_spark.operators import similarity as sim
 
 
@@ -74,6 +76,165 @@ def test_ivfpq_raises_on_indivisible_subspaces(spark):
     q = corpus.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="not divisible"):
         sim.ivfpq_topk(corpus, q, k=3, nlist=4, m=3, kcode=4)
+
+
+# ------------------------------------------------- k-means PQ codebooks
+
+
+def test_kmeans_codebook_lowers_reconstruction_mse(spark):
+    """The per-subspace Lloyd refinement starts FROM the medoid init, so
+    corpus-wide mean reconstruction MSE must come out at or below the
+    medoid codebook's (VERDICT r5 #4) — and deterministically: two builds
+    give bit-identical codebooks."""
+    import numpy as np
+
+    corpus = _corpus(spark, n=300, dim=16)
+    b1 = sim.pq_codebook(corpus, m=4, k=8, method="kmeans")
+    b2 = sim.pq_codebook(corpus, m=4, k=8, method="kmeans")
+    assert np.array_equal(b1, b2)
+    med = sim.pq_codebook(corpus, m=4, k=8, method="medoid")
+    assert b1.shape == med.shape == (8, 16)
+    assert not np.array_equal(b1, med)
+
+    def mean_mse(cb):
+        rows = sim.pq_encode(corpus, m=4, k=8, codebook=cb).agg(
+            F.avg("mse")
+        ).collect()
+        return rows[0][0]
+
+    mse_med, mse_km = mean_mse("medoid"), mean_mse("kmeans")
+    assert mse_km <= mse_med, (mse_km, mse_med)
+
+
+def test_pq_adc_kmeans_codebook_recall_not_worse(spark):
+    """ADC search with the kmeans codebook must beat-or-match the medoid
+    codebook's recall@10 vs exact euclidean on the same corpus (lower
+    quantization error → better distance estimates)."""
+    import numpy as np
+
+    corpus = _corpus(spark, n=400, dim=16)
+    q = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = corpus.collect()
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+
+    def recall(cb):
+        got = {}
+        for r in sim.pq_adc_topk(corpus, q, k=10, m=4, kcode=8, codebook=cb).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        rec = []
+        for qid, found in got.items():
+            d = ((X - X[ids == qid][0]) ** 2).sum(axis=1)
+            exact = set(ids[np.argsort(d, kind="stable")[:10]].tolist())
+            rec.append(len(found & exact) / 10)
+        return sum(rec) / len(rec)
+
+    r_med, r_km = recall("medoid"), recall("kmeans")
+    assert r_km >= r_med - 0.05, (r_km, r_med)
+
+
+def test_pq_codebook_rejects_unknown_method(spark):
+    corpus = _corpus(spark, n=10)
+    with pytest.raises(ValueError, match="unknown codebook"):
+        sim.pq_codebook(corpus, m=4, k=4, method="faiss")
+
+
+# -------------------------------------------------- incremental near-dup
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_neardup_incremental_matches_full_run(spark, tmp_path):
+    """neardup_incremental(delta, index(corpus)) must return EXACTLY the
+    delta-touching subset of minhash_neardup_pairs(corpus ∪ delta): the
+    band scheme is shared (_band_rows), so candidate recall is identical
+    by construction — this pins it."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus_rows = [
+        (100 + i, f"{base} corpus variant {i} with extra tokens {i * 7}")
+        for i in range(12)
+    ]
+    # two delta docs near-duplicate corpus docs, one is novel, one pair
+    # is delta-internal
+    delta_rows = [
+        (1, f"{base} corpus variant 3 with extra tokens 21"),  # dup of 103
+        (2, f"{base} corpus variant 5 with extra tokens 35 x"),  # near 105
+        (3, "completely different text about warehouse inventory systems"),
+        (4, f"{base} corpus variant 3 with extra tokens 21"),  # dup of 1 & 103
+    ]
+    corpus, delta = _doc_df(spark, corpus_rows), _doc_df(spark, delta_rows)
+    path = "file://" + str(tmp_path / "nd")
+    dd.neardup_index_write(corpus, path)
+    inc = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in dd.neardup_incremental(spark, delta, path, threshold=0.5).collect()
+    }
+    full = dd.minhash_neardup_pairs(corpus.unionByName(delta), threshold=0.5)
+    delta_ids = {1, 2, 3, 4}
+    expect = {
+        (r.id_a, r.id_b, r.jaccard_sim)
+        for r in full.collect()
+        if r.id_a in delta_ids or r.id_b in delta_ids
+    }
+    assert inc == expect
+    assert any(a in delta_ids and b not in delta_ids or b in delta_ids and a not in delta_ids
+               for a, b, _ in inc), "no cross corpus-delta pair found"
+    assert (1, 4) in {(a, b) for a, b, _ in inc}, "delta-internal pair missed"
+
+
+def test_neardup_incremental_prunes_index_partitions(spark, tmp_path):
+    """The index probe must carry the delta's (band, bp) values as
+    PARTITION filters — the corpus band table is pruned at plan time,
+    which is the whole cost-scales-with-delta claim. (The bands scan runs
+    inside the operator's control-plane stage, so assert on the probe
+    read the operator constructs — _probe_partition_pred over the real
+    partitioned layout — not the post-checkpoint final plan; the final
+    plan's shingle reads carry their own sb PartitionFilters, asserted
+    below too.)"""
+    rows = [(i, f"shared text body number {i} with tokens {i % 3}") for i in range(30)]
+    corpus = _doc_df(spark, rows)
+    path = "file://" + str(tmp_path / "nd")
+    dd.neardup_index_write(corpus, path)
+
+    class Probe:
+        def __init__(self, band, bp):
+            self.band, self.bp = band, bp
+
+    probes = [Probe(0, "ab"), Probe(0, "cd"), Probe(2, "0f")]
+    scan = spark.read.parquet(path + "/bands").filter(
+        dd._probe_partition_pred(probes)
+    )
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters: ")[1].split("\n")[0]
+    assert "band" in pf and "bp" in pf, pf
+    # empty probe set → scan nothing (constant-false partition filter)
+    assert spark.read.parquet(path + "/bands").filter(
+        dd._probe_partition_pred([])
+    ).count() == 0
+
+    # and the final verify plan prunes the shingle read by id-bucket
+    delta = _doc_df(spark, [(1000, "shared text body number 7 with tokens 1")])
+    out = dd.neardup_incremental(spark, delta, path, threshold=0.3)
+    vplan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert any(
+        "sb" in seg.split("\n")[0] for seg in vplan.split("PartitionFilters: ")[1:]
+    ), vplan
+
+
+def test_neardup_incremental_empty_delta(spark, tmp_path):
+    corpus = _doc_df(spark, [(1, "some corpus text here"), (2, "other text")])
+    path = "file://" + str(tmp_path / "nd")
+    dd.neardup_index_write(corpus, path)
+    delta = _doc_df(spark, []).filter(F.lit(False))
+    assert dd.neardup_incremental(spark, delta, path).count() == 0
 
 
 # ------------------------------------------------------ id-type derivation

@@ -292,6 +292,125 @@ def streaming_stress(
     spark.stop()
 
 
+def stateful_stress(
+    rows_per_batch: int = 4_000_000,
+    run_seconds: int = 420,
+    key_space: int = 60_000_000,
+    only_provider: str | None = None,
+) -> None:
+    """Drive the applyInPandasWithState newer-wins operator
+    (streaming/stateful.latest_state_changes) to a live-key cardinality
+    ABOVE the measured ~40M state-store crossover and record which
+    provider sustains (VERDICT r5 #7). rate-micro-batch feeds
+    ``rows_per_batch`` fresh keys per batch (value % key_space — every
+    key new until the space saturates), so live state grows linearly;
+    the engine's own stateOperators metrics report exact live keys
+    (numRowsTotal) per batch alongside processedRowsPerSecond.
+
+    Expected shape: the HDFS-backed provider keeps every key in JVM-heap
+    maps — at 60M keys × state row overhead that's beyond this box's
+    heap, so its batches degrade (GC) or the query dies; RocksDB pages
+    state to disk and holds its rate. RUN EACH PROVIDER IN ITS OWN
+    PROCESS (pass the provider arg) — a heap-provider OOM takes the JVM
+    with it and would poison the other leg."""
+    import json
+    import statistics
+    import tempfile
+
+    from wms_data_pipeline_spark.streaming.stateful import latest_state_changes
+
+    spark = get_spark("stress-stateful")
+    spark.sparkContext.setLogLevel("ERROR")
+    for provider, cls in _STATE_STORE_PROVIDERS.items():
+        if only_provider and provider != only_provider:
+            continue
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .option("numPartitions", 32)
+            .option("advanceMillisPerBatch", 1000)
+            .load()
+        )
+        ev = src.select(
+            (F.col("value") % key_space).alias("id"),
+            F.col("timestamp").alias("updated_at"),
+            (F.col("value") % 97).cast("double").alias("v"),
+        )
+        changes = latest_state_changes(ev, key="id", ts_col="updated_at")
+        ckpt = tempfile.mkdtemp(prefix=f"stress_stateful_ckpt_{provider}_")
+        q = (
+            changes.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        t_end = time.time() + run_seconds
+        err = None
+        above_seen = 0
+        last_batch = -1
+        try:
+            while time.time() < t_end and q.isActive:
+                time.sleep(10)
+                for p in q.recentProgress[-1:]:
+                    p = json.loads(p) if isinstance(p, str) else p
+                    if p.get("batchId") == last_batch:
+                        continue
+                    last_batch = p.get("batchId")
+                    live = (p.get("stateOperators") or [{}])[0].get("numRowsTotal")
+                    print(
+                        f"[{provider}] batch {p.get('batchId')}: "
+                        f"{p.get('processedRowsPerSecond', 0) / 1e6:.2f}M rows/s, "
+                        f"live keys {live}",
+                        flush=True,
+                    )
+                    if live and live > 40_000_000:
+                        above_seen += 1
+                # the claim is "sustains ABOVE the crossover": 3 full batches
+                # past 40M live keys measure it — no need to run to key_space
+                if above_seen >= 3:
+                    break
+        except BaseException as e:  # noqa: BLE001 — the failure IS the result
+            err = e
+        finally:
+            try:
+                exc = q.exception()
+            except BaseException:
+                exc = None
+            try:
+                q.stop()
+            except BaseException:
+                pass
+        progress = [
+            json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+        ]
+        rows = [
+            (
+                (p.get("stateOperators") or [{}])[0].get("numRowsTotal", 0),
+                p["processedRowsPerSecond"],
+            )
+            for p in progress
+            if p.get("numInputRows", 0) > 0
+        ][1:]
+        above = [r for live, r in rows if live and live > 40_000_000]
+        below = [r for live, r in rows if not live or live <= 40_000_000]
+        msg = f"[{provider}] newer-wins stateful stress, {rows_per_batch / 1e6:.0f}M-row batches: "
+        if below:
+            msg += f"below-40M-keys median {statistics.median(below) / 1e6:.2f}M rows/s ({len(below)} batches); "
+        if above:
+            msg += f"ABOVE-40M-keys median {statistics.median(above) / 1e6:.2f}M rows/s ({len(above)} batches)"
+        else:
+            msg += "never reached 40M live keys"
+        if exc is not None:
+            msg += f"; QUERY DIED: {str(exc)[:300]}"
+        if err is not None:
+            msg += f"; DRIVER ERROR: {type(err).__name__}: {str(err)[:200]}"
+        max_live = max((live for live, _ in rows if live), default=0)
+        msg += f"; max live keys {max_live}"
+        print(msg, flush=True)
+    spark.stop()
+
+
 def multimodal_stress(n_items: int = 200_000) -> None:
     """Multimodal decode-stage throughput: genuine PPM/WAV blobs through
     the Arrow mapInPandas stages (real header parse + numpy pixel/sample
@@ -332,6 +451,14 @@ def main() -> None:
             int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 4_000_000,
             int(sys.argv[3]) if len(sys.argv) > 3 else 90,
             int(float(sys.argv[4]) * 1e6) if len(sys.argv) > 4 else 500_000,
+            sys.argv[5] if len(sys.argv) > 5 else None,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stateful":
+        stateful_stress(
+            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 4_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 420,
+            int(float(sys.argv[4]) * 1e6) if len(sys.argv) > 4 else 60_000_000,
             sys.argv[5] if len(sys.argv) > 5 else None,
         )
         return

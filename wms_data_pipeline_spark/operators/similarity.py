@@ -272,6 +272,89 @@ def kmeans_centers(
     return [(i, _unit([float(x) for x in c])) for i, c in enumerate(model.clusterCenters())]
 
 
+def pq_codebook(
+    corpus: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    method: str = "medoid",
+    sample_size: int = 16384,
+    iters: int = 20,
+) -> np.ndarray:
+    """(k, dim) PQ codebook; subspace ``s`` uses columns ``[s*sub, (s+1)*sub)``.
+
+    ``method='medoid'`` (default): the hash-medoid codebook — ``k``
+    hash-chosen corpus vectors, one shared set sliced per subspace. Fully
+    oracle-expressible (DuckDB picks the same medoids by the same md5
+    order); the registry anchor.
+
+    ``method='kmeans'``: the production alternative — per-subspace Lloyd
+    k-means refining the SAME medoid subvectors as init, trained on a
+    deterministic hash-ordered sample (``sample_size`` rows — PQ codebooks
+    train on a bounded sample even at 100 TB; the sample select is a
+    TakeOrderedAndProject, the fit is driver-side numpy on a ≤16k×dim
+    matrix). Starting Lloyd from the medoid init makes the refinement
+    strict: training-sample quantization MSE is non-increasing per
+    iteration, so kmeans ≤ medoid by construction (measured corpus-wide in
+    tools/ab_ann_recall.py). Deterministic — no RNG anywhere: hash-ordered
+    sample, medoid init, mean updates, empty clusters keep their center.
+    Not oracle-expressible (iterative fit), so kmeans-codebook queries get
+    rows/recall checks only — same trade as the IVF ``kmeans_centers``
+    constructor."""
+    meds = medoid_centers(corpus, k, id_col, vec_col, seed, normalize=False)
+    book = np.array([v for _, v in meds], dtype=np.float64)  # (k, dim)
+    if method == "medoid":
+        return book
+    if method != "kmeans":
+        raise ValueError(f"unknown codebook method {method!r}")
+    dim = book.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    sample_rows = (
+        corpus.select(
+            F.col(vec_col).alias("__v"),
+            F.md5(
+                F.concat_ws(":", F.col(id_col).cast("string"), F.lit(f"pqs{seed}"))
+            ).alias("__h"),
+        )
+        .orderBy("__h")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array(
+        [r["__v"] for r in sample_rows if r["__v"] is not None and len(r["__v"]) == dim],
+        dtype=np.float64,
+    )
+    if len(X) == 0:
+        return book
+    out = book.copy()
+    for s in range(m):
+        lo, hi = s * sub, (s + 1) * sub
+        Xs = X[:, lo:hi]
+        centers = book[:, lo:hi].copy()
+        for _ in range(iters):
+            # argmin over ||x-c||² == argmin over (||c||² - 2x·c): one
+            # matmul instead of a (n, k, sub) broadcast tensor — the
+            # broadcast form allocated 256 MB per iteration at the
+            # default sample/k and dominated the fit wall-clock
+            d = (centers * centers).sum(axis=1)[None, :] - 2.0 * (Xs @ centers.T)
+            assign = d.argmin(axis=1)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            sums = np.zeros_like(centers)
+            np.add.at(sums, assign, Xs)
+            nonempty = counts > 0
+            new_centers = centers.copy()
+            new_centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+            if np.array_equal(new_centers, centers):
+                break
+            centers = new_centers
+        out[:, lo:hi] = centers
+    return out
+
+
 def _nearest_cells_udf(unit_centers: list[tuple[int, list[float]]], n: int):
     """Arrow-batched numpy kernel: the ``n`` nearest cells per vector.
 
@@ -722,6 +805,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    codebook: str = "medoid",
 ) -> DataFrame:
     """Product quantization (public ANN-compression method): split each
     vector into ``m`` contiguous subspaces and encode each subspace as the
@@ -732,8 +816,10 @@ def pq_encode(
     subvectors of the ``k`` hash-chosen corpus vectors, one shared medoid
     set sliced per subspace), so — like IVF — the whole encoding is
     ORACLE-EXPRESSIBLE: DuckDB picks the same medoids by the same md5
-    order and recomputes every distance. A k-means codebook per subspace
-    is the production alternative and rides the same kernel unchanged.
+    order and recomputes every distance. ``codebook='kmeans'`` switches to
+    the production per-subspace Lloyd refinement (see ``pq_codebook``) on
+    the same kernel unchanged — lower reconstruction MSE, but iterative,
+    so rows/recall-checked only.
 
     FP contract: distances accumulate DIM-SEQUENTIALLY in float64 (a
     Python loop over the subspace dims — same left-to-right op order as
@@ -746,8 +832,7 @@ def pq_encode(
     shuffle; at 100 TB the codes column becomes the stored table and this
     stage is the nightly encode pass.
     """
-    meds = medoid_centers(corpus, k, id_col, vec_col, seed, normalize=False)
-    med_arr = np.array([v for _, v in meds], dtype=np.float64)  # (k, dim)
+    med_arr = pq_codebook(corpus, m, k, id_col, vec_col, seed, method=codebook)
     dim = med_arr.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -820,6 +905,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 7,
+    codebook: str = "medoid",
 ) -> DataFrame:
     """PQ search by asymmetric distance computation (ADC, public method):
     each query precomputes an ``m × kcode`` lookup table of exact
@@ -838,8 +924,7 @@ def pq_adc_topk(
     engines pick identical top-k rows. Output: (query_id, vec_id,
     adc_dist) — the k SMALLEST distances per query.
     """
-    meds = medoid_centers(corpus, kcode, id_col, vec_col, seed, normalize=False)
-    med_arr = np.array([v for _, v in meds], dtype=np.float64)
+    med_arr = pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
     dim = med_arr.shape[1]
     sub = dim // m
     q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
@@ -858,7 +943,10 @@ def pq_adc_topk(
             diff = Q[:, col, None] - med_arr[None, :, col]
             lut[:, s, :] = lut[:, s, :] + diff * diff
 
-    codes = pq_encode(corpus, m=m, k=kcode, id_col=id_col, vec_col=vec_col, seed=seed)
+    codes = pq_encode(
+        corpus, m=m, k=kcode, id_col=id_col, vec_col=vec_col, seed=seed,
+        codebook=codebook,
+    )
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"__qidx int, {id_col} {id_type}, __raw double"
 
@@ -907,6 +995,7 @@ def ivfpq_encode(
     vec_col: str = "embedding",
     cell_seed: int = 11,
     seed: int = 7,
+    codebook: str = "medoid",
 ) -> DataFrame:
     """IVF-PQ index encode (the combined layout large ANN deployments
     use): one map-side kernel assigns each vector a coarse L2 cell (full-
@@ -920,8 +1009,7 @@ def ivfpq_encode(
     dim-sequentially; ties break to the smallest index."""
     cell_meds = medoid_centers(corpus, nlist, id_col, vec_col, cell_seed, normalize=False)
     cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
-    code_meds = medoid_centers(corpus, kcode, id_col, vec_col, seed, normalize=False)
-    code_arr = np.array([v for _, v in code_meds], dtype=np.float64)
+    code_arr = pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
     dim = code_arr.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -970,6 +1058,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     cell_seed: int = 11,
     seed: int = 7,
+    codebook: str = "medoid",
 ) -> DataFrame:
     """IVF-PQ search: each query probes its ``nprobe`` nearest coarse
     cells (L2 to the cell medoids, driver-side — nlist rows), then
@@ -980,12 +1069,12 @@ def ivfpq_topk(
     every ranking (cell assignment, probe choice, code argmin, final
     top-k) orders by (sequentially-accumulated distance, index)."""
     enc = ivfpq_encode(
-        corpus, nlist, m, kcode, id_col, vec_col, cell_seed, seed
+        corpus, nlist, m, kcode, id_col, vec_col, cell_seed, seed,
+        codebook=codebook,
     )
     cell_meds = medoid_centers(corpus, nlist, id_col, vec_col, cell_seed, normalize=False)
     cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
-    code_meds = medoid_centers(corpus, kcode, id_col, vec_col, seed, normalize=False)
-    code_arr = np.array([v for _, v in code_meds], dtype=np.float64)
+    code_arr = pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
     dim = code_arr.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")

@@ -2229,6 +2229,35 @@ def dd_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_neardup_incremental",
+    f"SELECT * FROM ({_neardup_duck(0.5)}) WHERE id_a < 300",
+    doc="Incremental near-dup: docs with id < 300 arrive as a DELTA and are "
+    "deduped against a PERSISTED index of the id >= 300 corpus "
+    "(dedup.py neardup_index_write / neardup_incremental) — the daily-"
+    "pipeline shape where corpus signatures are computed once, and a "
+    "probe's cost scales with the delta: the index read is partition-"
+    "pruned to the delta's (band, bhash-prefix) values, verification to "
+    "the collided id-buckets. The band scheme is byte-identical to the "
+    "full run (_band_rows is shared), so the oracle is simply the full "
+    "all-docs near-dup pair set filtered to pairs touching the delta "
+    "(delta ids sort first, so id_a < 300 ≡ delta involvement).",
+)
+def dd_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 300)
+    delta = docs.filter(F.col("doc_id") < 300)
+    # deterministic per-sf_dir path, overwritten each call — the build IS
+    # part of this query's honest cost (bench times index build + probe)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/wms_nd_idx_{tag}"
+    dd.neardup_index_write(corpus, path)
+    return dd.neardup_incremental(spark, delta, path, threshold=0.5)
+
+
+@query(
     "evt_top_paths",
     "WITH s AS (SELECT user_id, event_type AS e1, "
     "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2, "

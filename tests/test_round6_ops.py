@@ -237,6 +237,66 @@ def test_neardup_incremental_empty_delta(spark, tmp_path):
     assert dd.neardup_incremental(spark, delta, path).count() == 0
 
 
+# ------------------------------------------------- substring span dedup
+
+
+def test_substring_dup_spans_planted(spark):
+    """Planted verbatim boilerplate across docs must show up as duplicated
+    windows; a unique doc must not; sub-window docs get 0 windows."""
+    boiler = "B" * 45  # spans the full 40-char window at offsets 0..
+    rows = [
+        (1, boiler + " unique tail one that is long enough to matter ok"),
+        (2, boiler + " other tail entirely different from the first doc"),
+        (3, "x" * 80),  # self-repeating: every window identical
+        (4, "totally unique text " + "".join(chr(97 + i % 26) for i in range(60))),
+        (5, "short"),  # < window: 0 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.substring_dup_spans(df, window=40, stride=10).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[5].n_windows == 0 and out[5].dup_ratio == 0.0
+    # docs 1 and 2 share the window at offset 0 (all Bs)
+    assert out[1].n_dup_windows >= 1 and out[2].n_dup_windows >= 1
+    # doc 3: 5 windows, all "x"*40 → every one duplicated
+    assert out[3].n_windows == 5 and out[3].n_dup_windows == 5
+    assert out[3].dup_ratio == 1.0
+    assert out[4].n_dup_windows == 0
+
+
+def test_substring_dup_spans_hash_windows_equivalent(spark):
+    """The 8-byte-key production knob must produce identical results on a
+    collision-free corpus."""
+    rows = [(i, f"document body {i} " + "common license text " * 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dd.substring_dup_spans(df).collect()))
+    b = sorted(map(tuple, dd.substring_dup_spans(df, hash_windows=True).collect()))
+    assert a == b
+
+
+# ------------------------------------------------- random projection
+
+
+def test_random_projection_shape_and_malformed(spark):
+    import numpy as np
+
+    rows = [
+        (1, [float(i) for i in range(8)]),
+        (2, None),
+        (3, [1.0, 2.0]),  # wrong length
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in sim.random_projection(df, out_dim=4, dim=8, table=7).collect()}
+    assert set(out[1].asDict()) == {"vec_id", "proj_0", "proj_1", "proj_2", "proj_3"}
+    # malformed rows project to zeros, present in output
+    assert all(out[2][f"proj_{p}"] == 0.0 for p in range(4))
+    assert all(out[3][f"proj_{p}"] == 0.0 for p in range(4))
+    # hand-check one projection: dim-sequential dot with the md5 planes
+    W = np.array([sim._hyperplane(7, p, 8) for p in range(4)])
+    x = np.arange(8, dtype=np.float64)
+    for p in range(4):
+        assert abs(out[1][f"proj_{p}"] - round(float((x * W[p]).sum()), 6)) < 1e-9
+
+
 # ------------------------------------------------------ id-type derivation
 
 

@@ -271,9 +271,12 @@ def neardup_index_write(
     - ``bands``: (id, bhash) partitioned by ``(band, bp)`` where ``bp`` is
       the first ``bhash_prefix_len`` hex chars of the band hash — bands ×
       16^len directories. A delta probe reads ONLY the partitions its own
-      band hashes fall in (partition pruning at plan time): expected
-      fraction ≈ #distinct delta prefixes / 16^len, so probe I/O scales
-      with the delta, not the corpus.
+      band hashes fall in (partition pruning at plan time). Honest sizing
+      note (measured, SCALE_NOTES r6): the pruning matters for SMALL
+      deltas only — a few thousand delta docs already cover all 16^2
+      prefixes — so the probe's scaling win comes chiefly from never
+      recomputing corpus SIGNATURES (the probe is flat ~13 s where the
+      full recompute grows 22→48 s from a 160k→640k corpus).
     - ``shingles``: (id, shingles) partitioned by ``sb = pmod(xxhash64(id),
       id_buckets)`` — the Jaccard verifier fetches only the id-buckets
       that candidate pairs actually hit.
@@ -676,6 +679,82 @@ def neardup_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    colname: str = "text",
+    window: int = 40,
+    stride: int = 10,
+    hash_windows: bool = False,
+) -> DataFrame:
+    """Cross-document SUBSTRING duplication (the ExactSubstr idea from
+    public training-data dedup literature: long verbatim character spans
+    shared across documents are the strongest dup signal — boilerplate,
+    licenses, templated pages — and survive token-level paraphrase
+    metrics). Each doc is cut into ``window``-char spans every ``stride``
+    chars; a span occurring more than once ANYWHERE in the corpus (other
+    docs or repeated within one) is a duplicated span. Output per doc:
+    ``n_windows``, ``n_dup_windows``, ``dup_ratio`` (6 dp) — the
+    drop/trim decision input. Docs shorter than ``window`` have 0 windows
+    and ratio 0.
+
+    Plan shape: map-side window explode (~len/stride rows per doc) → one
+    shuffle on the span key for the global occurrence count → co-
+    partitioned join back (reuses the same hash partitioning, no second
+    exchange for the probe side) → per-doc count aggregate. Never doc ×
+    doc. ``hash_windows=True`` is the 100 TB knob: shuffle 8-byte
+    ``xxhash64(span)`` keys instead of 40-char strings (5× narrower
+    shuffle rows; collisions only merge counts, biasing dup_ratio up by
+    ~2^-64 per pair — negligible, but not oracle-reproducible, so the
+    registry query keeps the exact-string default)."""
+    n_win = F.when(
+        F.length(F.col(colname)) >= window,
+        ((F.length(F.col(colname)) - window) / stride).cast("int") + 1,
+    ).otherwise(F.lit(0))
+    # sequence(0, -1) DESCENDS in Spark (yields [0, -1]) — short docs must
+    # take the empty-array branch, not the sequence
+    offsets = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                offsets,
+                lambda k: F.col(colname).substr(k * stride + 1, F.lit(window)),
+            )
+        ).alias("__span"),
+    )
+    key = F.xxhash64(F.col("__span")).alias("__k") if hash_windows else F.col(
+        "__span"
+    ).alias("__k")
+    keyed = spans.select(id_col, key).localCheckpoint(eager=False)
+    counts = keyed.groupBy("__k").agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = (
+        keyed.join(counts, "__k")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("__n") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+    )
+    # docs with zero windows drop out of the explode — restore them
+    all_docs = df.select(id_col)
+    return (
+        all_docs.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
 
 
 def exact_dedup(

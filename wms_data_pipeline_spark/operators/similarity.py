@@ -654,6 +654,63 @@ def ann_topk_lsh(
     )
 
 
+def random_projection(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    table: int = 100,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection: reduce ``dim`` floats
+    to ``out_dim`` via deterministic md5-seeded hyperplanes (the same
+    ``_hyperplane`` family as LSH, a distinct ``table`` id so projections
+    and LSH buckets are independent). The cheap-dims story for embedding
+    pipelines: store/shuffle 4× fewer floats, re-rank survivors on the
+    full vectors.
+
+    Map-side only — one Arrow kernel per partition, no shuffle, no join;
+    the projection matrix is a driver-built closure constant. Accumulates
+    dim-SEQUENTIALLY (same op order as lsh_bucket and the SQL oracle's
+    ``list_sum(list_transform(...))``), so every projected value is
+    bit-reproducible cross-engine before the 6-dp output rounding.
+    Output columns are SCALAR ``proj_0..proj_{out_dim-1}`` (rounded
+    JVM-side) — registry-safe, no array outputs. Malformed vectors (null
+    or wrong length) project to all-zero rows, matching the oracle's
+    COALESCE over null projections."""
+    W = np.empty((dim, out_dim), dtype=np.float64)
+    for p in range(out_dim):
+        W[:, p] = _hyperplane(table, p, dim)
+
+    @pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        zero = [0.0] * out_dim
+        res: list = [zero] * len(vecs)
+        rows = [
+            (i, np.asarray(v, dtype=np.float64))
+            for i, v in enumerate(vecs)
+            if v is not None and len(v) == dim
+        ]
+        if rows:
+            X = np.stack([a for _, a in rows])
+            np.nan_to_num(X, copy=False, nan=0.0)
+            P = np.zeros((len(rows), out_dim), dtype=np.float64)
+            for j in range(dim):  # dim-sequential: oracle-identical order
+                P += X[:, j : j + 1] * W[j]
+            for (i, _), row in zip(rows, P):
+                res[i] = row.tolist()
+        return pd.Series(res)
+
+    out = corpus.withColumn("__proj", _proj(F.col(vec_col)))
+    return out.select(
+        id_col,
+        *[
+            F.round(F.element_at(F.col("__proj"), p + 1), 6).alias(f"proj_{p}")
+            for p in range(out_dim)
+        ],
+    )
+
+
 def auto_band_config(
     corpus_count: int, hamming_max: int = 5
 ) -> tuple[int, int, int]:

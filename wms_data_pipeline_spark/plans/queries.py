@@ -4111,3 +4111,90 @@ def wm_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
         .select("event_id", "user_id", "ts", "event_type")
     )
+
+
+@query(
+    "dd_substring_dup_spans",
+    "WITH t AS (SELECT doc_id, text, CASE WHEN len(text) >= 40 "
+    "THEN (len(text) - 40) // 10 + 1 ELSE 0 END AS nw FROM documents), "
+    "w AS (SELECT doc_id, unnest(list_transform(range(0, nw), "
+    "k -> substr(text, (k * 10 + 1)::INTEGER, 40))) AS span FROM t), "
+    "c AS (SELECT span, count(*) AS n FROM w GROUP BY span), "
+    "d AS (SELECT w.doc_id, count(*)::BIGINT AS n_windows, "
+    "sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows "
+    "FROM w JOIN c USING (span) GROUP BY w.doc_id) "
+    "SELECT t.doc_id, COALESCE(d.n_windows, 0)::BIGINT AS n_windows, "
+    "COALESCE(d.n_dup_windows, 0)::BIGINT AS n_dup_windows, "
+    "round(COALESCE(d.n_dup_windows, 0)::DOUBLE / "
+    "greatest(COALESCE(d.n_windows, 0), 1)::DOUBLE, 6) AS dup_ratio "
+    "FROM t LEFT JOIN d ON d.doc_id = t.doc_id",
+    doc="Cross-document substring duplication (the ExactSubstr signal from "
+    "public training-data dedup literature): 40-char spans every 10 chars, "
+    "a span occurring >1 time anywhere in the corpus is duplicated text — "
+    "catches verbatim boilerplate/licenses that token-level metrics miss "
+    "(dedup.py substring_dup_spans). One shuffle on the span key, never "
+    "doc x doc; hash_windows=True shrinks the shuffle key to 8 bytes at "
+    "scale (registry keeps the exact-string default for the oracle).",
+)
+def dd_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.substring_dup_spans(docs, window=40, stride=10)
+
+
+def _projection_matrix_duck(out_dim: int = 16, dim: int = 64, table: int = 100) -> str:
+    """proj_p columns as inlined-literal dot products — the same md5-seeded
+    hyperplanes sim.random_projection closes over, so each projected value
+    is bit-identical cross-engine before the shared 6-dp rounding
+    (list_dot_product accumulates left-to-right, matching the kernel's
+    dim-sequential loop — the lsh_bucket precedent)."""
+    cols = []
+    for p in range(out_dim):
+        plane = ", ".join(repr(v) for v in sim._hyperplane(table, p, dim))
+        cols.append(
+            f"round(COALESCE(list_dot_product(embedding::DOUBLE[], [{plane}]), "
+            f"0.0), 6) AS proj_{p}"
+        )
+    return ", ".join(cols)
+
+
+@query(
+    "sim_random_projection",
+    f"SELECT vec_id, {_projection_matrix_duck(16, 64, 100)} FROM embeddings",
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 dims via "
+    "deterministic md5-seeded hyperplanes (similarity.py random_projection "
+    "— same family as the LSH planes, distinct table id). The cheap-dims "
+    "path for embedding pipelines: 4x narrower vectors for candidate "
+    "generation, full vectors only for re-rank. Pure map stage, no "
+    "shuffle; scalar proj_* outputs; dim-sequential accumulation makes "
+    "all 16 x 500 projected values hash-checkable cross-engine.",
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.random_projection(emb, out_dim=16, table=100)
+
+
+@query(
+    "evt_retention_cohorts",
+    "WITH f AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts "
+    "FROM events) "
+    "SELECT date_trunc('week', first_ts)::DATE AS cohort_week, "
+    "CAST((ts::DATE - first_ts::DATE) // 7 AS INTEGER) AS week_offset, "
+    "count(DISTINCT user_id)::BIGINT AS n_users "
+    "FROM f GROUP BY 1, 2",
+    doc="Retention cohort matrix: users grouped by first-seen ISO week, "
+    "counted distinct per whole-week offset since their first event — the "
+    "standard growth-analytics rollup. One window min per user (shuffle "
+    "on user_id) + one distinct-count aggregate; integer day arithmetic "
+    "(days // 7) so both engines bucket identically, no timezone-"
+    "dependent week math beyond the shared UTC date_trunc.",
+)
+def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    f = ev.select("user_id", "ts", F.min("ts").over(w).alias("first_ts"))
+    return f.groupBy(
+        F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
+        F.floor(
+            F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
+        ).cast("int").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))

@@ -711,6 +711,82 @@ def random_projection(
     )
 
 
+def projected_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cand: int = 50,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    table: int = 100,
+) -> DataFrame:
+    """Two-stage search on cheap dims: candidates = top-``cand`` per query
+    by L2 in the ``out_dim``-dim random projection (4× narrower rows, the
+    scan a projected column store pays), then exact cosine re-rank of only
+    those candidates on the full vectors — the standard
+    coarse-then-precise pattern, here with the JL projection as the coarse
+    stage. Fully deterministic and oracle-expressible: both stages rank by
+    (6-dp-rounded score, id).
+
+    Plan shape: one shared projection kernel per side; the candidate scan
+    is corpus × queries with the QUERY side broadcast (BroadcastNestedLoop
+    over a bounded query set — same contract as cosine_topk's closure) and
+    a per-query top-cand window; the re-rank joins ``cand × queries`` rows
+    back to full vectors by id. At 100 TB the projected table is the thing
+    scanned (stored once, nightly job), full vectors are fetched for
+    ~cand rows per query only."""
+    proj_cols = [f"proj_{p}" for p in range(out_dim)]
+    c_proj = random_projection(corpus, out_dim, id_col, vec_col, dim, table)
+    q_proj = random_projection(
+        queries, out_dim, query_id_col, vec_col, dim, table
+    ).select(
+        query_id_col, *[F.col(p).alias(f"q_{p}") for p in proj_cols]
+    )
+    pd2 = None
+    for p in proj_cols:
+        term = (F.col(p) - F.col(f"q_{p}")) * (F.col(p) - F.col(f"q_{p}"))
+        pd2 = term if pd2 is None else pd2 + term
+    scored = c_proj.crossJoin(F.broadcast(q_proj)).select(
+        query_id_col, id_col, F.round(pd2, 6).alias("proj_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("proj_dist").asc(), F.col(id_col).asc()
+    )
+    cands = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cand)
+        .drop("__rn")
+    )
+    vecs = corpus.select(
+        id_col, F.col(vec_col).alias("__cv"), norm(F.col(vec_col)).alias("__cn")
+    )
+    qvecs = queries.select(
+        query_id_col, F.col(vec_col).alias("__qv"), norm(F.col(vec_col)).alias("__qn")
+    )
+    rr = (
+        cands.join(vecs, id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6
+            ).alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        rr.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def auto_band_config(
     corpus_count: int, hamming_max: int = 5
 ) -> tuple[int, int, int]:

@@ -4198,3 +4198,123 @@ def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
         ).cast("int").alias("week_offset"),
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+def _projected_topk_duck(out_dim: int = 16, cand: int = 50, k: int = 10) -> str:
+    qsel = ", ".join(f"proj_{p} AS q_{p}" for p in range(out_dim))
+    pd2 = " + ".join(
+        f"(P.proj_{p} - qp.q_{p}) * (P.proj_{p} - qp.q_{p})" for p in range(out_dim)
+    )
+    return (
+        f"WITH P AS (SELECT vec_id, {_projection_matrix_duck(out_dim, 64, 100)} "
+        "FROM embeddings), "
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm "
+        "FROM embeddings), "
+        f"qp AS (SELECT vec_id AS query_id, {qsel} FROM P WHERE vec_id < 5), "
+        f"sc AS (SELECT qp.query_id, P.vec_id, round({pd2}, 6) AS proj_dist "
+        "FROM P CROSS JOIN qp), "
+        "cand AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY proj_dist, vec_id) AS rn "
+        f"FROM sc) WHERE rn <= {cand}), "
+        "rr AS (SELECT c.query_id, c.vec_id, "
+        "round(list_dot_product(ce.v, qe.v) / (ce.nrm * qe.nrm), 6) AS cosine_sim "
+        "FROM cand c JOIN e ce ON ce.vec_id = c.vec_id "
+        "JOIN e qe ON qe.vec_id = c.query_id) "
+        "SELECT query_id, vec_id, cosine_sim FROM (SELECT query_id, vec_id, "
+        "cosine_sim, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine_sim DESC, vec_id) AS rn FROM rr) "
+        f"WHERE rn <= {k}"
+    )
+
+
+@query(
+    "sim_projected_topk",
+    _projected_topk_duck(16, 50, 10),
+    doc="Two-stage ANN on cheap dims: top-50 candidates per query by L2 in "
+    "the 16-dim JL projection (4x narrower scan rows), exact cosine "
+    "re-rank on full vectors for the final top-10 (similarity.py "
+    "projected_rerank_topk). Both ranking stages order by (6dp-rounded "
+    "score, id), so the whole two-stage result hash-checks against DuckDB "
+    "recomputing the same projections from the same md5 hyperplane "
+    "literals. At 100 TB the projected table is the stored scan target; "
+    "full vectors are fetched for ~candidates x queries rows only.",
+)
+def sim_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.projected_rerank_topk(emb, q, k=10, cand=50, out_dim=16, table=100)
+
+
+@query(
+    "wm_scd2_history",
+    "SELECT user_id, event_type, valid_from, valid_to, "
+    "CASE WHEN valid_to IS NULL THEN TRUE ELSE FALSE END AS is_current FROM ("
+    "SELECT user_id, event_type, ts AS valid_from, "
+    "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to "
+    "FROM (SELECT user_id, event_type, ts, event_id, "
+    "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM events) WHERE prev IS NULL OR event_type <> prev)",
+    doc="SCD Type-2 validity intervals from a change stream: compress the "
+    "per-user event stream to change rows (lag), then each change's "
+    "valid_to is the NEXT change's timestamp (lead over the compressed "
+    "stream) — open interval + is_current on the last. The warehouse "
+    "history-table shape built from the same two keyed windows both "
+    "engines order identically by (ts, event_id).",
+)
+def wm_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull())
+
+
+@query(
+    "evt_volume_anomaly",
+    "WITH d AS (SELECT date_trunc('day', ts)::DATE AS day, event_type, "
+    "count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "w AS (SELECT day, event_type, n, "
+    "sum(n) OVER (PARTITION BY event_type ORDER BY day "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS s7, "
+    "count(n) OVER (PARTITION BY event_type ORDER BY day "
+    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS c7 FROM d) "
+    "SELECT day, event_type, n, round(s7::DOUBLE / c7, 4) AS trailing_avg, "
+    "round(n::DOUBLE * c7 / s7, 4) AS vol_ratio FROM w WHERE c7 > 0",
+    doc="Event-volume anomaly signal: each (day, event_type)'s count vs its "
+    "own trailing-7-day mean, as an exact-integer sum/count pair divided "
+    "once (no stddev — engines disagree on variance summation order; the "
+    "ratio-to-trailing-mean signal is deterministic). First day per type "
+    "drops out (no trailing window), matching both engines.",
+)
+def evt_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    t = d.select(
+        "day", "event_type", "n",
+        F.sum("n").over(w).alias("s7"),
+        F.count("n").over(w).alias("c7"),
+    ).filter(F.col("c7") > 0)
+    return t.select(
+        "day", "event_type", "n",
+        F.round(F.col("s7").cast("double") / F.col("c7"), 4).alias("trailing_avg"),
+        F.round(F.col("n").cast("double") * F.col("c7") / F.col("s7"), 4).alias("vol_ratio"),
+    )

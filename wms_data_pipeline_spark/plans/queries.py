@@ -79,6 +79,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # a silent dict overwrite would swap semantics under a name the
+            # driver already certified green (nearly happened round 6 with a
+            # second evt_retention_cohorts) — fail at import instead
+            raise ValueError(f"duplicate registry query name {name!r}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline, doc=doc)
         return fn
 
@@ -4173,33 +4178,6 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.random_projection(emb, out_dim=16, table=100)
 
 
-@query(
-    "evt_retention_cohorts",
-    "WITH f AS (SELECT user_id, ts, min(ts) OVER (PARTITION BY user_id) AS first_ts "
-    "FROM events) "
-    "SELECT date_trunc('week', first_ts)::DATE AS cohort_week, "
-    "CAST((ts::DATE - first_ts::DATE) // 7 AS INTEGER) AS week_offset, "
-    "count(DISTINCT user_id)::BIGINT AS n_users "
-    "FROM f GROUP BY 1, 2",
-    doc="Retention cohort matrix: users grouped by first-seen ISO week, "
-    "counted distinct per whole-week offset since their first event — the "
-    "standard growth-analytics rollup. One window min per user (shuffle "
-    "on user_id) + one distinct-count aggregate; integer day arithmetic "
-    "(days // 7) so both engines bucket identically, no timezone-"
-    "dependent week math beyond the shared UTC date_trunc.",
-)
-def evt_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    f = ev.select("user_id", "ts", F.min("ts").over(w).alias("first_ts"))
-    return f.groupBy(
-        F.date_trunc("week", F.col("first_ts")).cast("date").alias("cohort_week"),
-        F.floor(
-            F.datediff(F.to_date("ts"), F.to_date("first_ts")) / 7
-        ).cast("int").alias("week_offset"),
-    ).agg(F.countDistinct("user_id").alias("n_users"))
-
-
 def _projected_topk_duck(out_dim: int = 16, cand: int = 50, k: int = 10) -> str:
     qsel = ", ".join(f"proj_{p} AS q_{p}" for p in range(out_dim))
     pd2 = " + ".join(
@@ -4257,12 +4235,13 @@ def sim_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM (SELECT user_id, event_type, ts, event_id, "
     "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
     "FROM events) WHERE prev IS NULL OR event_type <> prev)",
-    doc="SCD Type-2 validity intervals from a change stream: compress the "
-    "per-user event stream to change rows (lag), then each change's "
-    "valid_to is the NEXT change's timestamp (lead over the compressed "
-    "stream) — open interval + is_current on the last. The warehouse "
-    "history-table shape built from the same two keyed windows both "
-    "engines order identically by (ts, event_id).",
+    doc="SCD Type-2 intervals from a NOISY update stream: change-compress "
+    "first (lag filter drops consecutive same-state rows), THEN build "
+    "[valid_from, valid_to) via lead over the compressed stream — so "
+    "intervals mark real state transitions, where the simpler "
+    "wm_scd2_intervals versionizes every history row as-is. Two keyed "
+    "windows sharing one (user_id) shuffle, ordered identically by "
+    "(ts, event_id) on both engines.",
 )
 def wm_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -4318,3 +4297,30 @@ def evt_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s7").cast("double") / F.col("c7"), 4).alias("trailing_avg"),
         F.round(F.col("n").cast("double") * F.col("c7") / F.col("s7"), 4).alias("vol_ratio"),
     )
+
+
+@query(
+    "sim_semantic_keep",
+    "WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS v, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, "
+    f"{_angular_sketch_duck(24)} AS sk FROM embeddings), "
+    "pairs AS (SELECT id_a, id_b FROM ("
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    f"round({_PAIR_COS_DUCK}, 6) AS cosine_sim "
+    "FROM s a JOIN s b ON a.vec_id < b.vec_id "
+    "AND bit_count(xor(a.sk, b.sk)) <= 5) WHERE cosine_sim >= 0.45) "
+    "SELECT vec_id FROM embeddings "
+    "WHERE vec_id NOT IN (SELECT id_b FROM pairs)",
+    doc="Semantic dedup ACTION (SemDeDup-style, public method): from the "
+    "sketch-banded near-dup pair set (id_a < id_b), drop every vector "
+    "that has a smaller-id neighbor above the cosine threshold — the "
+    "deterministic keep-smallest representative rule, applied as one "
+    "left-anti join on the pair set's id_b side. Completes the embedding "
+    "dedup story: sim_embedding_neardup FINDS, this REMOVES. Same banded "
+    "plan (never corpus x corpus) + one anti-join shuffle.",
+)
+def sim_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = sim.sketch_banded_neardup(e, n_planes=24, bands=6, band_bits=4)
+    drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return e.select("vec_id").join(drop, "vec_id", "left_anti")

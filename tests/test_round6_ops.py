@@ -141,6 +141,16 @@ def test_pq_codebook_rejects_unknown_method(spark):
         sim.pq_codebook(corpus, m=4, k=4, method="faiss")
 
 
+def test_kmeans_codebook_corpus_smaller_than_k(spark):
+    """k > corpus rows must degrade like the medoid path (fewer centers),
+    not crash on a mismatched bincount mask (round-6 review finding)."""
+    corpus = _corpus(spark, n=5, dim=8)
+    book = sim.pq_codebook(corpus, m=4, k=16, method="kmeans")
+    assert book.shape == (5, 8)
+    enc = sim.pq_encode(corpus, m=4, k=16, codebook="kmeans")
+    assert enc.count() == 5
+
+
 # -------------------------------------------------- incremental near-dup
 
 

@@ -33,7 +33,7 @@ from wms_data_pipeline_spark.operators.dedup import (
 from wms_data_pipeline_spark.session import get_spark
 
 
-def tile(docs, n_docs: int, copies: int, copy_offset: int, tag: str):
+def tile(docs, n_docs: int, copies: int, copy_offset: int):
     cdf = (
         docs.sparkSession.range(copies)
         .select((F.col("id") + copy_offset).alias("copy"))
@@ -62,7 +62,7 @@ def main(corpus_copies: int = 32, delta_sizes=(1000, 4000, 16000)) -> None:
         "doc_id", "text"
     )
     n_docs = docs.count()
-    corpus = tile(docs, n_docs, corpus_copies, 0, "corpus")
+    corpus = tile(docs, n_docs, corpus_copies, 0)
     corpus_n = corpus.count()
     work = tempfile.mkdtemp(prefix="ab_nd_idx_")
     try:
@@ -75,7 +75,7 @@ def main(corpus_copies: int = 32, delta_sizes=(1000, 4000, 16000)) -> None:
         # corpus copies → real cross-corpus near-dup pairs exist
         for ds in delta_sizes:
             copies_needed = max(1, (ds + n_docs - 1) // n_docs)
-            delta = tile(docs, n_docs, copies_needed, corpus_copies, "delta").filter(
+            delta = tile(docs, n_docs, copies_needed, corpus_copies).filter(
                 F.col("doc_id") < corpus_copies * n_docs + ds
             ).localCheckpoint()
             dn = delta.count()

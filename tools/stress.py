@@ -352,11 +352,16 @@ def stateful_stress(
         try:
             while time.time() < t_end and q.isActive:
                 time.sleep(10)
-                for p in q.recentProgress[-1:]:
+                # walk ALL unseen progress entries, not just the newest:
+                # with sub-10s batches the poll would otherwise sample a
+                # fraction of batches and the above_seen early-exit would
+                # fire long after the measurement window closed
+                for p in q.recentProgress:
                     p = json.loads(p) if isinstance(p, str) else p
-                    if p.get("batchId") == last_batch:
+                    bid = p.get("batchId")
+                    if bid is None or bid <= last_batch:
                         continue
-                    last_batch = p.get("batchId")
+                    last_batch = bid
                     live = (p.get("stateOperators") or [{}])[0].get("numRowsTotal")
                     print(
                         f"[{provider}] batch {p.get('batchId')}: "

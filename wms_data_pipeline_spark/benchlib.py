@@ -24,16 +24,6 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 
 
-def concurrent_wall(
-    spark: SparkSession,
-    jobs: list[tuple[str, Callable[[], None]]],
-    runs: int = 2,
-) -> float:
-    """Best whole-batch concurrent wall time over ``runs`` repetitions
-    (see ``concurrent_walls`` for the mechanics and the per-rep list)."""
-    return min(concurrent_walls(spark, jobs, runs))
-
-
 def concurrent_walls(
     spark: SparkSession,
     jobs: list[tuple[str, Callable[[], None]]],

@@ -298,8 +298,13 @@ def neardup_index_write(
     # (band, bp) directory — bands × 16^len × partitions tiny files (~65k
     # measured at 160k docs, 209 s build dominated by file creation).
     # With it: one file per directory, build bounded by data, not files.
+    # "x" sentinel prefix: a small index whose written bp values happen to
+    # be digit-only hex would get bp INFERRED as INT on read, after which
+    # the probe's string isin() misses leading-zero prefixes ("07" vs 7) —
+    # silently dropping pairs. A letter head pins partition-type inference
+    # to string forever.
     band_rows.withColumn(
-        "bp", F.substring(F.col("bhash"), 1, bhash_prefix_len)
+        "bp", F.concat(F.lit("x"), F.substring(F.col("bhash"), 1, bhash_prefix_len))
     ).repartition("band", "bp").write.mode("overwrite").partitionBy(
         "band", "bp"
     ).parquet(base + "/bands")
@@ -387,7 +392,8 @@ def neardup_incremental(
         hash_family=meta.hash_family,
     ).localCheckpoint(eager=False)
     delta_bands = _band_rows(sig, id_col, meta.num_perm, meta.bands).withColumn(
-        "bp", F.substring(F.col("bhash"), 1, meta.bhash_prefix_len)
+        "bp",
+        F.concat(F.lit("x"), F.substring(F.col("bhash"), 1, meta.bhash_prefix_len)),
     ).localCheckpoint(eager=False)
 
     # bounded control-plane collect #1: the delta's (band, prefix) set —

@@ -342,7 +342,10 @@ def pq_codebook(
             # default sample/k and dominated the fit wall-clock
             d = (centers * centers).sum(axis=1)[None, :] - 2.0 * (Xs @ centers.T)
             assign = d.argmin(axis=1)
-            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            # minlength must track the ACTUAL center count: medoid_centers
+            # returns min(k, corpus_rows) rows, and a k-sized mask over a
+            # smaller centers array raises on the fancy index below
+            counts = np.bincount(assign, minlength=len(centers)).astype(np.float64)
             sums = np.zeros_like(centers)
             np.add.at(sums, assign, Xs)
             nonempty = counts > 0
@@ -939,6 +942,7 @@ def pq_encode(
     vec_col: str = "embedding",
     seed: int = 7,
     codebook: str = "medoid",
+    _codebook_arr: np.ndarray | None = None,
 ) -> DataFrame:
     """Product quantization (public ANN-compression method): split each
     vector into ``m`` contiguous subspaces and encode each subspace as the
@@ -965,11 +969,20 @@ def pq_encode(
     shuffle; at 100 TB the codes column becomes the stored table and this
     stage is the nightly encode pass.
     """
-    med_arr = pq_codebook(corpus, m, k, id_col, vec_col, seed, method=codebook)
+    # _codebook_arr: internal fast path for the search entry points, which
+    # already built the identical codebook for their own LUTs — skips a
+    # second medoid collect / sample collect / Lloyd fit per search call
+    med_arr = (
+        _codebook_arr
+        if _codebook_arr is not None
+        else pq_codebook(corpus, m, k, id_col, vec_col, seed, method=codebook)
+    )
     dim = med_arr.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+    # effective codeword count: medoid_centers returns min(k, corpus rows)
+    k = med_arr.shape[0]
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, codes array<int>, mse double"
 
@@ -1078,7 +1091,7 @@ def pq_adc_topk(
 
     codes = pq_encode(
         corpus, m=m, k=kcode, id_col=id_col, vec_col=vec_col, seed=seed,
-        codebook=codebook,
+        codebook=codebook, _codebook_arr=med_arr,
     )
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"__qidx int, {id_col} {id_type}, __raw double"
@@ -1129,6 +1142,8 @@ def ivfpq_encode(
     cell_seed: int = 11,
     seed: int = 7,
     codebook: str = "medoid",
+    _codebook_arr: np.ndarray | None = None,
+    _cell_arr: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ index encode (the combined layout large ANN deployments
     use): one map-side kernel assigns each vector a coarse L2 cell (full-
@@ -1140,13 +1155,23 @@ def ivfpq_encode(
 
     Same FP contract as ``pq_encode``: all distances accumulate
     dim-sequentially; ties break to the smallest index."""
-    cell_meds = medoid_centers(corpus, nlist, id_col, vec_col, cell_seed, normalize=False)
-    cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
-    code_arr = pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
+    if _cell_arr is not None:
+        cell_arr = _cell_arr
+    else:
+        cell_meds = medoid_centers(
+            corpus, nlist, id_col, vec_col, cell_seed, normalize=False
+        )
+        cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
+    code_arr = (
+        _codebook_arr
+        if _codebook_arr is not None
+        else pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
+    )
     dim = code_arr.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
+    kcode = code_arr.shape[0]  # effective count: min(kcode, corpus rows)
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, cell int, codes array<int>"
 
@@ -1201,13 +1226,16 @@ def ivfpq_topk(
     HOW MUCH per row. Deterministic and oracle-checkable end to end:
     every ranking (cell assignment, probe choice, code argmin, final
     top-k) orders by (sequentially-accumulated distance, index)."""
-    enc = ivfpq_encode(
-        corpus, nlist, m, kcode, id_col, vec_col, cell_seed, seed,
-        codebook=codebook,
-    )
+    # build cell centers + codebook ONCE and share with the encode stage —
+    # the encode call used to recompute both (a second medoid collect,
+    # sample collect, and Lloyd fit per search call with codebook='kmeans')
     cell_meds = medoid_centers(corpus, nlist, id_col, vec_col, cell_seed, normalize=False)
     cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
     code_arr = pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
+    enc = ivfpq_encode(
+        corpus, nlist, m, kcode, id_col, vec_col, cell_seed, seed,
+        codebook=codebook, _codebook_arr=code_arr, _cell_arr=cell_arr,
+    )
     dim = code_arr.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")

@@ -4250,12 +4250,11 @@ def wm_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_type", "ts", "event_id", F.lag("event_type").over(w).alias("prev"))
         .filter(F.col("prev").isNull() | (F.col("event_type") != F.col("prev")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     out = changes.select(
         "user_id",
         "event_type",
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w).alias("valid_to"),
     )
     return out.withColumn("is_current", F.col("valid_to").isNull())
 

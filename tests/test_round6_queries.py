@@ -1,0 +1,148 @@
+"""Semantic tests for the round-6 query batch: bin-bucketed range join,
+Markov transition matrix, train-split decontamination, k-NN label voting.
+Each query's oracle parity is covered by tools/parity.py; these tests pin
+the SEMANTICS (containment, row-stochasticity, anti-join direction,
+vote arithmetic) on data where the expected answer is hand-checkable."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wms_data_pipeline_spark.plans.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_range_join_binned_containment(spark):
+    """Every attributed event count must equal a brute-force BETWEEN
+    recount for its campaign window (the binned rewrite may never drop or
+    double-count an event at a bin boundary)."""
+    out = {
+        r["campaign_id"]: (r["n_events"], r["start_ts"])
+        for r in REGISTRY["rel_range_join_binned"].fn(spark, SF).collect()
+    }
+    assert out, "no campaign windows matched any events"
+    from wms_data_pipeline_spark.schemas import load_table
+
+    ev = load_table(spark, SF, "events").select("ts").collect()
+    ts_all = sorted(r["ts"] for r in ev)
+    from datetime import timedelta
+
+    for cid, (n, start) in out.items():
+        end = start + timedelta(hours=12)
+        brute = sum(1 for t in ts_all if start <= t < end)
+        assert brute == n, f"campaign {cid}: binned {n} vs brute {brute}"
+
+
+def test_markov_transitions_row_stochastic(spark):
+    """Per-src probabilities must sum to ~1 and counts must total the
+    number of consecutive per-user event pairs (n_events - n_users with
+    >=1 event)."""
+    rows = REGISTRY["evt_markov_transitions"].fn(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, grp in by_src.items():
+        total_p = sum(r["p"] for r in grp)
+        assert abs(total_p - 1.0) < 1e-4, f"src {src} rows sum to {total_p}"
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_trans"] for r in rows) == n_events - n_users
+
+
+def test_decontaminate_train_drops_only_overlapping(spark):
+    """The surviving train set must be disjoint from the flagged doc set
+    and contain every train doc NOT sharing >=3 4-grams with the test
+    split — cross-checked against an independent recount of the overlap."""
+    kept = {
+        r["doc_id"]
+        for r in REGISTRY["txt_decontaminate_train"].fn(spark, SF).collect()
+    }
+    from wms_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    sh = docs.withColumn("b", bucket).select(
+        "doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g")
+    )
+    rows = sh.collect()
+    test_g = {r["g"] for r in rows if r["b"] == 0}
+    train_docs = {}
+    for r in rows:
+        if r["b"] != 0:
+            train_docs.setdefault(r["doc_id"], set()).add(r["g"])
+    all_train = {
+        r["doc_id"]
+        for r in docs.withColumn("b", bucket).filter(F.col("b") != 0).collect()
+    }
+    expect_kept = {
+        d for d in all_train if len(train_docs.get(d, set()) & test_g) < 3
+    }
+    assert kept == expect_kept
+
+
+def test_knn_classify_votes_match_neighbor_labels(spark):
+    """Each prediction must equal the modal label of the query's 10
+    nearest non-self neighbors, recomputed via the exact cosine baseline."""
+    from wms_data_pipeline_spark.operators import similarity as sim
+    from wms_data_pipeline_spark.schemas import load_table
+
+    preds = {
+        r["query_id"]: (r["pred_label"], r["n_votes"])
+        for r in REGISTRY["sim_knn_classify"].fn(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = sim.cosine_topk(emb, queries, k=11).collect()
+    by_q = {}
+    for r in nn:
+        if r["vec_id"] != r["query_id"]:
+            by_q.setdefault(r["query_id"], []).append(labels[r["vec_id"]])
+    assert set(preds) == set(by_q)
+    for q, labs in by_q.items():
+        counts = {}
+        for l in labs:
+            counts[l] = counts.get(l, 0) + 1
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert preds[q] == (best[0], best[1]), f"query {q}"
+
+
+def test_quality_quantile_filter_keeps_at_least_half_per_lang(spark):
+    """Median thresholding keeps >= half of each language's docs (>= by
+    the boundary-inclusive rule), never all of them unless scores tie."""
+    out = REGISTRY["txt_quality_quantile_filter"].fn(spark, SF)
+    kept = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept_by_lang = {}
+    for lang, _ in kept:
+        kept_by_lang[lang] = kept_by_lang.get(lang, 0) + 1
+    assert set(kept_by_lang) == set(totals)
+    for lang, total in totals.items():
+        assert kept_by_lang[lang] >= total / 2, lang
+        assert kept_by_lang[lang] < total or total == 1, lang
+
+
+def test_rfm_scores_quintiles_balanced(spark):
+    """ntile(5) must split users into quintiles differing by at most one,
+    and every user appears exactly once with all three scores in 1..5."""
+    rows = REGISTRY["evt_rfm_scores"].fn(spark, SF).collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            assert 1 <= r[col] <= 5, (col, r)
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert set(counts) == {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)

@@ -4323,3 +4323,272 @@ def sim_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sim.sketch_banded_neardup(e, n_planes=24, bands=6, band_bits=4)
     drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return e.select("vec_id").join(drop, "vec_id", "left_anti")
+
+
+@query(
+    "rel_range_join_binned",
+    "WITH camp AS (SELECT event_id AS campaign_id, ts AS start_ts, "
+    "ts + INTERVAL 12 HOUR AS end_ts FROM events WHERE event_type = 'purchase' "
+    "ORDER BY value DESC, event_id LIMIT 20) "
+    "SELECT c.campaign_id, c.start_ts, count(*)::BIGINT AS n_events, "
+    "round(sum(e.value), 2) AS window_value "
+    "FROM camp c JOIN events e ON e.ts >= c.start_ts AND e.ts < c.end_ts "
+    "GROUP BY c.campaign_id, c.start_ts",
+    doc="Point-in-interval range join WITHOUT an equi key: the 20 "
+    "highest-value purchases open 12-hour campaign windows, and every "
+    "event landing inside any window is attributed to it. A naive "
+    "theta-join on two timestamp inequalities degenerates to a nested-"
+    "loop cross product at scale; here the time axis is binned to the "
+    "hour, each interval EXPLODES into the <=13 hourly bins it spans "
+    "(sequence + explode), and events equi-join on their single bin "
+    "before the exact containment filter - the standard bin-bucketed "
+    "range-join rewrite (what Databricks' range-join hint does under the "
+    "hood). Work scales with events x avg-bins-per-interval, never "
+    "events x intervals; the interval side is broadcast here, and at "
+    "larger interval cardinality the same bin key becomes the shuffle "
+    "key. Hot bins (many overlapping windows) are the skew knob: shrink "
+    "the bin to rebalance. DuckDB's oracle uses its native IEJoin on the "
+    "same inequalities.",
+)
+def rel_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    camp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(20)
+        .select(
+            F.col("event_id").alias("campaign_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("end_ts"),
+        )
+    )
+    bins = camp.select(
+        "campaign_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "start_ts"),
+                F.date_trunc("hour", "end_ts"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    evb = ev.select("ts", "value", F.date_trunc("hour", "ts").alias("bin"))
+    return (
+        evb.join(F.broadcast(bins), "bin")
+        .filter((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .groupBy("campaign_id", "start_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("window_value"),
+        )
+    )
+
+
+@query(
+    "evt_markov_transitions",
+    "WITH s AS (SELECT event_type AS src, "
+    "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst "
+    "FROM events) "
+    "SELECT src, dst, count(*)::BIGINT AS n_trans, "
+    "round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY src), 6) AS p "
+    "FROM s WHERE dst IS NOT NULL GROUP BY src, dst",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: one keyed lead() window builds (src, dst) bigrams, one "
+    "aggregate counts them, and a tiny window over the |event_types|^2 "
+    "matrix row-normalizes to probabilities. The sequence-model "
+    "complement of evt_top_paths (which mines specific trigram paths); "
+    "the heavy shuffle is the per-user window, the normalization window "
+    "runs on <=25 rows.",
+)
+def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_trans"))
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(wsrc), 6
+        ).alias("p"),
+    )
+
+
+@query(
+    "txt_decontaminate_train",
+    "WITH t AS (SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS toks, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, b, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1)), "
+    "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2] || ' ' || toks[j + 3]"
+    "))) AS g FROM t WHERE len(toks) >= 4), "
+    "test AS (SELECT DISTINCT g FROM sh WHERE b = 0), "
+    "bad AS (SELECT sh.doc_id FROM sh JOIN test USING (g) WHERE sh.b <> 0 "
+    "GROUP BY sh.doc_id HAVING count(DISTINCT sh.g) >= 3) "
+    "SELECT doc_id, source FROM t WHERE b <> 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM bad)",
+    doc="Train/test decontamination ACTION: txt_contamination_check FLAGS "
+    "eval docs overlapping train; this applies the standard remedy in the "
+    "other direction - drop from the train split every document sharing "
+    ">=3 distinct word 4-grams with the held-out split, and return the "
+    "surviving train set. Same deterministic hash split, same shingle-key "
+    "shuffle (the test side's distinct shingle set is the small join "
+    "side), one left-anti join applies the drop; shingle-less short docs "
+    "are trivially clean and pass through. Never doc x doc.",
+)
+def txt_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    docs = docs.withColumn("b", bucket)
+    sh = docs.select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
+    test_g = sh.filter(F.col("b") == 0).select("g").distinct()
+    bad = (
+        sh.filter(F.col("b") != 0)
+        .join(test_g, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 3)
+        .select("doc_id")
+    )
+    return (
+        docs.filter(F.col("b") != 0)
+        .join(bad, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "sim_knn_classify",
+    "WITH nn AS (SELECT query_id, vec_id FROM ("
+    "SELECT query_id, vec_id, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn "
+    "FROM (SELECT q.vec_id AS query_id, e.vec_id, "
+    + _COS_DUCK
+    + " AS cosine_sim "
+    "FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q)"
+    ") WHERE rn <= 11), "
+    "flt AS (SELECT * FROM nn WHERE vec_id <> query_id), "
+    "votes AS (SELECT flt.query_id, l.label, count(*)::BIGINT AS n_votes "
+    "FROM flt JOIN embeddings l ON flt.vec_id = l.vec_id "
+    "GROUP BY flt.query_id, l.label) "
+    "SELECT query_id, label AS pred_label, n_votes FROM ("
+    "SELECT query_id, label, n_votes, row_number() OVER ("
+    "PARTITION BY query_id ORDER BY n_votes DESC, label) AS rn FROM votes) "
+    "WHERE rn = 1",
+    doc="k-NN label classification over the embedding corpus: exact "
+    "cosine top-11 per query (the oracle-green cosine_topk kernel), drop "
+    "the self-match, majority-vote the 10 neighbors' labels with a "
+    "deterministic (votes DESC, label) tiebreak. The standard "
+    "label-propagation / auto-labeling primitive for curation pipelines; "
+    "riding cosine_topk keeps the shuffle bounded by partitions x k and "
+    "the vote aggregate touches only queries x k rows.",
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nn = sim.cosine_topk(emb, queries, k=11).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    votes = (
+        nn.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+@query(
+    "txt_quality_quantile_filter",
+    "WITH q AS (" + _QUALITY_DUCK + "), "
+    "j AS (SELECT q.doc_id, d.lang, q.quality_score FROM q "
+    "JOIN documents d ON q.doc_id = d.doc_id), "
+    "t AS (SELECT lang, quantile_cont(quality_score, 0.5) AS thr "
+    "FROM j GROUP BY lang) "
+    "SELECT j.doc_id, j.lang, j.quality_score FROM j JOIN t USING (lang) "
+    "WHERE j.quality_score >= t.thr",
+    doc="Quantile-thresholded curation: keep each document scoring at or "
+    "above its LANGUAGE's median quality (per-group adaptive cutoffs - "
+    "the standard fix for absolute thresholds over-pruning low-resource "
+    "languages). One scan computes features map-side, one tiny agg "
+    "derives |langs| thresholds (broadcast back), one filter applies "
+    "them. Both engines interpolate the median from identical 6dp-rounded "
+    "scores, so the cutoff comparison is bit-stable; at 100 TB the exact "
+    "percentile swaps for approx_percentile with the same plan shape.",
+)
+def txt_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    q = txt.quality_features(docs).select("doc_id", "lang", "quality_score")
+    thr = q.groupBy("lang").agg(
+        F.expr("percentile(quality_score, 0.5)").alias("thr")
+    )
+    return (
+        q.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+@query(
+    "evt_rfm_scores",
+    "WITH a AS (SELECT user_id, max(ts) AS last_ts, count(*)::BIGINT AS freq, "
+    "round(sum(value), 2) AS monetary FROM events GROUP BY user_id) "
+    "SELECT user_id, freq, monetary, "
+    "ntile(5) OVER (ORDER BY last_ts DESC, user_id) AS r_score, "
+    "ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_score, "
+    "ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_score "
+    "FROM a",
+    doc="RFM (recency/frequency/monetary) quintile scoring - the "
+    "classic customer-value segmentation: one grouped scan reduces each "
+    "user to (last_ts, freq, monetary), then three global ntile(5) "
+    "windows rank the reduced table. The windows are un-partitioned but "
+    "run over |users| rows, not |events|; at 100 TB-of-events scale the "
+    "reduced side is still billions of users at most, where the exact "
+    "ntile swaps for approx-quantile bucket edges computed once and "
+    "applied map-side (same output contract). Deterministic (metric, "
+    "user_id) tiebreaks keep quintile boundaries identical across "
+    "engines.",
+)
+def evt_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    return a.select(
+        "user_id",
+        "freq",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("last_ts").desc(), "user_id"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .cast("long")
+        .alias("m_score"),
+    )

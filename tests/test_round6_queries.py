@@ -146,3 +146,49 @@ def test_rfm_scores_quintiles_balanced(spark):
             counts[r[col]] = counts.get(r[col], 0) + 1
         assert set(counts) == {1, 2, 3, 4, 5}
         assert max(counts.values()) - min(counts.values()) <= 1, (col, counts)
+
+
+def test_token_budget_sample_maximal_prefix(spark):
+    """Kept rows per source must be a PREFIX of the hash-ordered doc list:
+    total kept tokens <= budget, and the first excluded doc would overflow
+    it (no doc was skipped while budget remained)."""
+    from wms_data_pipeline_spark.operators import text as txt
+
+    out = REGISTRY["txt_token_budget_sample"].fn(spark, SF).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["source"], set()).add(r["doc_id"])
+        assert r["cum_tokens"] <= 10000
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n"),
+            txt.hex64(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .collect()
+    )
+    by_src = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: (r["h"], r["doc_id"]))
+        cum, expect = 0, set()
+        for r in rows:
+            if cum + r["n"] > 10000:
+                break
+            cum += r["n"]
+            expect.add(r["doc_id"])
+        assert kept.get(src, set()) == expect, src
+
+
+def test_cluster_size_audit_accounts_for_every_doc(spark):
+    """size x n_clusters summed over the histogram must equal the corpus
+    size — every document lands in exactly one cluster (singletons
+    included)."""
+    rows = REGISTRY["dd_cluster_size_audit"].fn(spark, SF).collect()
+    total = sum(r["size"] * r["n_clusters"] for r in rows)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert total == n_docs
+    assert all(r["size"] >= 1 and r["n_clusters"] >= 1 for r in rows)

@@ -4592,3 +4592,78 @@ def evt_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_score"),
     )
+
+
+@query(
+    "txt_token_budget_sample",
+    "WITH t AS (SELECT doc_id, source, "
+    "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+    "FROM documents), "
+    "c AS (SELECT doc_id, source, n_tokens, "
+    "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM t) "
+    "SELECT doc_id, source, n_tokens, cum_tokens FROM c "
+    "WHERE cum_tokens <= 10000",
+    doc="Token-budget sampling: cap each SOURCE at a fixed token budget by "
+    "walking its documents in content-stable hash order and keeping rows "
+    "while the running token total fits - how a training mix is cut to "
+    "per-source budgets reproducibly (same hash-order trick as "
+    "txt_mix_sources; rand() would resample every run). One window per "
+    "source partition computes the running sum; the budget predicate is "
+    "then a plain filter. At 100 TB the cumulative window shuffles once "
+    "on source - the same cost as any per-source rollup.",
+)
+def txt_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        txt.hex64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 10000)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+@query(
+    "dd_cluster_size_audit",
+    "WITH comp AS (SELECT * FROM (" + _components_duck(0.5) + ")), "
+    "sizes AS (SELECT component, count(*)::BIGINT AS size FROM comp "
+    "GROUP BY component), "
+    "singles AS (SELECT 1::BIGINT AS size FROM documents "
+    "WHERE doc_id NOT IN (SELECT doc_id FROM comp)), "
+    "all_sizes AS (SELECT size FROM sizes UNION ALL SELECT size FROM singles) "
+    "SELECT size, count(*)::BIGINT AS n_clusters FROM all_sizes GROUP BY size",
+    doc="Dedup audit report: the cluster-size histogram of the MinHash "
+    "near-dup components, INCLUDING the singleton mass (docs in no pair "
+    "anti-joined back in as size-1 clusters) - the one table a curation "
+    "run reads to judge how aggressive a dedup pass was (share of corpus "
+    "in large clusters vs untouched). Rides the oracle-green components "
+    "operator; the added cost is one anti-join and two tiny aggregates "
+    "over |docs| and |clusters| rows.",
+)
+def dd_cluster_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dd.minhash_neardup_pairs(docs, threshold=0.5)
+    comp = dd.neardup_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    singles = (
+        docs.select("doc_id")
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .select(F.lit(1).cast("long").alias("size"))
+    )
+    return (
+        sizes.select("size")
+        .unionAll(singles)
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

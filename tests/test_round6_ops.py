@@ -321,3 +321,70 @@ def test_encode_schemas_follow_id_column_type(spark):
     enc2 = sim.ivfpq_encode(corpus, nlist=4, m=4, kcode=4)
     assert enc2.schema["vec_id"].dataType.simpleString() == "int"
     assert enc2.count() == 20
+
+
+# ------------------------------------------------------------ ivf_index_append
+
+
+def test_ivf_index_append_matches_frozen_center_assignment(spark, tmp_path):
+    """After appending a delta, searching the index must equal an
+    _ivf_search over the UNION corpus assigned against the ORIGINAL
+    (frozen) centers — append changes what is indexed, never the cell
+    geometry."""
+    corpus = _corpus(spark, n=60)
+    delta = _corpus(spark, n=80).filter(F.col("vec_id") >= 60)
+    path = "file://" + str(tmp_path / "ivf")
+    sim.ivf_index_write(corpus, path, nlist=4)
+    sim.ivf_index_append(delta, path)
+
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"])
+        for r in sim.ivf_index_topk(spark, path, queries, k=5, nprobe=2).collect()
+    )
+
+    centers = sorted(
+        (int(r["cell"]), list(r["center"]))
+        for r in spark.read.parquet(path + "/centers").collect()
+    )
+    union = corpus.unionByName(delta)
+    union_cells = union.withColumn(
+        "cell",
+        F.element_at(sim._nearest_cells_udf(centers, 1)(F.col("embedding")), 1),
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["cosine_sim"])
+        for r in sim._ivf_search(
+            union_cells, queries, centers, 5, 2, "vec_id", "embedding", "query_id"
+        ).collect()
+    )
+    assert got == want
+    # the index now physically contains the delta rows:
+    assert spark.read.parquet(path + "/data").filter(F.col("vec_id") >= 60).count() == 20
+
+
+def test_ivf_index_append_touches_only_delta_cells(spark, tmp_path):
+    """A one-vector delta must add files to exactly ONE cell directory;
+    every other cell directory keeps its original file set."""
+    import glob as _glob
+
+    corpus = _corpus(spark, n=60)
+    path_local = str(tmp_path / "ivf")
+    sim.ivf_index_write(corpus, "file://" + path_local, nlist=4)
+
+    def files_per_cell():
+        out = {}
+        for d in _glob.glob(path_local + "/data/cell=*"):
+            out[d.rsplit("/", 1)[-1]] = sorted(_glob.glob(d + "/*.parquet"))
+        return out
+
+    before = files_per_cell()
+    one = _corpus(spark, n=61).filter(F.col("vec_id") == 60)
+    sim.ivf_index_append(one, "file://" + path_local)
+    after = files_per_cell()
+    changed = [c for c in after if after[c] != before.get(c, [])]
+    assert len(changed) == 1, changed
+    for c in before:
+        assert set(before[c]) <= set(after.get(c, [])), f"{c} lost files"

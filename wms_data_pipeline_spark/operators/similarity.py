@@ -513,6 +513,48 @@ def ivf_index_write(
     centers_df.coalesce(1).write.mode("overwrite").parquet(base + "/centers")
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Add a delta of vectors to a persisted IVF index WITHOUT rebuilding
+    it — the vector twin of ``dedup.neardup_incremental``'s daily-delta
+    story. The stored centers are loaded (nlist rows — bounded
+    control-plane), each new vector is assigned its cell by the same
+    map-side argmin kernel the build used, and the rows are APPENDED into
+    the ``partitionBy("cell")`` layout, so new files land only in the
+    delta's touched cell directories and every existing file is left
+    untouched. Cost scales with the delta (one map-side kernel + a
+    delta-sized write), never with the indexed corpus.
+
+    The quantizer is FROZEN: centers are not refit on append (the
+    train-once/add-many contract every production IVF library exposes),
+    so searches see old and new vectors under one consistent cell
+    geometry and results equal a from-scratch assignment of the union
+    corpus against the same centers (pinned by test). Recall drifts only
+    as far as the corpus distribution drifts from the training sample —
+    the periodic rebuild (``ivf_index_write``) re-trains.
+
+    The delta is repartitioned ON the cell column before the write —
+    without it every shuffle partition writes into every touched cell
+    directory (the small-files trap measured in the near-dup index
+    build); with nlist directories this caps write parallelism at nlist
+    tasks, which is the right trade for delta-sized batches."""
+    spark = new_vectors.sparkSession
+    base = path.rstrip("/")
+    unit_centers = sorted(
+        (int(r["cell"]), list(r["center"]))
+        for r in spark.read.parquet(base + "/centers").collect()
+    )
+    assigned = new_vectors.withColumn(
+        "cell", F.element_at(_nearest_cells_udf(unit_centers, 1)(F.col(vec_col)), 1)
+    )
+    assigned.repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(base + "/data")
+
+
 def ivf_index_topk(
     spark,
     path: str,

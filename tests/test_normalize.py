@@ -95,3 +95,42 @@ def test_explode_lines(spark):
 def test_assert_nondecreasing_passes_and_fails(spark):
     ok = spark.createDataFrame([("a", 1), ("b", 2)], "id string, updated_at int")
     nz.assert_nondecreasing(ok)
+
+
+# ------------------------------------------------------------ conform_schema
+
+
+def test_conform_schema_adds_missing_widens_and_orders(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "x")], "id int, score float, extra string"
+    )
+    out = nz.conform_schema(
+        df, "id bigint, score double, note string"
+    )
+    assert out.columns == ["id", "score", "note"]
+    assert dict(out.dtypes) == {"id": "bigint", "score": "double", "note": "string"}
+    row = out.collect()[0]
+    assert (row["id"], row["score"], row["note"]) == (1, 2.5, None)
+
+
+def test_conform_schema_rejects_narrowing(spark):
+    df = spark.createDataFrame([(1,)], "id bigint")
+     
+
+    with pytest.raises(ValueError, match="id: bigint -> int"):
+        nz.conform_schema(df, "id int")
+    # long -> double is precision loss past 2^53, NOT a safe widening:
+    with pytest.raises(ValueError, match="bigint -> double"):
+        nz.conform_schema(df, "id double")
+
+
+def test_conform_schema_extra_column_modes(spark):
+    df = spark.createDataFrame([(1, "y")], "id int, surprise string")
+    out = nz.conform_schema(df, "id int")
+    assert out.columns == ["id"]
+     
+
+    with pytest.raises(ValueError, match="surprise"):
+        nz.conform_schema(df, "id int", on_extra="error")
+    with pytest.raises(ValueError, match="on_extra"):
+        nz.conform_schema(df, "id int", on_extra="keep")

@@ -184,3 +184,69 @@ def normalize(
     out = with_lineage(out, run_id, extracted_at, watermark_effective)
     out = dedup_keep_last(out)
     return out.drop("_arrival_seq")
+
+
+#: Safe widening casts (no precision or range loss) — the only automatic
+#: type changes conform_schema performs. Mirrors Spark's ANSI up-cast
+#: matrix for the types the pipeline uses: long→double and int→float are
+#: deliberately ABSENT (both lose precision past 2^53 / 2^24).
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("tinyint", "float"), ("tinyint", "double"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("smallint", "float"), ("smallint", "double"),
+    ("int", "bigint"), ("int", "double"),
+    ("float", "double"),
+}
+
+
+def conform_schema(
+    df: DataFrame, target_ddl: str, on_extra: str = "drop"
+) -> DataFrame:
+    """Schema-evolution adapter: conform an upstream batch to a target
+    schema the way a long-lived pipeline absorbs source drift.
+
+    - columns MISSING from the batch are added as typed nulls (a source
+      that stopped sending a field must not break history appends);
+    - columns whose type safely WIDENS (int→bigint, float→double, …,
+      per ``_WIDENINGS``) are cast — lossless by construction;
+    - any NARROWING or incompatible type change raises with the full
+      list (silent truncation is how bad data outlives its bug);
+    - EXTRA columns are dropped (``on_extra="drop"``, the
+      forward-compatible default) or rejected (``on_extra="error"``);
+    - output column order follows the target, so downstream
+      positional writers (CSV, JDBC batch inserts) stay stable.
+
+    Complements ``sources.landing.check_contract`` (which VERIFIES a
+    frame against a contract and refuses): conform ADAPTS the frame
+    where adaptation is lossless, and refuses everywhere else. All
+    adaptations are narrow per-row projections — no shuffle, no scan."""
+    from pyspark.sql.types import StructType
+
+    target = StructType.fromDDL(target_ddl)
+    have = dict(df.dtypes)
+    incompatible: list[str] = []
+    extras = [c for c in df.columns if c not in {f.name for f in target.fields}]
+    if extras and on_extra == "error":
+        raise ValueError(f"unexpected columns not in target schema: {extras}")
+    if on_extra not in ("drop", "error"):
+        raise ValueError(f"on_extra must be 'drop' or 'error', got {on_extra!r}")
+    cols = []
+    for field in target.fields:
+        want = field.dataType.simpleString()
+        if field.name not in have:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+            continue
+        got = have[field.name]
+        if got == want:
+            cols.append(F.col(field.name))
+        elif (got, want) in _WIDENINGS:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            incompatible.append(f"{field.name}: {got} -> {want}")
+    if incompatible:
+        raise ValueError(
+            "incompatible schema changes (narrowing or type rewrite): "
+            + "; ".join(incompatible)
+        )
+    return df.select(*cols)

@@ -346,3 +346,51 @@ def test_session_counts(spark, tmp_path):
         (datetime(2026, 1, 1, 10, 0), 2),
         (datetime(2026, 1, 1, 12, 0), 1),
     ]
+
+
+def test_neardup_ingest_stream_dedups_across_batches(spark, tmp_path):
+    """Dedup-on-ingest: batch 1 is probed against the corpus index; batch 2
+    must ALSO be probed against batch 1 (the foreachBatch appends each
+    batch's signatures), so a batch-2 doc duplicating a batch-1 doc is
+    flagged even though neither is in the original corpus."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+    from wms_data_pipeline_spark.streaming.pipeline import neardup_ingest_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(100 + i, f"{base} corpus variant {i} with extra tokens {i * 7}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    index = "file://" + str(tmp_path / "ndidx")
+    dd.neardup_index_write(corpus, index)
+
+    src = str(tmp_path / "incoming")
+    batch1 = [(1, f"{base} corpus variant 3 with extra tokens 21"),  # dup of 103
+              (2, "novel text about warehouse inventory tracking systems")]
+    batch2 = [(3, f"{base} corpus variant 3 with extra tokens 21"),  # dup of 103 AND 1
+              (4, "novel text about warehouse inventory tracking systems")]  # dup of 2
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    q = neardup_ingest_stream(stream, index, pairs_out, ckpt)
+    q.awaitTermination(120)
+
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    q = neardup_ingest_stream(stream, index, pairs_out, ckpt)
+    q.awaitTermination(120)
+
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(pairs_out).collect()}
+    assert (1, 103) in got, "batch-1 vs corpus pair missed"
+    assert (1, 3) in got, "batch-2 vs batch-1 pair missed (append not visible)"
+    assert (3, 103) in got, "batch-2 vs corpus pair missed"
+    assert (2, 4) in got, "batch-2 vs batch-1 novel-doc dup missed"
+    # batch attribution recorded for replay audits:
+    bids = {r.batch_id for r in spark.read.parquet(pairs_out).collect()}
+    assert bids == {0, 1}

@@ -307,12 +307,17 @@ def stateful_stress(
     the engine's own stateOperators metrics report exact live keys
     (numRowsTotal) per batch alongside processedRowsPerSecond.
 
-    Expected shape: the HDFS-backed provider keeps every key in JVM-heap
-    maps — at 60M keys × state row overhead that's beyond this box's
-    heap, so its batches degrade (GC) or the query dies; RocksDB pages
-    state to disk and holds its rate. RUN EACH PROVIDER IN ITS OWN
-    PROCESS (pass the provider arg) — a heap-provider OOM takes the JVM
-    with it and would poison the other leg."""
+    Expected shape going in was heap-provider GC death vs RocksDB
+    sustaining; MEASURED shape (SCALE_NOTES r6) is that neither provider
+    is the constraint: applyInPandasWithState is bound by per-GROUP
+    Python dispatch at ~6-7k groups/s (0.01M rows/s at 1 row/group,
+    0.11-0.12M rows/s at 20 rows/group, providers within noise), so the
+    40M-key crossover is unreachable through this operator — fresh-key
+    batches of 1M+ rows simply never finish a batch. Keep runs in the
+    feasible regime (e.g. ``--stateful 0.2 180 60`` or
+    ``--stateful 4 150 0.2``) and read rows/s as groups/s × rows-per-
+    group. RUN EACH PROVIDER IN ITS OWN PROCESS (pass the provider
+    arg) so a provider failure cannot poison the other leg."""
     import json
     import statistics
     import tempfile

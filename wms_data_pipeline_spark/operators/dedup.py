@@ -322,6 +322,44 @@ def neardup_index_write(
     ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
 
 
+def neardup_index_append(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    colname: str = "text",
+) -> None:
+    """Append a delta's signatures into a persisted near-dup index — the
+    ingest half of dedup-on-ingest: PROBE first (``neardup_incremental``),
+    then append, so the next delta dedups against this one too. Signature
+    geometry comes from the index's own meta dataset (a delta appended
+    with different geometry would silently corrupt the band space — the
+    same reason the probe self-configures from meta). Cost scales with
+    the delta: one signature pass, then appends landing only in the
+    delta's (band, bp) / (sb) partition directories; existing files are
+    never touched. Same new-ids contract as the probe."""
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    sig = with_minhash_signature(
+        df.select(id_col, colname), colname, meta.num_perm, meta.shingle_n,
+        keep_shingles=True, drop_source=True, hash_family=meta.hash_family,
+    ).localCheckpoint(eager=False)
+    band_rows = _band_rows(sig, id_col, meta.num_perm, meta.bands)
+    band_rows.withColumn(
+        "bp",
+        F.concat(F.lit("x"), F.substring(F.col("bhash"), 1, meta.bhash_prefix_len)),
+    ).repartition("band", "bp").write.mode("append").partitionBy(
+        "band", "bp"
+    ).parquet(base + "/bands")
+    sig.select(
+        id_col,
+        F.col("__shingles").alias("shingles"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(meta.id_buckets)).alias("sb"),
+    ).repartition("sb").write.mode("append").partitionBy("sb").parquet(
+        base + "/shingles"
+    )
+
+
 def _band_rows(
     sig: DataFrame, id_col: str, num_perm: int, bands: int
 ) -> DataFrame:

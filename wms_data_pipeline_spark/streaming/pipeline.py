@@ -166,3 +166,58 @@ def session_counts(
             "n_events",
         )
     )
+
+
+def neardup_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    pairs_out: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    colname: str = "text",
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Dedup-on-INGEST: each micro-batch of new documents is probed
+    against the persisted near-dup band index (pairs involving the batch,
+    delta x corpus AND delta x delta, Jaccard-verified), the flagged
+    pairs land in ``pairs_out``, and the batch's signatures are then
+    APPENDED into the index — so batch N+1 dedups against batch N without
+    ever recomputing corpus signatures. The streaming form of the
+    nightly-index + daily-delta story: cost per batch scales with the
+    batch.
+
+    Probe-before-append inside one ``foreachBatch`` keeps the order
+    correct (appending first would report every batch doc as its own
+    duplicate). Delivery is at-least-once: a crash between the pairs
+    write and the index append can replay a batch, re-emitting the same
+    (id_a, id_b) rows into ``pairs_out`` and re-appending signatures —
+    both are idempotent DOWNSTREAM (pairs are keyed, the probe's
+    candidate dedup collapses duplicate band rows), matching the
+    reference's lookback-redelivery contract. The ``batch_id`` column on
+    every pair row makes replays auditable."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_index_append,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _probe_then_append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint()  # two passes: probe + append
+        pairs = neardup_incremental(
+            spark, batch, index_path, threshold=threshold,
+            id_col=id_col, colname=colname,
+        )
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(pairs_out)
+        neardup_index_append(batch, index_path, id_col=id_col, colname=colname)
+
+    return (
+        stream_df.writeStream.foreachBatch(_probe_then_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -192,3 +192,38 @@ def test_cluster_size_audit_accounts_for_every_doc(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert total == n_docs
     assert all(r["size"] >= 1 and r["n_clusters"] >= 1 for r in rows)
+
+
+def test_containment_join_catches_embedded_doc(spark):
+    """A short doc fully embedded in a long one must be flagged with
+    containment 1.0 even though Jaccard is far below any dedup threshold;
+    the prefix-filter candidates must equal brute force on planted data."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+
+    short = "alpha bravo charlie delta echo"
+    long_doc = (
+        "zero one two three four five six seven eight nine ten eleven "
+        + short
+        + " twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "unrelated words entirely different"),
+         (4, "alpha bravo charlie xray yankee")],  # 3/5 of doc 1 — below 0.8
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in dd.containment_join(docs, docs, threshold=0.8).collect()
+    }
+    assert (1, 2, 1.0) in got
+    assert all(a != 4 or b != 1 for a, b, _ in got)
+    assert all(not (a == 2 and b == 1) for a, b, _ in got), \
+        "long doc is NOT contained in the short one"
+    # brute-force cross-check of the full output
+    rows = {r["doc_id"]: set(r["text"].split()) for r in docs.collect()}
+    brute = set()
+    for a, ta in rows.items():
+        for b, tb in rows.items():
+            if a != b and ta and len(ta & tb) * 1_000_000 >= 800_000 * len(ta):
+                brute.add((a, b, round(len(ta & tb) / len(ta), 6)))
+    assert got == brute

@@ -880,3 +880,79 @@ def prefix_jaccard_join(
         .filter(j >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+def containment_join(
+    probe: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    colname: str = "text",
+) -> DataFrame:
+    """EXACT token-set containment join: every (probe a, corpus b) pair,
+    ``a != b``, with ``C(a,b) = |a ∩ b| / |a| >= threshold`` — the
+    ASYMMETRIC dedup case Jaccard misses (a short doc wholly embedded in
+    a long one scores near-zero Jaccard but containment ~1; think
+    quote-heavy pages, boilerplate wrappers, chunk-of-document leaks).
+
+    Candidate rule is the prefix filter adapted to containment:
+    ``C >= t`` means ``a`` misses at most ``|a| - ceil(t*|a|)`` of its
+    OWN tokens from ``b``, so any ``|a| - ceil(t*|a|) + 1`` of them must
+    hit ``b`` — index the probe's rarest-first prefix of that length
+    against ALL of the corpus side's tokens. The asymmetry is inherent:
+    no prefix bound exists for the containING side (|b| is unbounded in
+    the ratio), which is exactly why this join costs more than the
+    Jaccard one and why the probe side should be the small/delta side.
+    Prefix length uses the same exact integer-rational arithmetic as
+    ``prefix_jaccard_join`` (a float ceil can silently shorten the
+    prefix and drop pairs); the threshold compare is integer too
+    (``inter * den >= num * |a|``), so no pair is lost to a double
+    rounding at the boundary. Work scales with prefix-token document
+    frequency, never |probe| × |corpus|."""
+    num = int(round(threshold * 1_000_000))
+    den = 1_000_000
+    p = probe.select(
+        F.col(id_col).alias("id_a"),
+        F.array_distinct(tokens_of(colname)).alias("__tka"),
+    ).filter(F.size("__tka") > 0)
+    c = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(tokens_of(colname)).alias("__tkb"),
+    ).filter(F.size("__tkb") > 0)
+    ctok = c.select("id_b", F.explode("__tkb").alias("__t"))
+    freq = ctok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    ordered = (
+        p.select("id_a", F.explode("__tka").alias("__t"))
+        .join(freq, "__t", "left")
+        .fillna(0, ["__f"])
+        .groupBy("id_a")
+        .agg(F.array_sort(F.collect_list(F.struct("__f", "__t"))).alias("__o"))
+        .select("id_a", F.transform("__o", lambda s: s["__t"]).alias("__arr"))
+    )
+    plen = (
+        F.size("__arr")
+        - F.expr(f"({num}L * size(__arr) + {den - 1}) div {den}")
+        + F.lit(1)
+    )
+    pref = ordered.select(
+        "id_a", F.explode(F.slice("__arr", 1, plen)).alias("__t")
+    )
+    cand = (
+        pref.join(ctok, "__t")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        cand.join(p, "id_a")
+        .join(c, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__tka", "__tkb")))
+        .filter(F.col("__inter") * den >= F.lit(num) * F.size("__tka"))
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("__inter").cast("double") / F.size("__tka").cast("double"), 6
+        ).alias("containment"),
+    )

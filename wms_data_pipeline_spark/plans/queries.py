@@ -4667,3 +4667,32 @@ def dd_cluster_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+@query(
+    "dd_containment_pairs",
+    "WITH p AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tk "
+    "FROM documents WHERE doc_id < 200), "
+    "c AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\\S+')) AS tk "
+    "FROM documents) "
+    "SELECT p.doc_id AS id_a, c.doc_id AS id_b, "
+    "round(len(list_intersect(p.tk, c.tk))::DOUBLE / len(p.tk)::DOUBLE, 6) "
+    "AS containment "
+    "FROM p JOIN c ON p.doc_id <> c.doc_id "
+    "WHERE len(p.tk) > 0 AND len(c.tk) > 0 "
+    "AND len(list_intersect(p.tk, c.tk)) * 1000000 >= 800000 * len(p.tk)",
+    doc="EXACT asymmetric containment join (|A intersect B| / |A| >= 0.8): "
+    "catches a short doc embedded in a long one, which symmetric Jaccard "
+    "scores near zero — the boilerplate/quote/chunk-leak dedup case. "
+    "Spark side is the containment-adapted prefix filter "
+    "(dedup.containment_join): the probe's rarest-first prefix of "
+    "|A| - ceil(0.8|A|) + 1 tokens must hit the corpus side, so work "
+    "scales with prefix-token document frequency, never probe x corpus; "
+    "integer prefix AND threshold arithmetic (no float-boundary pair "
+    "loss). The oracle brute-forces the same bounded probe set "
+    "(doc_id < 200).",
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probe = docs.filter(F.col("doc_id") < 200)
+    return dd.containment_join(probe, docs, threshold=0.8)

@@ -388,3 +388,66 @@ def test_ivf_index_append_touches_only_delta_cells(spark, tmp_path):
     assert len(changed) == 1, changed
     for c in before:
         assert set(before[c]) <= set(after.get(c, [])), f"{c} lost files"
+
+
+# ----------------------------------------------------------------- BMP decode
+
+
+def test_bmp_roundtrip_and_layout_undo():
+    """encode_bmp stores bottom-up/BGR/padded; netpbm_array must recover
+    the exact logical RGB top-down raster (any layout mistake shifts
+    bytes)."""
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    w, h = 5, 3  # stride 16 != 3*w — padding in play
+    logical = bytes((j * 37) % 256 for j in range(3 * w * h))
+    blob = mm.encode_bmp(w, h, logical)
+    meta = mm.decode_image_real(blob)
+    assert (meta["format"], meta["width"], meta["height"]) == ("image/bmp", w, h)
+    assert meta["stride"] == 16 and meta["bottom_up"]
+    arr, _ = mm.netpbm_array(blob)
+    assert bytes(arr.reshape(-1)) == logical
+
+
+def test_bmp_decoder_rejects_unsupported_and_truncated():
+    import struct
+
+    import pytest
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_bmp(2, 2, bytes(range(12))))
+    eight_bit = bytearray(blob)
+    struct.pack_into("<H", eight_bit, 28, 8)
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        mm.decode_image_real(bytes(eight_bit))
+    compressed = bytearray(blob)
+    struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        mm.decode_image_real(bytes(compressed))
+    with pytest.raises(ValueError, match="truncated BMP raster"):
+        mm.decode_image_real(bytes(blob[:-5]))
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        mm.decode_image_real(b"BM" + b"\x00" * 10)
+
+
+def test_bmp_top_down_negative_height():
+    """A negative biHeight means top-down storage: the decoder must NOT
+    flip rows, and the recovered raster must still match."""
+    import struct
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    w, h = 3, 2
+    logical = bytes((j * 11) % 256 for j in range(3 * w * h))
+    blob = bytearray(mm.encode_bmp(w, h, logical))
+    # rewrite as top-down: negate height and reorder raster rows
+    struct.pack_into("<i", blob, 22, -h)
+    stride = (3 * w + 3) // 4 * 4
+    off = 54
+    rows = [bytes(blob[off + y * stride : off + (y + 1) * stride]) for y in range(h)]
+    blob[off:] = b"".join(reversed(rows))
+    meta = mm.decode_image_real(bytes(blob))
+    assert not meta["bottom_up"]
+    arr, _ = mm.netpbm_array(bytes(blob))
+    assert bytes(arr.reshape(-1)) == logical

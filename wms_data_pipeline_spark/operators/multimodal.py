@@ -72,20 +72,89 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
-def decode_image_real(content: bytes) -> dict:
-    """REAL image decode for the codec-free netpbm formats: binary PPM
-    (``P6``, RGB) and PGM (``P5``, grayscale) — header parse + raster
-    length validation, no image library required. Formats needing a codec
-    (JPEG/PNG/…) still raise; Pillow would slot into the same contract
-    (``Image.open(io.BytesIO(content))``).
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """24-bit uncompressed BMP encoder from a LOGICAL raster (RGB,
+    top-down, row-major, ``3*width*height`` bytes) — codec-free like
+    netpbm, but with the three layout quirks real BMP files carry: rows
+    stored BOTTOM-UP, channels in BGR order, and every row padded to a
+    4-byte boundary. The decoder must undo all three to recover the
+    logical raster, which is exactly what the oracle checks."""
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"BMP {width}x{height} needs {3 * width * height} pixel bytes, "
+            f"got {len(pixels)}"
+        )
+    import struct
 
-    Returns ``{format, width, height, maxval, pixel_bytes}``; raises
-    ``ValueError`` on a malformed or truncated file."""
+    stride = (3 * width + 3) // 4 * 4
+    raster = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            j = 3 * (y * width + x)
+            row += bytes((pixels[j + 2], pixels[j + 1], pixels[j]))  # BGR
+        row += b"\x00" * (stride - 3 * width)
+        raster += row
+    off = 14 + 40
+    size = off + stride * height
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, off) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(raster)
+
+
+def decode_image_real(content: bytes) -> dict:
+    """REAL image decode for the codec-free formats: binary PPM (``P6``,
+    RGB), PGM (``P5``, grayscale), and 24-bit uncompressed BMP (``BM``) —
+    header parse + raster length validation, no image library required.
+    Formats needing a codec (JPEG/PNG/…) still raise; Pillow would slot
+    into the same contract (``Image.open(io.BytesIO(content))``).
+
+    Returns ``{format, width, height, maxval, pixel_bytes, channels,
+    raster_offset}`` (+ ``bottom_up``/``stride`` for BMP's layout);
+    raises ``ValueError`` on a malformed or truncated file."""
     magic = content[:2]
+    if magic == b"BM":
+        import struct
+
+        if len(content) < 54:
+            raise ValueError("truncated BMP header")
+        off = struct.unpack_from("<I", content, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+        bits = struct.unpack_from("<H", content, 28)[0]
+        compression = struct.unpack_from("<I", content, 30)[0]
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        if bits != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP supported (bits={bits}, "
+                f"compression={compression})"
+            )
+        bottom_up = height > 0
+        height = abs(height)
+        if width <= 0 or height == 0:
+            raise ValueError(f"bad BMP dimensions {width}x{height}")
+        stride = (3 * width + 3) // 4 * 4
+        if len(content) < off + stride * height:
+            raise ValueError(
+                f"truncated BMP raster: {width}x{height} needs "
+                f"{stride * height} bytes at offset {off}, file is {len(content)}"
+            )
+        return {
+            "format": "image/bmp",
+            "width": width,
+            "height": height,
+            "maxval": 255,
+            "pixel_bytes": 3 * width * height,
+            "channels": 3,
+            "raster_offset": off,
+            "bottom_up": bottom_up,
+            "stride": stride,
+        }
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
             f"unsupported image magic {magic!r}: only codec-free netpbm "
-            f"P6/P5 decode is available in this environment"
+            f"P6/P5 and 24-bit BMP decode is available in this environment"
         )
     # netpbm header: magic, width, height, maxval as whitespace-separated
     # tokens; '#' starts a comment running to end-of-line
@@ -182,6 +251,27 @@ def with_ppm_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("content", _blob(F.col(id_col)))
 
 
+def with_bmp_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test adapter: a REAL 24-bit BMP blob per row, deterministically
+    derived from the id (width = id % 8 + 2, height = id % 4 + 2, logical
+    RGB raster byte j = ((id + j) * 37) % 256) — decoded metadata and
+    channel statistics are arithmetic on the id and therefore
+    ORACLE-EXPRESSIBLE, while the bytes carry the genuine BMP layout
+    (bottom-up, BGR, 4-byte row padding) the decoder must undo."""
+
+    @pandas_udf("binary")
+    def _blob(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 8 + 2, i % 4 + 2
+            pixels = bytes(((i + j) * 37) % 256 for j in range(3 * w * h))
+            out.append(encode_bmp(w, h, pixels))
+        return pd.Series(out)
+
+    return df.withColumn("content", _blob(F.col(id_col)))
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -216,15 +306,29 @@ def decode_images(
 
 
 def netpbm_array(content: bytes):
-    """Decode a netpbm blob to an (height, width, channels) uint8 numpy
-    array — real pixel access, no codec library (P6/P5 rasters are raw
-    bytes after the ASCII header)."""
+    """Decode a codec-free image blob (netpbm P6/P5 or 24-bit BMP) to an
+    (height, width, channels) uint8 numpy array in LOGICAL layout (RGB,
+    top-down) — real pixel access, no codec library. For BMP this undoes
+    the physical layout: strips per-row padding, flips the bottom-up row
+    order, and swaps BGR→RGB."""
     import numpy as np
 
     meta = decode_image_real(content)
-    off, need = meta["raster_offset"], meta["pixel_bytes"]
+    off = meta["raster_offset"]
+    h, w, ch = meta["height"], meta["width"], meta["channels"]
+    if meta["format"] == "image/bmp":
+        stride = meta["stride"]
+        rows = np.frombuffer(
+            content[off : off + stride * h], dtype=np.uint8
+        ).reshape(h, stride)[:, : 3 * w]
+        arr = rows.reshape(h, w, 3)
+        if meta["bottom_up"]:
+            arr = arr[::-1]
+        arr = arr[:, :, ::-1]  # BGR -> RGB
+        return np.ascontiguousarray(arr), meta
+    need = meta["pixel_bytes"]
     arr = np.frombuffer(content[off : off + need], dtype=np.uint8)
-    return arr.reshape(meta["height"], meta["width"], meta["channels"]), meta
+    return arr.reshape(h, w, ch), meta
 
 
 RESIZE_SCHEMA = StructType(

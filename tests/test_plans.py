@@ -118,3 +118,23 @@ def test_top_paths_plans_as_take_ordered(spark):
     partition heap), not a global sort over the path universe."""
     plan = _plan(spark, "evt_top_paths", "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+@needs_testdata
+def test_range_join_binned_plans_as_hash_join(spark):
+    """The bin-bucketed range-join rewrite must compile to a HASH join on
+    the bin key — the entire point vs the naive two-inequality theta join,
+    which degenerates to BroadcastNestedLoopJoin (events x intervals)."""
+    plan = _plan(spark, "rel_range_join_binned", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_containment_join_no_nested_loop(spark):
+    """The containment prefix filter must keep candidates on an equi-join
+    (prefix token), never a nested-loop probe x corpus comparison."""
+    plan = _plan(spark, "dd_containment_pairs", "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -435,6 +435,7 @@ def multimodal_stress(n_items: int = 200_000) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ids = spark.range(n_items).select(F.col("id").alias("doc_id")).repartition(32)
     ppm = mm.with_ppm_content(ids).localCheckpoint()
+    bmp = mm.with_bmp_content(ids).localCheckpoint()
     wav = mm.with_wav_content(ids).localCheckpoint()
 
     def run(label, df):
@@ -448,6 +449,7 @@ def multimodal_stress(n_items: int = 200_000) -> None:
     run("image decode (netpbm real)", mm.decode_images(ppm, decoder="real"))
     run("image resize 4x2", mm.resize_images(ppm, out_w=4, out_h=2))
     run("image features", mm.image_features(ppm))
+    run("image features (bmp layout undo)", mm.image_features(bmp))
     run("audio decode+features (wav)", mm.audio_features(wav))
     spark.stop()
 

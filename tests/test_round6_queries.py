@@ -227,3 +227,25 @@ def test_containment_join_catches_embedded_doc(spark):
             if a != b and ta and len(ta & tb) * 1_000_000 >= 800_000 * len(ta):
                 brute.add((a, b, round(len(ta & tb) / len(ta), 6)))
     assert got == brute
+
+
+def test_langid_confusion_mass_conserved(spark):
+    """Confusion-matrix cells must sum to the corpus size, and every
+    predicted label must come from the known language set + 'und'."""
+    from wms_data_pipeline_spark.operators import text as txt
+
+    rows = REGISTRY["txt_langid_confusion"].fn(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    allowed = set(txt.LANG_STOPWORDS) | {"und"}
+    assert {r["lang_pred"] for r in rows} <= allowed
+
+
+def test_zipf_slope_negative_and_bounded(spark):
+    """The slope must be negative (frequency falls with rank) over at
+    most the top-200 vocabulary; the sf0.001 synthetic corpus has a tiny
+    near-uniform vocab (31 terms), so only sign and cap are asserted —
+    the exact value is pinned by the oracle hash at sf0.01."""
+    row = REGISTRY["txt_zipf_slope"].fn(spark, SF).collect()[0]
+    assert 0 < row["n_terms"] <= 200
+    assert -3.0 < row["zipf_slope"] < 0, row["zipf_slope"]

@@ -4729,3 +4729,57 @@ def mm_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     blobs = mm.with_bmp_content(docs)
     return mm.image_features(blobs)
+
+
+@query(
+    "txt_langid_confusion",
+    "WITH p AS (" + _langid_duck() + ") "
+    "SELECT d.lang AS lang_true, p.lang_pred, count(*)::BIGINT AS n_docs "
+    "FROM documents d JOIN p ON d.doc_id = p.doc_id "
+    "GROUP BY d.lang, p.lang_pred",
+    doc="Language-ID confusion matrix: the heuristic's predictions "
+    "cross-tabulated against the table's labeled lang column - the "
+    "accuracy audit a curation pipeline runs before trusting lang-gated "
+    "filters (per-language quality cutoffs, stopword lists). One scan "
+    "computes predictions map-side, one |langs|^2-row aggregate; the "
+    "diagonal mass over the total is the heuristic's accuracy.",
+)
+def txt_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    pred = txt.lang_id(docs)
+    return pred.groupBy(
+        F.col("lang").alias("lang_true"), "lang_pred"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "txt_zipf_slope",
+    "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t "
+    "FROM documents), "
+    "freq AS (SELECT t, count(*)::BIGINT AS f FROM tok GROUP BY t), "
+    "ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r "
+    "FROM freq) "
+    "SELECT count(*)::BIGINT AS n_terms, "
+    "round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope "
+    "FROM ranked WHERE r <= 200",
+    doc="Zipf's-law fit over the corpus vocabulary: regression slope of "
+    "ln(frequency) on ln(rank) for the top-200 terms - natural text sits "
+    "near -1, and a corpus whose slope drifts (template spam flattens "
+    "it, boilerplate dedup failures steepen it) fails the health check. "
+    "One explode+agg shuffles on the token key; the regression runs over "
+    "200 rows. Deterministic (freq DESC, token) ranking keeps both "
+    "engines' rank assignment identical; 4dp rounding absorbs "
+    "accumulation-order ulps in the regression sums.",
+)
+def txt_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(txt.tokens_of("text")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.col("f").desc(), "t")
+    ranked = freq.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 200)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.regr_slope(F.log(F.col("f").cast("double")), F.log(F.col("r").cast("double"))), 4
+        ).alias("zipf_slope"),
+    )

@@ -4783,3 +4783,29 @@ def txt_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_slope(F.log(F.col("f").cast("double")), F.log(F.col("r").cast("double"))), 4
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "sim_ivf_index_topk",
+    REGISTRY["sim_ivf_topk"].oracle,
+    doc="The PERSISTED IVF index path under the oracle gate: the query "
+    "builds the index (ivf_index_write, medoid quantizer - deterministic "
+    "hash-seeded cells, partitionBy(cell) layout + parquet centers) in a "
+    "fresh temp dir, then searches it with ivf_index_topk, whose probed "
+    "cells become PARTITION filters on the read. Because the medoid "
+    "quantizer is deterministic, the result is bit-identical to the "
+    "in-memory sim_ivf_topk and shares its full value-hash oracle - so "
+    "a bug anywhere in the write/read/prune cycle (cell assignment at "
+    "write, center round-trip through parquet, partition pruning "
+    "dropping a probed cell) breaks the driver hash, not just a pytest.",
+)
+def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = "file://" + tempfile.mkdtemp(prefix="ivf_index_q_")
+    sim.ivf_index_write(emb, path, nlist=16, quantizer="medoid", seed=7)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_index_topk(spark, path, queries, k=10, nprobe=4)

@@ -394,3 +394,34 @@ def test_neardup_ingest_stream_dedups_across_batches(spark, tmp_path):
     # batch attribution recorded for replay audits:
     bids = {r.batch_id for r in spark.read.parquet(pairs_out).collect()}
     assert bids == {0, 1}
+
+
+def test_neardup_ingest_replay_emits_no_self_pairs(spark, tmp_path):
+    """At-least-once replay: if a batch crashes AFTER its index append
+    but before the checkpoint commits, the replayed probe sees the
+    batch's own ids in the index — it must not emit (x, x) self-pairs,
+    and the legitimate pairs must be re-emitted identically (idempotent
+    downstream by key)."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(100 + i, f"{base} corpus variant {i} with extra tokens {i * 7}")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    index = "file://" + str(tmp_path / "ndidx")
+    dd.neardup_index_write(corpus, index)
+    batch = spark.createDataFrame(
+        [(1, f"{base} corpus variant 2 with extra tokens 14")],  # dup of 102
+        "doc_id long, text string",
+    )
+    first = {(r.id_a, r.id_b) for r in
+             dd.neardup_incremental(spark, batch, index).collect()}
+    assert (1, 102) in first
+    # simulate the crash-after-append: the index now contains the batch
+    dd.neardup_index_append(batch, index)
+    replay = {(r.id_a, r.id_b) for r in
+              dd.neardup_incremental(spark, batch, index).collect()}
+    assert all(a != b for a, b in replay), f"self-pairs leaked: {replay}"
+    assert first <= replay  # original pairs re-emitted (keyed-idempotent)

@@ -469,6 +469,13 @@ def neardup_incremental(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
         )
+        # the id_a != id_b guard matters under REPLAY: a streaming batch
+        # re-probed after its own index append (crash before the
+        # checkpoint commit) finds its ids in the index, and the cross
+        # leg's least/greatest would emit (x, x) self-pairs with
+        # jaccard 1.0 — neardup_ingest_stream's at-least-once contract
+        # relies on this being filtered here
+        .filter(F.col("id_a") != F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .localCheckpoint(eager=False)
     )

@@ -249,3 +249,27 @@ def test_zipf_slope_negative_and_bounded(spark):
     row = REGISTRY["txt_zipf_slope"].fn(spark, SF).collect()[0]
     assert 0 < row["n_terms"] <= 200
     assert -3.0 < row["zipf_slope"] < 0, row["zipf_slope"]
+
+
+def test_time_to_convert_matches_manual_recount(spark):
+    """The conversion stats must equal a driver-side recount over the raw
+    events (first view -> first LATER purchase per user, exact micros)."""
+    row = REGISTRY["evt_time_to_convert"].fn(spark, SF).collect()[0]
+    from wms_data_pipeline_spark.schemas import load_table
+
+    ev = load_table(spark, SF, "events").select("user_id", "event_type", "ts").collect()
+    firsts = {}
+    for r in ev:
+        fv, fp = firsts.get(r["user_id"], (None, None))
+        if r["event_type"] == "view" and (fv is None or r["ts"] < fv):
+            fv = r["ts"]
+        if r["event_type"] == "purchase" and (fp is None or r["ts"] < fp):
+            fp = r["ts"]
+        firsts[r["user_id"]] = (fv, fp)
+    deltas = [
+        (fp - fv).total_seconds() * 1e6
+        for fv, fp in firsts.values()
+        if fv is not None and fp is not None and fp > fv
+    ]
+    assert row["n_converters"] == len(deltas)
+    assert abs(row["avg_hours"] - round(sum(deltas) / len(deltas) / 3.6e9, 4)) < 1e-3

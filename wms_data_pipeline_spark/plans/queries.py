@@ -4809,3 +4809,39 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.ivf_index_topk(spark, path, queries, k=10, nprobe=4)
+
+
+@query(
+    "evt_time_to_convert",
+    "WITH f AS (SELECT user_id, "
+    "min(ts) FILTER (WHERE event_type = 'view') AS first_view, "
+    "min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase "
+    "FROM events GROUP BY user_id), "
+    "d AS (SELECT epoch_us(first_purchase) - epoch_us(first_view) AS us "
+    "FROM f WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL "
+    "AND first_purchase > first_view) "
+    "SELECT count(*)::BIGINT AS n_converters, "
+    "round(avg(us) / 3600000000.0, 4) AS avg_hours, "
+    "round(quantile_cont(us, 0.5) / 3600000000.0, 4) AS p50_hours "
+    "FROM d",
+    doc="Time-to-convert funnel statistic: per user, first view to first "
+    "LATER purchase, reduced to count/mean/median hours. All arithmetic "
+    "runs in exact integer microseconds until the final divide (bigint "
+    "sums stay below 2^53, so the double mean is summation-order-"
+    "independent across engines — the FP rule rel_q10 established for "
+    "money, applied to time). One grouped scan + a 3-value reduce.",
+)
+def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+    )
+    d = f.filter(
+        F.col("fv").isNotNull() & F.col("fp").isNotNull() & (F.col("fp") > F.col("fv"))
+    ).select((F.unix_micros("fp") - F.unix_micros("fv")).alias("us"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.avg("us") / 3600000000.0, 4).alias("avg_hours"),
+        F.round(F.expr("percentile(us, 0.5)") / 3600000000.0, 4).alias("p50_hours"),
+    )

@@ -451,3 +451,50 @@ def test_bmp_top_down_negative_height():
     assert not meta["bottom_up"]
     arr, _ = mm.netpbm_array(bytes(blob))
     assert bytes(arr.reshape(-1)) == logical
+
+
+# ------------------------------------------------------- persisted IVF-PQ
+
+
+def test_ivfpq_index_matches_inmemory_search(spark, tmp_path):
+    """Searching the persisted IVF-PQ index must return EXACTLY the
+    in-memory ivfpq_topk result (same cells, codebook, LUT, tie rules) —
+    the bit-identity that lets the registry query share its oracle."""
+    corpus = _corpus(spark, n=120, dim=16)
+    path = "file://" + str(tmp_path / "ivfpq")
+    sim.ivfpq_index_write(corpus, path, nlist=8, m=4, kcode=8)
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"])
+        for r in sim.ivfpq_index_topk(spark, path, queries, k=5, nprobe=3).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"])
+        for r in sim.ivfpq_topk(
+            corpus, queries, k=5, nlist=8, nprobe=3, m=4, kcode=8
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_index_prunes_partitions_and_guards_queries(spark, tmp_path, monkeypatch):
+    """The data read must carry the probed cells as a partition filter,
+    and an oversized query set must refuse like every sibling path."""
+    corpus = _corpus(spark, n=80, dim=16)
+    path = "file://" + str(tmp_path / "ivfpq")
+    sim.ivfpq_index_write(corpus, path, nlist=8, m=4, kcode=8)
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = sim.ivfpq_index_topk(spark, path, queries, k=3, nprobe=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan
+    monkeypatch.setattr(sim, "MAX_CLOSURE_QUERIES", 1)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="ivfpq_index_topk"):
+        sim.ivfpq_index_topk(spark, path, queries, k=3, nprobe=2)

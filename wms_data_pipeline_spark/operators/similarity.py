@@ -1348,3 +1348,176 @@ def ivfpq_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    kcode: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_seed: int = 11,
+    seed: int = 7,
+    codebook: str = "medoid",
+) -> None:
+    """Persist an IVF-PQ index — the layout a 100 TB vector corpus
+    actually deploys: the stored table is (id, codes_packed BIGINT)
+    ``partitionBy("cell")``, so the index holds ~9 bytes per vector
+    (vs 8*dim for raw doubles), a search partition-prunes to the probed
+    cells AND scans only packed codes. Sidecar datasets (all through
+    Spark writers — any Hadoop filesystem): ``cells`` (the full-dim L2
+    cell medoids), ``codebook`` (the per-subspace PQ codebook rows),
+    ``meta`` (nlist/m/kcode/bits/dim — a probe with different geometry
+    would silently mis-rank).
+
+    Codes are bit-packed (``pack_codes``: Σ code_s << bits*s) rather
+    than stored as arrays: it is the compression story made literal,
+    and it keeps every stored column scalar. Same determinism contract
+    as ivfpq_encode/ivfpq_topk (dim-sequential distance accumulation,
+    ties to the smallest index), so a search over the persisted index
+    is bit-identical to the in-memory ``ivfpq_topk`` — which is exactly
+    what lets the registry query share its full value-hash oracle."""
+    cell_meds = medoid_centers(corpus, nlist, id_col, vec_col, cell_seed, normalize=False)
+    cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
+    code_arr = pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
+    eff_k = code_arr.shape[0]
+    bits = max(1, int(np.ceil(np.log2(max(eff_k, 2)))))
+    if m * bits > 63:
+        raise ValueError(f"m={m} x {bits} bits overflows a signed long")
+    enc = ivfpq_encode(
+        corpus, nlist, m, kcode, id_col, vec_col, cell_seed, seed,
+        codebook=codebook, _codebook_arr=code_arr, _cell_arr=cell_arr,
+    )
+    base = path.rstrip("/")
+    packed = enc.select(
+        id_col, "cell", pack_codes(F.col("codes"), m=m, bits=bits).alias("codes_packed")
+    )
+    packed.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(base + "/data")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cell_arr)],
+        schema="cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/cells")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(code_arr)],
+        schema="code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/codebook")
+    spark.createDataFrame(
+        [(nlist, m, int(eff_k), bits, int(code_arr.shape[1]))],
+        schema="nlist int, m int, kcode int, bits int, dim int",
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index (``ivfpq_index_write``): probed
+    cell ids resolve driver-side from the stored medoids (nlist rows),
+    becoming a PARTITION filter on the data read; the scan unpacks each
+    row's BIGINT codes and sums the query's LUT — 8-byte-code ADC over
+    nprobe/nlist of the files. Geometry self-configures from the meta
+    sidecar. Deterministic and bit-identical to the in-memory
+    ``ivfpq_topk`` (same accumulation orders, same tie rules)."""
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    nlist, m, kcode, bits, dim = meta.nlist, meta.m, meta.kcode, meta.bits, meta.dim
+    sub = dim // m
+    cell_arr = np.array(
+        [r["center"] for r in sorted(
+            spark.read.parquet(base + "/cells").collect(), key=lambda r: r["cell"]
+        )],
+        dtype=np.float64,
+    )
+    code_arr = np.array(
+        [r["vec"] for r in sorted(
+            spark.read.parquet(base + "/codebook").collect(), key=lambda r: r["code"]
+        )],
+        dtype=np.float64,
+    )
+    q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
+    if len(q_rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            "ivfpq_index_topk collects the query set driver-side to resolve "
+            f"probed cells; got more than {MAX_CLOSURE_QUERIES} queries — "
+            "batch them (same contract as the sibling search paths)"
+        )
+    q_ids = [r[0] for r in q_rows]
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qcd = np.zeros((len(q_ids), nlist), dtype=np.float64)
+    for d in range(dim):
+        diff = Q[:, d, None] - cell_arr[None, :, d]
+        qcd = qcd + diff * diff
+    probed = []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((np.arange(nlist), qcd[qi]))
+        probed.append(set(order[:nprobe].tolist()))
+    lut = np.zeros((len(q_ids), m, kcode), dtype=np.float64)
+    for s in range(m):
+        for d in range(sub):
+            col = s * sub + d
+            diff = Q[:, col, None] - code_arr[None, :, col]
+            lut[:, s, :] = lut[:, s, :] + diff * diff
+
+    all_probed = sorted(set().union(*probed)) if probed else []
+    data = spark.read.parquet(base + "/data").filter(
+        F.col("cell").isin(all_probed) if all_probed else F.lit(False)
+    )
+    id_type = data.schema[id_col].dataType.simpleString()
+    out_schema = f"__qidx int, {id_col} {id_type}, __raw double"
+    mask_val = (1 << bits) - 1
+
+    def _scan(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            packed = pdf["codes_packed"].to_numpy().astype(np.int64)
+            C = np.empty((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                C[:, s] = (packed >> (bits * s)) & mask_val
+            frames = []
+            for qi in range(len(q_ids)):
+                sel = np.isin(cells, list(probed[qi]))
+                if not sel.any():
+                    continue
+                Cm = C[sel]
+                dist = np.zeros(Cm.shape[0], dtype=np.float64)
+                for s in range(m):
+                    dist = dist + lut[qi, s, :][Cm[:, s]]
+                if len(dist) > k:
+                    kth = np.partition(dist, k - 1)[k - 1]
+                    keep = dist <= kth + 1e-6
+                else:
+                    keep = np.ones(len(dist), dtype=bool)
+                frames.append(
+                    pd.DataFrame(
+                        {"__qidx": qi, id_col: ids[sel][keep], "__raw": dist[keep]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    qid_map = F.array(*[F.lit(q) for q in q_ids])
+    scored = data.mapInPandas(_scan, schema=out_schema).select(
+        F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+        id_col,
+        F.round(F.col("__raw"), 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

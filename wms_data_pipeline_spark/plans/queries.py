@@ -4845,3 +4845,30 @@ def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("us") / 3600000000.0, 4).alias("avg_hours"),
         F.round(F.expr("percentile(us, 0.5)") / 3600000000.0, 4).alias("p50_hours"),
     )
+
+
+@query(
+    "sim_ivfpq_index_topk",
+    REGISTRY["sim_ivfpq_topk"].oracle,
+    doc="The PERSISTED IVF-PQ index under the oracle gate: the query "
+    "writes the (id, cell, packed-BIGINT codes) partitionBy(cell) "
+    "layout plus cells/codebook/meta sidecars to a fresh temp dir, then "
+    "searches it - probed cells become partition filters, the scan "
+    "unpacks 8-byte codes and ADC-ranks via the query LUT. Bit-identical "
+    "to the in-memory sim_ivfpq_topk (same deterministic medoids, "
+    "accumulation orders, tie rules), so it shares that query's full "
+    "value-hash oracle: any bug in the pack/unpack cycle, the sidecar "
+    "round-trip, or the partition pruning breaks the driver hash. This "
+    "is the complete 100 TB ANN layout - tiny on-disk codes, file-level "
+    "pruning, code-only scan - certified end to end.",
+)
+def sim_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = "file://" + tempfile.mkdtemp(prefix="ivfpq_index_q_")
+    sim.ivfpq_index_write(e, path, nlist=16, m=8, kcode=16)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivfpq_index_topk(spark, path, q, k=10, nprobe=4)

@@ -1521,3 +1521,44 @@ def ivfpq_index_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivfpq_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a delta into a persisted IVF-PQ index with FROZEN geometry
+    (cells and codebook are not refit — the same train-once/add-many
+    contract as ``ivf_index_append``, applied to the compressed layout).
+    The delta is encoded against the stored cell medoids and codebook
+    (both bounded sidecar collects), packed, and appended into only its
+    touched cell directories; searches then see old and new vectors
+    under one consistent quantization, identical to a from-scratch
+    encode of the union against the same sidecars."""
+    spark = new_vectors.sparkSession
+    base = path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    cell_arr = np.array(
+        [r["center"] for r in sorted(
+            spark.read.parquet(base + "/cells").collect(), key=lambda r: r["cell"]
+        )],
+        dtype=np.float64,
+    )
+    code_arr = np.array(
+        [r["vec"] for r in sorted(
+            spark.read.parquet(base + "/codebook").collect(), key=lambda r: r["code"]
+        )],
+        dtype=np.float64,
+    )
+    enc = ivfpq_encode(
+        new_vectors, meta.nlist, meta.m, meta.kcode, id_col, vec_col,
+        _codebook_arr=code_arr, _cell_arr=cell_arr,
+    )
+    enc.select(
+        id_col, "cell",
+        pack_codes(F.col("codes"), m=meta.m, bits=meta.bits).alias("codes_packed"),
+    ).repartition(F.col("cell")).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(base + "/data")

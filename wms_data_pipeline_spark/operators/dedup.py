@@ -505,6 +505,14 @@ def neardup_incremental(
         all_sh = delta_sh.unionByName(idx_sh)
     else:
         all_sh = delta_sh
+    # one row per id, whatever the index holds: a batch REPLAYED after its
+    # own index append (crash between append and checkpoint commit) leaves
+    # duplicate persisted shingle rows for its ids — without this dedup
+    # those rows fan out the verify join and every affected pair is
+    # emitted multiple times, forever. Shingle rows for a given id are
+    # content-identical (same doc → same shingles), so which row survives
+    # is immaterial; the shuffle is bounded by the pruned candidate set.
+    all_sh = all_sh.dropDuplicates([id_col])
     verified = (
         cand.join(
             all_sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a")),

@@ -782,7 +782,19 @@ def projected_rerank_topk(
     a per-query top-cand window; the re-rank joins ``cand × queries`` rows
     back to full vectors by id. At 100 TB the projected table is the thing
     scanned (stored once, nightly job), full vectors are fetched for
-    ~cand rows per query only."""
+    ~cand rows per query only.
+
+    The query side is force-broadcast twice (projected and full-vector
+    forms), so it carries the same boundedness contract as its five
+    sibling search paths: above ``MAX_CLOSURE_QUERIES`` the call refuses
+    (one cheap count action on the query side) rather than silently
+    bloating every task with an oversized broadcast relation."""
+    if queries.limit(MAX_CLOSURE_QUERIES + 1).count() > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"projected_rerank_topk broadcasts the query side; got more "
+            f"than {MAX_CLOSURE_QUERIES} queries — batch them (same "
+            f"contract as cosine_topk / ivf_index_topk / pq_adc_topk)"
+        )
     proj_cols = [f"proj_{p}" for p in range(out_dim)]
     c_proj = random_projection(corpus, out_dim, id_col, vec_col, dim, table)
     q_proj = random_projection(
@@ -1113,6 +1125,10 @@ def pq_adc_topk(
     adc_dist) — the k SMALLEST distances per query.
     """
     med_arr = pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
+    # the codebook holds min(kcode, corpus_rows) rows — size the LUT from
+    # what came back, not the requested parameter (a corpus smaller than
+    # kcode would otherwise break the (q, m, kcode) broadcast below)
+    kcode = med_arr.shape[0]
     dim = med_arr.shape[1]
     sub = dim // m
     q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
@@ -1274,6 +1290,9 @@ def ivfpq_topk(
     cell_meds = medoid_centers(corpus, nlist, id_col, vec_col, cell_seed, normalize=False)
     cell_arr = np.array([v for _, v in cell_meds], dtype=np.float64)
     code_arr = pq_codebook(corpus, m, kcode, id_col, vec_col, seed, method=codebook)
+    # effective codebook size (min(kcode, corpus_rows)) — the LUT below must
+    # match what pq_codebook actually returned, same clamp as pq_adc_topk
+    kcode = code_arr.shape[0]
     enc = ivfpq_encode(
         corpus, nlist, m, kcode, id_col, vec_col, cell_seed, seed,
         codebook=codebook, _codebook_arr=code_arr, _cell_arr=cell_arr,
@@ -1406,9 +1425,13 @@ def ivfpq_index_write(
         [(int(i), [float(x) for x in row]) for i, row in enumerate(code_arr)],
         schema="code int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(base + "/codebook")
+    # the codebook METHOD rides the meta sidecar too: append re-encodes
+    # against the stored codebook rows (never refits), but an auditor —
+    # or a rebuild — needs to know whether those rows are medoids or
+    # Lloyd-fitted k-means centroids
     spark.createDataFrame(
-        [(nlist, m, int(eff_k), bits, int(code_arr.shape[1]))],
-        schema="nlist int, m int, kcode int, bits int, dim int",
+        [(nlist, m, int(eff_k), bits, int(code_arr.shape[1]), codebook)],
+        schema="nlist int, m int, kcode int, bits int, dim int, codebook string",
     ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
 
 
@@ -1451,6 +1474,16 @@ def ivfpq_index_topk(
             "ivfpq_index_topk collects the query set driver-side to resolve "
             f"probed cells; got more than {MAX_CLOSURE_QUERIES} queries — "
             "batch them (same contract as the sibling search paths)"
+        )
+    if not q_rows:
+        # an empty query set would make Q 1-D and crash the qcd slicing —
+        # short-circuit like ivf_index_topk's empty-probe path
+        id_type = (
+            spark.read.parquet(base + "/data").schema[id_col].dataType.simpleString()
+        )
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], schema=f"{query_id_col} {qt}, {id_col} {id_type}, adc_dist double"
         )
     q_ids = [r[0] for r in q_rows]
     Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)

@@ -4264,27 +4264,33 @@ def wm_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH d AS (SELECT date_trunc('day', ts)::DATE AS day, event_type, "
     "count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
     "w AS (SELECT day, event_type, n, "
-    "sum(n) OVER (PARTITION BY event_type ORDER BY day "
-    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS s7, "
-    "count(n) OVER (PARTITION BY event_type ORDER BY day "
-    "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS c7 FROM d) "
+    "sum(n) OVER (PARTITION BY event_type "
+    "ORDER BY date_diff('day', DATE '1970-01-01', day) "
+    "RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS s7, "
+    "count(n) OVER (PARTITION BY event_type "
+    "ORDER BY date_diff('day', DATE '1970-01-01', day) "
+    "RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT AS c7 FROM d) "
     "SELECT day, event_type, n, round(s7::DOUBLE / c7, 4) AS trailing_avg, "
     "round(n::DOUBLE * c7 / s7, 4) AS vol_ratio FROM w WHERE c7 > 0",
     doc="Event-volume anomaly signal: each (day, event_type)'s count vs its "
-    "own trailing-7-day mean, as an exact-integer sum/count pair divided "
-    "once (no stddev — engines disagree on variance summation order; the "
-    "ratio-to-trailing-mean signal is deterministic). First day per type "
-    "drops out (no trailing window), matching both engines.",
+    "own trailing-7-CALENDAR-day mean — a RANGE frame over epoch-day "
+    "numbers, so days with zero events correctly thin the baseline "
+    "instead of the window silently spanning arbitrary calendar gaps "
+    "(the rows-based frame's defect, fixed per ADVICE r6). Exact-integer "
+    "sum/count pair divided once (no stddev — engines disagree on "
+    "variance summation order). Days with an empty trailing week drop "
+    "out (c7=0), matching both engines.",
 )
 def evt_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     d = ev.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+    d = d.withColumn("day_num", F.datediff(F.col("day"), F.lit("1970-01-01")))
     w = (
         Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-7, -1)
+        .orderBy("day_num")
+        .rangeBetween(-7, -1)
     )
     t = d.select(
         "day", "event_type", "n",
@@ -4800,10 +4806,14 @@ def txt_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dropping a probed cell) breaks the driver hash, not just a pytest.",
 )
 def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
-    path = "file://" + tempfile.mkdtemp(prefix="ivf_index_q_")
+    # deterministic per-sf_dir path, overwritten each call (mkdtemp leaked
+    # one dir per invocation — bench runs each headliner 4x per session)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"file://{tempfile.gettempdir()}/wms_ivf_idx_{tag}"
     sim.ivf_index_write(emb, path, nlist=16, quantizer="medoid", seed=7)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -4863,10 +4873,14 @@ def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pruning, code-only scan - certified end to end.",
 )
 def sim_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
     import tempfile
 
     e = _t(spark, sf_dir, "embeddings")
-    path = "file://" + tempfile.mkdtemp(prefix="ivfpq_index_q_")
+    # deterministic per-sf_dir path, overwritten each call (mkdtemp leaked
+    # one dir per invocation — bench runs each headliner 4x per session)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"file://{tempfile.gettempdir()}/wms_ivfpq_idx_{tag}"
     sim.ivfpq_index_write(e, path, nlist=16, m=8, kcode=16)
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -153,3 +153,64 @@ def test_neardup_incremental_replayed_append_emits_pairs_once(spark, tmp_path):
     assert len(pairs) == len(set(pairs)), f"duplicate pairs emitted: {pairs}"
     assert all(a != b for a, b in pairs), "self-pair leaked through replay"
     assert (1, 103) in pairs
+
+
+# ------------------------------------ substring-dedup ACTION (drop + trim)
+
+
+def _rand_text(seed, n=100):
+    """APERIODIC random text — a periodic body like 'abcdefghij'*10 makes
+    every window repeat within its own doc (stride == period), which
+    ExactSubstr rightly treats as internal duplication; these tests need
+    texts whose spans are unique within each doc."""
+    import random
+
+    rng = random.Random(seed)
+    return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+
+def test_substring_dedup_keep_is_ownership_aware(spark):
+    """The canonical (smallest-id) copy of a duplicated doc must SURVIVE
+    the drop while the later verbatim copy is dropped — thresholding the
+    symmetric dup_ratio would kill both."""
+    body = _rand_text(1, 100)
+    rows = [
+        (1, body),            # canonical copy
+        (2, body),            # verbatim duplicate → dropped
+        (3, _rand_text(3, 120)),  # unique text → kept
+        (4, "short"),         # zero windows → kept
+    ]
+    df = _doc_df(spark, rows)
+    kept = {r.doc_id: r for r in dd.substring_dedup_keep(df, cutoff=0.5).collect()}
+    assert set(kept) == {1, 3, 4}
+    assert kept[1].n_removable == 0, "canonical copy owns all its spans"
+    assert kept[4].n_windows == 0 and kept[4].removable_ratio == 0.0
+
+
+def test_substring_dedup_trim_splices_out_duplicated_region(spark):
+    """Trim must remove the duplicated char ranges from the NON-canonical
+    occurrence only, merging overlapping removable windows into one
+    spliced gap; unique docs pass through byte-identical."""
+    body = _rand_text(1, 100)
+    unique = _rand_text(3, 120)
+    df = _doc_df(spark, [(1, body), (2, body), (3, unique)])
+    out = {r.doc_id: r.text for r in dd.substring_dedup_trim(df).collect()}
+    assert out[1] == body, "canonical copy must keep its text"
+    assert out[3] == unique
+    # doc 2's removable windows are all 7 (offsets 0..60), covering
+    # [0, 100) after interval merge — the whole body is spliced out
+    assert out[2] == ""
+
+
+def test_substring_dedup_trim_partial_overlap(spark):
+    """A doc sharing only a PREFIX with an earlier doc loses just that
+    region; the unique tail survives verbatim."""
+    shared = _rand_text(5, 60)
+    tail = _rand_text(7, 80)
+    df = _doc_df(spark, [(1, shared + _rand_text(9, 60)), (2, shared + tail)])
+    out = {r.doc_id: r.text for r in dd.substring_dedup_trim(df).collect()}
+    assert out[1] == shared + _rand_text(9, 60)
+    # doc 2's removable windows are those fully inside the shared 60-char
+    # prefix (offsets 0..20 → chars [0, 60)); the unique tail survives
+    assert out[2] == tail
+    assert len(out[2]) < len(shared + tail)

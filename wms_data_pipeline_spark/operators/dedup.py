@@ -816,6 +816,139 @@ def substring_dup_spans(
     )
 
 
+def _removable_spans(
+    df: DataFrame,
+    id_col: str,
+    colname: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """(id, k) rows for every REMOVABLE window: the occurrence-rank rule of
+    ExactSubstr-style dedup applied at window granularity. All occurrences
+    of a span rank by (doc_id, offset); rank 1 is the canonical copy and
+    is never removed, ranks >= 2 are removable. This is what makes the
+    ACTION keep-one-copy rather than drop-all-copies: the earliest doc
+    retains the text, later verbatim copies lose it. One shuffle on the
+    span key (same plan spine as substring_dup_spans), one rank window."""
+    n_win = F.when(
+        F.length(F.col(colname)) >= window,
+        ((F.length(F.col(colname)) - window) / stride).cast("int") + 1,
+    ).otherwise(F.lit(0))
+    offsets = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                offsets,
+                lambda k: F.col(colname).substr(k * stride + 1, F.lit(window)),
+            )
+        ).alias("__kk", "__span"),
+    )
+    w = Window.partitionBy("__span").orderBy(F.col(id_col), F.col("__kk"))
+    return spans.withColumn("__rn", F.row_number().over(w))
+
+
+def substring_dedup_keep(
+    df: DataFrame,
+    cutoff: float = 0.5,
+    id_col: str = "doc_id",
+    colname: str = "text",
+    window: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Substring-dedup ACTION, drop flavor (VERDICT r6 #5): compute each
+    doc's REMOVABLE window ratio (occurrence rank >= 2 under the global
+    (doc_id, offset) order — the canonical first copy never counts
+    against its owner) and keep docs strictly below ``cutoff``. Docs with
+    zero windows are kept. Output: (id, n_windows, n_removable,
+    removable_ratio) for the kept docs — the observability columns ride
+    along so the filter is auditable.
+
+    Differs from thresholding ``substring_dup_spans.dup_ratio`` in
+    exactly the way that matters: that signal is symmetric (both copies
+    of a duplicate score 1.0 and would BOTH be dropped); this ratio is
+    ownership-aware, so one representative always survives — the
+    SemDeDup keep-smallest rule, at substring granularity."""
+    ranked = _removable_spans(df, id_col, colname, window, stride)
+    per_doc = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum((F.col("__rn") >= 2).cast("long")).alias("n_removable"),
+    )
+    all_docs = df.select(id_col)
+    stats = all_docs.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_removable", F.lit(0)).alias("n_removable"),
+        F.round(
+            F.coalesce("n_removable", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+            6,
+        ).alias("removable_ratio"),
+    )
+    return stats.filter(F.col("removable_ratio") < cutoff)
+
+
+def substring_dedup_trim(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    colname: str = "text",
+    window: int = 40,
+    stride: int = 10,
+) -> DataFrame:
+    """Substring-dedup ACTION, trim flavor — the real ExactSubstr
+    behavior (public training-data dedup literature): REMOVE the
+    duplicated character ranges from every non-canonical occurrence and
+    re-emit the spliced text, keeping the doc. Removable windows (rank
+    >= 2 per span under the (doc_id, offset) order) map to char
+    intervals [k*stride, k*stride+window); overlapping intervals merge
+    (stride < window makes runs of removable windows overlap), and the
+    kept segments concatenate in order. The canonical first occurrence
+    of every span keeps its text, so each duplicated region survives
+    exactly once corpus-wide.
+
+    Output: (id, text) with the trimmed text under the original column
+    name. Plan: the shared span-rank shuffle, a per-doc collect_list of
+    removable offsets (bounded by len/stride ints per doc), one
+    broadcast-free join back to the docs, and an Arrow-batched splice
+    kernel (interval merge is O(windows), splice O(len) — per-char
+    higher-order functions would evaluate interpretively per character).
+    """
+    ranked = _removable_spans(df, id_col, colname, window, stride)
+    rem = (
+        ranked.filter(F.col("__rn") >= 2)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__kk")).alias("__ks"))
+    )
+
+    @pandas_udf("string")
+    def _splice(texts: pd.Series, ks_lists: pd.Series) -> pd.Series:
+        out = []
+        for text, ks in zip(texts, ks_lists):
+            if ks is None or len(ks) == 0:
+                out.append(text)
+                continue
+            ivs: list[list[int]] = []
+            for k in ks:
+                s, e = int(k) * stride, int(k) * stride + window
+                if ivs and s <= ivs[-1][1]:
+                    ivs[-1][1] = max(ivs[-1][1], e)
+                else:
+                    ivs.append([s, e])
+            kept, prev = [], 0
+            for s, e in ivs:
+                kept.append(text[prev:s])
+                prev = e
+            kept.append(text[prev:])
+            out.append("".join(kept))
+        return pd.Series(out)
+
+    return df.join(rem, id_col, "left").select(
+        id_col, _splice(F.col(colname), F.col("__ks")).alias(colname)
+    )
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", colname: str = "text"
 ) -> DataFrame:

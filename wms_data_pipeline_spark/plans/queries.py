@@ -1873,6 +1873,7 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM cab JOIN ca USING (head) CROSS JOIN v) "
     "SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS lm_score "
     "FROM bg JOIN p USING (head, word) GROUP BY doc_id",
+    headline=True,
     doc="Statistical LM quality filter (CCNet-style, public method): add-k "
     "bigram model trained on the corpus itself, each doc scored by mean log "
     "bigram probability. Joins shuffle on the bigram key — never doc x doc; "
@@ -2236,6 +2237,7 @@ def dd_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_neardup_incremental",
     f"SELECT * FROM ({_neardup_duck(0.5)}) WHERE id_a < 300",
+    headline=True,
     doc="Incremental near-dup: docs with id < 300 arrive as a DELTA and are "
     "deduped against a PERSISTED index of the id >= 300 corpus "
     "(dedup.py neardup_index_write / neardup_incremental) — the daily-"
@@ -4133,6 +4135,7 @@ def wm_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round(COALESCE(d.n_dup_windows, 0)::DOUBLE / "
     "greatest(COALESCE(d.n_windows, 0), 1)::DOUBLE, 6) AS dup_ratio "
     "FROM t LEFT JOIN d ON d.doc_id = t.doc_id",
+    headline=True,
     doc="Cross-document substring duplication (the ExactSubstr signal from "
     "public training-data dedup literature): 40-char spans every 10 chars, "
     "a span occurring >1 time anywhere in the corpus is duplicated text — "
@@ -4144,6 +4147,72 @@ def wm_change_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return dd.substring_dup_spans(docs, window=40, stride=10)
+
+
+_SUBSTR_RANKED_DUCK = (
+    "WITH t AS (SELECT doc_id, text, CASE WHEN len(text) >= 40 "
+    "THEN (len(text) - 40) // 10 + 1 ELSE 0 END AS nw FROM documents), "
+    "w AS (SELECT doc_id, unnest(range(0, nw)) AS k, text FROM t), "
+    "s AS (SELECT doc_id, k, substr(text, (k * 10 + 1)::INTEGER, 40) AS span "
+    "FROM w), "
+    "r AS (SELECT doc_id, k, row_number() OVER "
+    "(PARTITION BY span ORDER BY doc_id, k) AS rn FROM s)"
+)
+
+
+@query(
+    "dd_substring_dedup_keep",
+    _SUBSTR_RANKED_DUCK + ", "
+    "d AS (SELECT doc_id, count(*)::BIGINT AS n_windows, "
+    "sum(CASE WHEN rn >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_removable "
+    "FROM r GROUP BY doc_id) "
+    "SELECT t.doc_id, COALESCE(d.n_windows, 0)::BIGINT AS n_windows, "
+    "COALESCE(d.n_removable, 0)::BIGINT AS n_removable, "
+    "round(COALESCE(d.n_removable, 0)::DOUBLE / "
+    "greatest(COALESCE(d.n_windows, 0), 1)::DOUBLE, 6) AS removable_ratio "
+    "FROM t LEFT JOIN d USING (doc_id) "
+    "WHERE round(COALESCE(d.n_removable, 0)::DOUBLE / "
+    "greatest(COALESCE(d.n_windows, 0), 1)::DOUBLE, 6) < 0.5",
+    doc="Substring-dedup ACTION, drop flavor (dedup.py "
+    "substring_dedup_keep — completes ExactSubstr the way "
+    "sim_semantic_keep completed SemDeDup): every span occurrence ranks "
+    "by (doc_id, offset), rank 1 is the canonical copy, and a doc is "
+    "dropped when >= 50% of its windows are non-canonical repeats. "
+    "Ownership-aware, so one representative of each duplicated region "
+    "always survives — thresholding the symmetric dup_ratio would drop "
+    "BOTH copies. Same single span-key shuffle as the signal query plus "
+    "one rank window.",
+)
+def dd_substring_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.substring_dedup_keep(docs, cutoff=0.5, window=40, stride=10)
+
+
+@query(
+    "dd_substring_dedup_trim",
+    _SUBSTR_RANKED_DUCK + ", "
+    "offs AS (SELECT doc_id, list(k ORDER BY k) AS ks FROM r WHERE rn >= 2 "
+    "GROUP BY doc_id) "
+    "SELECT t.doc_id, CASE WHEN offs.ks IS NULL THEN t.text ELSE "
+    "list_aggregate(list_transform(range(0, len(t.text)), i -> "
+    "CASE WHEN len(list_filter(offs.ks, k -> i >= k*10 AND i < k*10 + 40)) > 0 "
+    "THEN '' ELSE substr(t.text, (i+1)::INTEGER, 1) END), 'string_agg', '') "
+    "END AS text FROM t LEFT JOIN offs USING (doc_id)",
+    doc="Substring-dedup ACTION, trim flavor — the real ExactSubstr "
+    "behavior (dedup.py substring_dedup_trim): duplicated character "
+    "ranges are REMOVED from every non-canonical occurrence and the "
+    "spliced text re-emitted, so each verbatim region survives exactly "
+    "once corpus-wide while the docs themselves are kept. Removable "
+    "windows map to char intervals [k*10, k*10+40), overlapping "
+    "intervals merge, kept segments concatenate in order. The full "
+    "trimmed text of all 500 docs is value-hashed cross-engine — the "
+    "splice kernel (Arrow-batched interval merge) against DuckDB's "
+    "per-char lambda reconstruction. One span-key shuffle + a bounded "
+    "per-doc offset list; never doc x doc.",
+)
+def dd_substring_dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.substring_dedup_trim(docs, window=40, stride=10)
 
 
 def _projection_matrix_duck(out_dim: int = 16, dim: int = 64, table: int = 100) -> str:
@@ -4340,6 +4409,7 @@ def sim_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "round(sum(e.value), 2) AS window_value "
     "FROM camp c JOIN events e ON e.ts >= c.start_ts AND e.ts < c.end_ts "
     "GROUP BY c.campaign_id, c.start_ts",
+    headline=True,
     doc="Point-in-interval range join WITHOUT an equi key: the 20 "
     "highest-value purchases open 12-hour campaign windows, and every "
     "event landing inside any window is attributed to it. A naive "
@@ -4860,6 +4930,7 @@ def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_ivfpq_index_topk",
     REGISTRY["sim_ivfpq_topk"].oracle,
+    headline=True,
     doc="The PERSISTED IVF-PQ index under the oracle gate: the query "
     "writes the (id, cell, packed-BIGINT codes) partitionBy(cell) "
     "layout plus cells/codebook/meta sidecars to a fresh temp dir, then "
@@ -4886,3 +4957,162 @@ def sim_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.ivfpq_index_topk(spark, path, q, k=10, nprobe=4)
+
+
+def _neardup_pairs_ctes(src: str, threshold: float, num_perm: int = 16,
+                        bands: int = 4) -> str:
+    """The MinHash+LSH pair CTE chain of ``_neardup_duck``, parameterized
+    on the SOURCE relation so it can verify a pipeline STAGE (near-dup
+    over the post-exact-dedup survivors) instead of raw documents.
+    Emits CTE fragments ``ndt .. ndpairs`` for embedding in a larger
+    WITH chain (SQL has no nested WITH)."""
+    rows = num_perm // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, sha256({concat}) AS bhash FROM ndsig".format(
+            b=b,
+            concat=" || '_' || ".join(
+                f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        f"ndt AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM {src}), "
+        f"ndsh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM ndt), "
+        f"ndh AS (SELECT doc_id, sh, {_SH_HASH_DUCK} AS hs FROM ndsh), "
+        f"ndsig AS (SELECT doc_id, sh, {_minhash_cols_duck(num_perm)} FROM ndh), "
+        f"ndb AS ({band_rows}), "
+        "ndp AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM ndb a JOIN ndb b2 USING (band, bhash) WHERE a.doc_id < b2.doc_id), "
+        "ndpairs AS (SELECT id_a, id_b FROM ("
+        "SELECT ndp.id_a, ndp.id_b, "
+        "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        "len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard_sim "
+        "FROM ndp JOIN ndsh sa ON sa.doc_id = ndp.id_a "
+        "JOIN ndsh sb ON sb.doc_id = ndp.id_b) "
+        f"WHERE jaccard_sim >= {threshold})"
+    )
+
+
+_CURATION_FULL_DUCK = (
+    "WITH fq AS (SELECT doc_id, length(text) AS n_chars_x, "
+    "len(regexp_extract_all(text, '\\S+')) AS n_tok, "
+    "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]{}-]', '', 'g')) AS punct, "
+    "length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits, "
+    "len(list_filter(regexp_extract_all(text, '\\S+'), "
+    "t -> t IN ('the','a','of','and','to','in','is'))) AS stop FROM documents), "
+    "q AS (SELECT doc_id, round(0.3 * least(n_tok / 100.0, 1.0) "
+    "+ 0.3 * (1.0 - punct / greatest(n_chars_x, 1)) "
+    "+ 0.2 * least(stop / greatest(n_tok, 1) * 5, 1.0) "
+    "+ 0.2 * (1.0 - digits / greatest(n_chars_x, 1)), 6) AS qs FROM fq), "
+    "s1 AS (SELECT d.doc_id, d.lang, d.source, d.text FROM documents d "
+    "JOIN q USING (doc_id) WHERE q.qs >= 0.5), "
+    "s2 AS (SELECT * FROM s1 QUALIFY "
+    "row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1), "
+    + _neardup_pairs_ctes("s2", 0.5) + ", "
+    "s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id_b FROM ndpairs)), "
+    "dcb AS (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 10 AS b FROM s3), "
+    "dtk AS (SELECT doc_id, b, regexp_extract_all(text, '\\S+') AS toks FROM dcb), "
+    "dsh AS (SELECT doc_id, b, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1)), "
+    "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2] || ' ' || toks[j + 3]"
+    "))) AS g FROM dtk WHERE len(toks) >= 4), "
+    "testg AS (SELECT DISTINCT g FROM dsh WHERE b = 0), "
+    "bad AS (SELECT dsh.doc_id FROM dsh JOIN testg USING (g) WHERE dsh.b <> 0 "
+    "GROUP BY dsh.doc_id HAVING count(DISTINCT dsh.g) >= 3), "
+    "s4 AS (SELECT * FROM dcb WHERE b <> 0 "
+    "AND doc_id NOT IN (SELECT doc_id FROM bad)), "
+    "tb AS (SELECT doc_id, source, lang, "
+    "len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM s4), "
+    "cb AS (SELECT doc_id, source, lang, n_tokens, "
+    "CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM tb) "
+    "SELECT doc_id, source, lang, n_tokens, cum_tokens, "
+    "CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 "
+    "THEN 'train' WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT "
+    "% 100 < 90 THEN 'valid' ELSE 'test' END AS split "
+    "FROM cb WHERE cum_tokens <= 10000"
+)
+
+
+@query(
+    "txt_curation_pipeline_full",
+    _CURATION_FULL_DUCK,
+    headline=True,
+    doc="The END-TO-END curation dataflow as ONE composed plan (VERDICT r6 "
+    "#6) — the nightly job a 100 TB training-data run actually executes: "
+    "quality filter (absolute 0.5 cutoff) -> exact dedup (keep-min-id "
+    "per sha256) -> MinHash near-dup keep (drop id_b per verified pair, "
+    "keep-smallest) -> train/test decontamination (drop train docs "
+    "sharing >=3 word 4-grams with the b=0 holdout) -> per-source "
+    "10k-token budget sample (content-stable hash order) -> 80/10/10 "
+    "deterministic split assignment. Every stage is individually "
+    "oracle-green; composing them exercises the stage INTERACTIONS — "
+    "column collisions, the near-dup stage consuming a deduped relation "
+    "instead of the raw table, combined plan size — that per-stage "
+    "queries never see. Shuffle ledger: quality is map-side; exact "
+    "dedup one hash shuffle; near-dup one band shuffle + one anti-join; "
+    "decontamination one shingle shuffle + one anti-join; budget one "
+    "per-source window; split map-side — six keyed exchanges total, "
+    "nothing quadratic, every stage's small side broadcast or distinct.",
+)
+def txt_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    rows = table_rows_hint(sf_dir, "documents")
+    if rows is None or rows > 8_000:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # 1 — quality filter (same absolute cutoff as txt_corpus_curation)
+    s1 = (
+        txt.quality_features(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "source", "text")
+    )
+    # 2 — exact dedup, keep min-id per content hash
+    s2 = dd.exact_dedup(s1, id_col="doc_id", colname="text")
+    # 3 — near-dup keep: verified MinHash pairs over the SURVIVORS, drop
+    # the larger id of each pair (keep-smallest representative)
+    pairs = dd.minhash_neardup_pairs(s2.select("doc_id", "text"), threshold=0.5)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(drop, "doc_id", "left_anti")
+    # 4 — decontaminate: b=0 is the held-out bucket; drop overlapping train
+    bucket10 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    s3b = s3.withColumn("b", bucket10)
+    sh = s3b.select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
+    test_g = sh.filter(F.col("b") == 0).select("g").distinct()
+    bad = (
+        sh.filter(F.col("b") != 0)
+        .join(test_g, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 3)
+        .select("doc_id")
+    )
+    s4 = s3b.filter(F.col("b") != 0).join(bad, "doc_id", "left_anti")
+    # 5 — per-source token budget in content-stable hash order
+    t = s4.select(
+        "doc_id", "source", "lang",
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        txt.hex64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s5 = t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= 10000
+    )
+    # 6 — deterministic 80/10/10 split assignment
+    bucket100 = txt.hex64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket100 < 80, "train").when(bucket100 < 90, "valid").otherwise("test")
+    )
+    return s5.select(
+        "doc_id", "source", "lang", "n_tokens", "cum_tokens", split.alias("split")
+    )

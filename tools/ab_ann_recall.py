@@ -18,8 +18,20 @@ mixing them would understate everything). Output: one JSON line per leg
 (name, params, recall@10, wall seconds, bytes-touched fraction where the
 structure bounds it) + a summary table for SCALE_NOTES.
 
-Usage: python tools/ab_ann_recall.py [copies] [n_queries]
-       (copies=500 -> 1,000,000 vectors; copies=10 for a quick sanity run)
+Round 7 adds a CLUSTERED corpus mode (VERDICT r6 #1): the uniform tiled
+corpus is vector quantization's WORST case (no cluster structure for the
+coarse quantizer to exploit), so the round-6 table's "relative orderings
+transfer to real data" reading was an assertion. ``mode=clustered``
+generates a deterministic mixture of Gaussians — ``n_centers`` centers
+drawn N(0, 1) in 64-d from a fixed seed, each vector = its
+hash-assigned center + N(0, sigma^2) per-dim noise seeded per vec_id —
+the shape real embedding corpora (topic/domain clusters) actually have,
+and re-runs the same 12 operating points so the two tables are
+column-comparable.
+
+Usage: python tools/ab_ann_recall.py [copies] [n_queries] [mode]
+       (copies=500 -> 1,000,000 vectors; copies=10 for a quick sanity run;
+        mode = uniform (default) | clustered)
 """
 
 from __future__ import annotations
@@ -64,6 +76,49 @@ def build_corpus(spark, copies: int, work: str) -> str:
     return path
 
 
+def build_clustered_corpus(
+    spark, n_vectors: int, work: str, n_centers: int = 100,
+    sigma: float = 0.5, dim: int = 64, seed: int = 42,
+) -> str:
+    """Deterministic mixture-of-Gaussians corpus: centers ~ N(0, I) in
+    ``dim`` dims (inter-center distance ~ sqrt(2*dim) ≈ 11.3), cluster
+    assignment = pmod(xxhash64(vec_id), n_centers) (near-equal multinomial
+    sizes), per-vector noise ~ N(0, sigma^2 I) from an RNG seeded by
+    vec_id — so the corpus is identical regardless of partitioning or
+    parallelism. sigma=0.5 gives intra-cluster radius ~ sigma*sqrt(dim) =
+    4, well inside the center spacing: clusters are distinct but not
+    degenerate points. Materialized to parquet like the uniform path so
+    every leg reads identical bytes."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, (n_centers, dim))
+
+    def gen(batches):
+        for pdf in batches:
+            vecs = []
+            for vid in pdf["id"]:
+                c = int(np.uint64(hash_cluster(int(vid), n_centers)))
+                noise = np.random.default_rng(int(vid)).normal(0.0, sigma, dim)
+                vecs.append((centers[c] + noise).astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": pdf["id"], "embedding": vecs})
+
+    def hash_cluster(vid: int, k: int) -> int:
+        # xxhash64 is JVM-side; driver-side we need the same assignment only
+        # to be DETERMINISTIC, not identical to xxhash64 — use a splitmix64
+        # step, stable across processes
+        x = (vid + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return (x ^ (x >> 31)) % k
+
+    base = spark.range(n_vectors).repartition(64)
+    out = base.mapInPandas(gen, schema="vec_id long, embedding array<float>")
+    path = os.path.join(work, "corpus")
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
 def exact_topk(X: np.ndarray, ids: np.ndarray, Q: np.ndarray, qids, metric: str, k=10):
     """Ground-truth top-k id sets per query, numpy brute force."""
     out = {}
@@ -90,14 +145,18 @@ def mean_recall(result_rows, truth, k=10):
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    mode = sys.argv[3] if len(sys.argv) > 3 else "uniform"
     work = tempfile.mkdtemp(prefix="ab_ann_")
     spark = get_spark("ab-ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        path = build_corpus(spark, copies, work)
+        if mode == "clustered":
+            path = build_clustered_corpus(spark, copies * 2000, work)
+        else:
+            path = build_corpus(spark, copies, work)
         corpus = spark.read.parquet(path)
         total = corpus.count()
-        print(f"corpus: {total} vectors x 64 dims at {path}", flush=True)
+        print(f"corpus: {total} vectors x 64 dims ({mode}) at {path}", flush=True)
 
         pdf = corpus.toPandas()
         ids = pdf["vec_id"].to_numpy()

@@ -421,6 +421,95 @@ def stateful_stress(
     spark.stop()
 
 
+def foreachbatch_merge_stress(
+    rows_per_batch: int = 200_000,
+    run_seconds: int = 240,
+    key_space: int = 60_000_000,
+) -> None:
+    """The third streaming newer-wins leg (VERDICT r6 #4): watermarked
+    foreachBatch → ``latest_merge`` into a versioned ParquetTable — the
+    repo's recommended fallback to the measured ~6-7k groups/s Python
+    stateful dispatch ceiling. Same workload shape as ``--stateful``:
+    rate-micro-batch feeds ``rows_per_batch`` FRESH keys per batch, so
+    accumulated state grows linearly and the per-batch cost curve is the
+    measurement — a full-rewrite merge pays O(state + batch) per batch
+    (one window job over S+B rows), so sustained rows/s DECAYS as state
+    grows; the quantity to record is rows/s at each state size, which
+    tells a user exactly where this leg stops being the right answer and
+    bucket-pruned / Delta merges take over. Prints one line per batch
+    (state rows before the merge, batch wall, rows/s) and a summary."""
+    import statistics
+    import tempfile
+
+    from wms_data_pipeline_spark.operators.merge import ParquetTable
+
+    spark = get_spark("stress-fbmerge")
+    spark.sparkContext.setLogLevel("ERROR")
+    warehouse = tempfile.mkdtemp(prefix="stress_fbmerge_wh_")
+    ckpt = tempfile.mkdtemp(prefix="stress_fbmerge_ckpt_")
+    latest = ParquetTable(spark, os.path.join(warehouse, "latest"))
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 32)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    ev = src.select(
+        (F.col("value") % key_space).alias("id"),
+        F.col("timestamp").alias("updated_at"),
+        (F.col("value") % 97).cast("double").alias("v"),
+    )
+    samples: list[tuple[int, float]] = []  # (state_rows_before, rows_per_sec)
+    state_rows = 0
+
+    def _merge(batch, batch_id):
+        nonlocal state_rows
+        t0 = time.perf_counter()
+        latest.upsert_latest(batch, ts_col="updated_at")
+        wall = time.perf_counter() - t0
+        rps = rows_per_batch / wall
+        samples.append((state_rows, rps))
+        print(
+            f"batch {batch_id}: state {state_rows / 1e6:.2f}M rows before, "
+            f"merge {wall:.1f}s = {rps / 1e3:.0f}k rows/s",
+            flush=True,
+        )
+        state_rows += rows_per_batch  # fresh keys: every batch inserts
+
+    q = (
+        ev.withWatermark("updated_at", "2 minutes")
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    t_end = time.time() + run_seconds
+    try:
+        while time.time() < t_end and q.isActive:
+            time.sleep(5)
+    finally:
+        try:
+            q.stop()
+        except BaseException:
+            pass
+    if samples:
+        # bucket the decay curve by state size for the SCALE_NOTES table
+        print("\n=== rows/s by state size (paste into SCALE_NOTES) ===")
+        for lo, hi in ((0, 1), (1, 2), (2, 4), (4, 8), (8, 100)):
+            rs = [r for s, r in samples if lo * 1e6 <= s < hi * 1e6]
+            if rs:
+                print(
+                    f"state {lo}-{hi}M rows: median "
+                    f"{statistics.median(rs) / 1e3:.0f}k rows/s "
+                    f"({len(rs)} batches)"
+                )
+        print(
+            f"total: {len(samples)} batches, final state "
+            f"{state_rows / 1e6:.2f}M rows"
+        )
+    spark.stop()
+
+
 def multimodal_stress(n_items: int = 200_000) -> None:
     """Multimodal decode-stage throughput: genuine PPM/WAV blobs through
     the Arrow mapInPandas stages (real header parse + numpy pixel/sample
@@ -464,6 +553,13 @@ def main() -> None:
             int(sys.argv[3]) if len(sys.argv) > 3 else 90,
             int(float(sys.argv[4]) * 1e6) if len(sys.argv) > 4 else 500_000,
             sys.argv[5] if len(sys.argv) > 5 else None,
+        )
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--fbmerge":
+        foreachbatch_merge_stress(
+            int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 200_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 240,
+            int(float(sys.argv[4]) * 1e6) if len(sys.argv) > 4 else 60_000_000,
         )
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stateful":

@@ -14,6 +14,25 @@ map one-to-one:
 at-least-once file/Kafka source, per-micro-batch MERGE into history+latest.
 At 100 TB the source is Kafka/Delta CDF and the sinks are Delta MERGEs; the
 semantics (and this code path's transforms) are identical.
+
+SIZING the three streaming newer-wins legs (measured, SCALE_NOTES r6/r7;
+rerunnable via ``tools/stress.py --stateful`` / ``--fbmerge``):
+
+- ``latest_state_changes`` (applyInPandasWithState) is bound by per-GROUP
+  Python dispatch at ~6-7k groups/s regardless of state-store provider or
+  rows-per-group — size it by group-arrival rate, never row rate; use it
+  only when the per-key logic genuinely needs Python.
+- ``incremental_merge_stream`` (foreachBatch → latest_merge) sustains
+  ~114k rows/s at <2M accumulated state rows decaying to ~26k at 12M
+  (full-rewrite merge pays O(state+batch) per batch) — the right leg for
+  mid-cardinality upserts (~4-15x the Python-stateful leg below ~10M
+  keys) and whenever state must be warehouse-visible. Swap the sink for
+  ``PartitionedMergeTable``/Delta MERGE when deltas localize to a
+  bucket/partition subset; with uniformly-fresh keys the plain table's
+  one big merge job beats 64 serial bucket jobs.
+- JVM stateful operators (dropDuplicates/window aggs; transformWithState
+  where the runtime ships it) sustain ~0.59M rows/s at 40M live keys on
+  RocksDB — the graduation path for sustained high-cardinality streams.
 """
 
 from __future__ import annotations

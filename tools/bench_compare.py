@@ -134,6 +134,27 @@ def main() -> None:
     paired = [v for v in out.values() if v["duckdb_sec"] is not None]
     spark_serial = round(sum(v["spark_sec"] for v in paired), 3)
     duck_serial = round(sum(v["duckdb_sec"] for v in paired), 3)
+    # the headline set grew 17 -> 23 in round 7 (series break, SCALE_NOTES);
+    # the pre-break subset keeps the round-over-round ratio comparable. The
+    # new headliners also include probe-vs-recompute pairings
+    # (dd_neardup_incremental searches a persisted index while its oracle
+    # recomputes all pairs) whose ratio INVERTS below the measured
+    # ~100-200k-doc crossover — a known small-scale artifact, not a plan
+    # defect, so it must not silently pollute the comparable series.
+    legacy17 = {
+        "wm_latest_state", "wm_history_dedup", "rel_q1_pricing_summary",
+        "rel_q3_shipping_priority", "rel_q5_region_revenue",
+        "rel_window_rank", "rel_asof_join_tolerance", "rel_sessionize",
+        "rel_q13_custdist", "dd_exact_dedup", "dd_minhash_neardup_pairs",
+        "dd_neardup_components", "sim_cosine_topk", "txt_corpus_curation",
+        "sim_embedding_neardup", "txt_tokens_by_lang", "txt_tfidf",
+    }
+    l17 = [
+        v for n, v in out.items()
+        if n in legacy17 and v["duckdb_sec"] is not None
+    ]
+    l17_spark = round(sum(v["spark_sec"] for v in l17), 3)
+    l17_duck = round(sum(v["duckdb_sec"] for v in l17), 3)
     summary = {
         "paired_queries": len(oracles),
         "reps_per_number": REPS,
@@ -145,6 +166,9 @@ def main() -> None:
         "duckdb_concurrent_sec": round(duck_conc, 3),
         "duckdb_concurrent_reps": duck_conc_reps,
         "concurrent_ratio": round(spark_conc / duck_conc, 3),
+        "legacy17_spark_serial_sec": l17_spark,
+        "legacy17_duckdb_serial_sec": l17_duck,
+        "legacy17_serial_ratio": round(l17_spark / l17_duck, 3),
     }
     print(json.dumps({"queries": out, "summary": summary}, indent=1))
     spark.stop()

@@ -214,3 +214,127 @@ def test_substring_dedup_trim_partial_overlap(spark):
     # prefix (offsets 0..20 → chars [0, 60)); the unique tail survives
     assert out[2] == tail
     assert len(out[2]) < len(shared + tail)
+
+
+# ------------------------------------------- IVF-PQ + full-vector re-rank
+
+
+def test_ivfpq_rerank_equals_exact_under_full_coverage(spark):
+    """With nprobe=nlist and cand=corpus the candidate stage bounds
+    nothing, so the re-rank must return the EXACT L2 top-k (ADC error
+    fully corrected) — pinned against numpy brute force."""
+    import numpy as np
+
+    corpus = _corpus(spark, n=40)
+    rows = corpus.collect()
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivfpq_rerank_topk(
+        corpus, q, k=5, cand=40, nlist=4, nprobe=4, m=4, kcode=8
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.l2_dist, r.vec_id))
+    for qid in range(3):
+        qv = X[ids == qid][0]
+        d = ((X - qv) ** 2).sum(axis=1)
+        expect = sorted(zip(np.round(d, 6), ids))[:5]
+        assert sorted(got[qid]) == [(float(a), int(b)) for a, b in expect]
+
+
+def test_ivfpq_rerank_beats_adc_on_clustered_vectors(spark):
+    """The round-7 clustered-corpus motivation in miniature: vectors in
+    tight clusters where ADC cannot rank within-cluster neighbors — the
+    re-rank must recover strictly higher recall than standalone ADC."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (4, 8))
+    rows = []
+    for i in range(80):
+        v = centers[i % 4] + np.random.default_rng(i).normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    X = np.array([r[1] for r in rows])
+    truth = {}
+    for qid in range(4):
+        d = ((X - X[qid]) ** 2).sum(axis=1)
+        truth[qid] = set(np.argsort(d, kind="stable")[:5].tolist())
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(got.get(qd, set()) & t) / 5 for qd, t in truth.items()) / 4
+
+    adc = sim.ivfpq_topk(corpus, q, k=5, nlist=4, nprobe=2, m=4, kcode=8)
+    rr = sim.ivfpq_rerank_topk(
+        corpus, q, k=5, cand=20, nlist=4, nprobe=2, m=4, kcode=8
+    )
+    r_adc, r_rr = recall(adc), recall(rr)
+    assert r_rr > r_adc, f"rerank {r_rr} must beat ADC {r_adc}"
+    assert r_rr >= 0.9
+
+
+# ----------------------------------------------- GIF / LZW real codec
+
+
+def test_gif_lzw_roundtrip_and_error_paths():
+    """The LZW pair must round-trip random and repetitive index streams
+    (repetition exercises KwKwK and code-width growth; 30k indices force
+    the 4096-entry dictionary CLEAR reset), and truncation must raise."""
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randrange(1, 4000)
+        if seed % 2:
+            data = bytes(rng.randrange(0, 251) for _ in range(n))
+        else:
+            unit = bytes(rng.randrange(0, 251) for _ in range(rng.randrange(1, 7)))
+            data = (unit * (n // len(unit) + 1))[:n]
+        comp = mm._lzw_compress_gif(data, 8)
+        assert mm._lzw_decompress_gif(comp, 8) == data
+    big = bytes(random.Random(7).randrange(0, 251) for _ in range(30000))
+    comp = mm._lzw_compress_gif(big, 8)
+    assert mm._lzw_decompress_gif(comp, 8) == big
+    with pytest.raises(ValueError, match="truncated GIF LZW"):
+        mm._lzw_decompress_gif(comp[: len(comp) // 2] + b"", 8)
+
+
+def test_gif_decode_recovers_palette_mapped_raster(spark):
+    """Full container round-trip through the Spark feature stage: the
+    channel sums of the decoded GIF must equal the arithmetic raster."""
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    feats = {r.doc_id: r for r in mm.image_features(mm.with_gif_content(docs)).collect()}
+    for i in range(12):
+        w, h = i % 8 + 2, i % 4 + 2
+        idx = [((i + p) * 41) % 251 for p in range(w * h)]
+        assert feats[i].width == w and feats[i].height == h
+        assert feats[i].mean_r == round(sum(idx) / (w * h), 6)
+        assert feats[i].mean_g == round(sum(q * 2 % 256 for q in idx) / (w * h), 6)
+        assert feats[i].mean_b == round(sum(q * 3 % 256 for q in idx) / (w * h), 6)
+
+
+def test_gif_interlace_and_garbage_raise():
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    palette = bytes(768)
+    blob = bytearray(mm.encode_gif(2, 2, bytes(4), palette))
+    # image descriptor flags byte sits after 6 + 7 + 768 + 1 + 8 = 789
+    idesc = blob.index(b",", 6)
+    blob[idesc + 9] |= 0x40  # interlace flag
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm.decode_image_real(bytes(blob))
+    with pytest.raises(ValueError, match="truncated GIF header"):
+        mm.decode_image_real(b"GIF87a\x01")

@@ -221,6 +221,19 @@ def main() -> None:
                 touched=round(nprobe / 256, 4),
             )
 
+        for nprobe, cand_n in ((16, 50), (16, 100)):
+            leg(
+                "ivfpq_rerank",
+                {"nlist": 256, "nprobe": nprobe, "cand": cand_n, "m": 8,
+                 "kcode": 256, "codebook": "medoid"},
+                truth_l2,
+                lambda np_=nprobe, c=cand_n: sim.ivfpq_rerank_topk(
+                    corpus, queries, k=10, cand=c, nlist=256, nprobe=np_,
+                    m=8, kcode=256,
+                ),
+                touched=round(nprobe / 256, 4),
+            )
+
         # codebook reconstruction-quality A/B (corpus-wide mean MSE)
         for cb in ("medoid", "kmeans"):
             t0 = time.perf_counter()

@@ -103,6 +103,141 @@ def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
     return bytes(header) + bytes(raster)
 
 
+def _lzw_compress_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW compression (the real codec, public spec): variable
+    code width starting at ``min_code_size+1`` bits, CLEAR/EOI codes,
+    dictionary growth to 4096 with a CLEAR-reset, LSB-first bit packing.
+    This is the encoder half that makes ``encode_gif`` produce genuine
+    compressed GIF data the decoder must actually decompress."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    seq = b""
+    for b in indices:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                # GIF increments width when next EMITTED code could be
+                # next_code-1; the standard early-change-free rule:
+                pass
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        seq = bytes([b])
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW decompression — the decoder half of the real codec:
+    LSB-first variable-width codes, CLEAR resets, the KwKwK special case
+    (a code one past the table refers to prefix+prefix[0])."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+def encode_gif(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """GIF87a encoder with REAL LZW compression — unlike netpbm/BMP/WAV
+    (layout-only formats) the raster here is genuinely compressed, so
+    decoding exercises an actual codec with zero image libraries.
+    ``indices`` are 8-bit palette indices (row-major, top-down);
+    ``palette`` is the 256-entry RGB global color table (768 bytes)."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError(
+            f"GIF {width}x{height} needs {width * height} index bytes, "
+            f"got {len(indices)}"
+        )
+    if len(palette) != 768:
+        raise ValueError(f"global color table must be 768 bytes, got {len(palette)}")
+    out = bytearray(b"GIF87a")
+    # logical screen descriptor: global table, 8 bits/channel, 256 entries
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += palette
+    out += b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)  # no interlace
+    out.append(8)  # LZW minimum code size
+    comp = _lzw_compress_gif(indices, 8)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00;"
+    return bytes(out)
+
+
 def decode_image_real(content: bytes) -> dict:
     """REAL image decode for the codec-free formats: binary PPM (``P6``,
     RGB), PGM (``P5``, grayscale), and 24-bit uncompressed BMP (``BM``) —
@@ -114,6 +249,73 @@ def decode_image_real(content: bytes) -> dict:
     raster_offset}`` (+ ``bottom_up``/``stride`` for BMP's layout);
     raises ``ValueError`` on a malformed or truncated file."""
     magic = content[:2]
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        import struct
+
+        if len(content) < 13:
+            raise ValueError("truncated GIF header")
+        sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+        pos = 13
+        palette = b""
+        if flags & 0x80:
+            gct_len = 3 * (2 << (flags & 0x07))
+            palette = content[pos : pos + gct_len]
+            if len(palette) < gct_len:
+                raise ValueError("truncated GIF global color table")
+            pos += gct_len
+        width = height = None
+        indices = b""
+        while pos < len(content):
+            b0 = content[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: skip label + sub-blocks
+                pos += 1
+                while pos < len(content) and content[pos]:
+                    pos += content[pos] + 1
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+            left, top, width, height, iflags = struct.unpack_from("<HHHHB", content, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if iflags & 0x80:  # local color table overrides
+                lct_len = 3 * (2 << (iflags & 0x07))
+                palette = content[pos : pos + lct_len]
+                pos += lct_len
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos]:
+                n = content[pos]
+                data += content[pos + 1 : pos + 1 + n]
+                pos += n + 1
+            pos += 1  # block terminator
+            indices = _lzw_decompress_gif(bytes(data), min_code)
+            break
+        if width is None:
+            raise ValueError("GIF contains no image descriptor")
+        if len(indices) < width * height:
+            raise ValueError(
+                f"GIF LZW stream decoded to {len(indices)} indices, "
+                f"{width}x{height} needs {width * height}"
+            )
+        if len(palette) < 768:
+            palette = palette + b"\x00" * (768 - len(palette))
+        return {
+            "format": "image/gif",
+            "width": width,
+            "height": height,
+            "maxval": 255,
+            "pixel_bytes": 3 * width * height,
+            "channels": 3,
+            "raster_offset": -1,  # raster is DECOMPRESSED, not sliced
+            "indices": indices[: width * height],
+            "palette": palette,
+        }
     if magic == b"BM":
         import struct
 
@@ -272,6 +474,31 @@ def with_bmp_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("content", _blob(F.col(id_col)))
 
 
+def with_gif_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test adapter: a REAL GIF87a blob per row, deterministically derived
+    from the id (width = id % 8 + 2, height = id % 4 + 2, palette index at
+    raster position p = ((id + p) * 41) % 251, palette entry i =
+    (i, (2i) % 256, (3i) % 256)) — channel statistics are arithmetic on
+    the id and therefore ORACLE-EXPRESSIBLE, while the bytes carry a
+    genuine LZW-COMPRESSED raster the decoder must actually decompress
+    (the first codec-bearing format here; netpbm/BMP/WAV are layout-only)."""
+    palette = bytes(
+        b for i in range(256) for b in (i, (2 * i) % 256, (3 * i) % 256)
+    )
+
+    @pandas_udf("binary")
+    def _blob(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 8 + 2, i % 4 + 2
+            idx = bytes(((i + p) * 41) % 251 for p in range(w * h))
+            out.append(encode_gif(w, h, idx, palette))
+        return pd.Series(out)
+
+    return df.withColumn("content", _blob(F.col(id_col)))
+
+
 def decode_images(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -316,6 +543,11 @@ def netpbm_array(content: bytes):
     meta = decode_image_real(content)
     off = meta["raster_offset"]
     h, w, ch = meta["height"], meta["width"], meta["channels"]
+    if meta["format"] == "image/gif":
+        # palette-mapped: LZW-decompressed indices -> RGB via the color table
+        pal = np.frombuffer(meta["palette"], dtype=np.uint8).reshape(256, 3)
+        idx = np.frombuffer(meta["indices"], dtype=np.uint8)
+        return pal[idx].reshape(h, w, 3), meta
     if meta["format"] == "image/bmp":
         stride = meta["stride"]
         rows = np.frombuffer(

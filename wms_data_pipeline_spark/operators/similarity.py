@@ -1369,6 +1369,81 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cand: int = 30,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    kcode: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_seed: int = 11,
+    seed: int = 7,
+    codebook: str = "medoid",
+) -> DataFrame:
+    """IVF-PQ search REFINED by an exact full-vector re-rank — the read
+    path production ANN deployments actually run (FAISS's refine stage,
+    public method), and the remedy to the measured clustered-corpus
+    finding (SCALE_NOTES r7): on clustered embeddings ADC's quantization
+    error swamps within-cluster neighbor distances, so standalone IVF-PQ
+    recall collapses to ~0.10. The codes BOUND the candidate set
+    (nprobe/nlist of the corpus, 8-byte scan), the full vectors RANK the
+    survivors (~cand rows fetched per query). ``cand`` is the recall
+    knob and must be sized to the ADC noise floor, not to k: on the
+    clustered 1M-vector corpus recall@10 at m=8 is 0.20/0.48/0.81/1.00
+    for cand 100/500/2000/8000, and doubling the code bits (m=16) cuts
+    the required depth ~4-8x (0.865 at cand=500) — bits and re-rank
+    depth trade off against full-vector fetch bandwidth.
+
+    Stage 1 is ``ivfpq_topk`` with k=cand (deterministic rounded-ADC +
+    id ranking); stage 2 joins the candidate ids back to full vectors
+    (broadcast — bounded by queries × cand rows) and ranks by exact L2
+    accumulated dim-sequentially, so the whole two-stage result is
+    oracle-checkable. Output: (query_id, vec_id, l2_dist), k smallest."""
+    cands = ivfpq_topk(
+        corpus, queries, k=cand, nlist=nlist, nprobe=nprobe, m=m, kcode=kcode,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        cell_seed=cell_seed, seed=seed, codebook=codebook,
+    ).select(query_id_col, id_col)
+    vecs = corpus.select(id_col, F.col(vec_col).alias("__cv"))
+    qvecs = queries.select(query_id_col, F.col(vec_col).alias("__qv"))
+    # candidate side is bounded (<= MAX_CLOSURE_QUERIES x cand rows) —
+    # broadcast it so the full-vector fetch is one map-side join over the
+    # corpus scan, never a shuffle of the vector table
+    rr = (
+        vecs.join(F.broadcast(cands), id_col)
+        .join(F.broadcast(qvecs), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__cv"), F.col("__qv"),
+                        lambda c, q: (c.cast("double") - q.cast("double"))
+                        * (c.cast("double") - q.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("l2_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        rr.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivfpq_index_write(
     corpus: DataFrame,
     path: str,

@@ -5218,3 +5218,212 @@ def mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     blobs = mm.with_gif_content(docs)
     return mm.image_features(blobs)
+
+
+@query(
+    "rel_q2_min_cost_supplier",
+    "WITH pc AS (SELECT l_partkey, l_suppkey, "
+    "min(l_extendedprice / l_quantity) AS unit_cost "
+    "FROM lineitem GROUP BY l_partkey, l_suppkey), "
+    "best AS (SELECT l_partkey, min(unit_cost) AS best_cost FROM pc "
+    "GROUP BY l_partkey) "
+    "SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, "
+    "round(pc.unit_cost, 6) AS unit_cost "
+    "FROM pc JOIN best ON pc.l_partkey = best.l_partkey "
+    "AND pc.unit_cost = best.best_cost "
+    "JOIN part p ON p.p_partkey = pc.l_partkey "
+    "JOIN supplier s ON s.s_suppkey = pc.l_suppkey "
+    "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+    "WHERE p.p_size = 15",
+    doc="TPC-H Q2 shape (min-cost supplier via correlated min subquery, "
+    "decorrelated the way engines execute it): per (part, supplier) the "
+    "min observed unit price, then keep the suppliers achieving each "
+    "part's minimum, dims joined for the report. The per-part minimum "
+    "rides the SAME (l_partkey) hash partitioning as the first aggregate "
+    "— a window min, not a second shuffle; part/supplier/nation are "
+    "broadcast. Equality on unit_cost is FP-safe cross-engine: one "
+    "correctly-rounded division per row, exact min — identical doubles "
+    "on both engines (rounding happens only in the OUTPUT column).",
+)
+def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    pc = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = pc.withColumn("__best", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("__best")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "rel_q11_important_stock",
+    "WITH v AS (SELECT l_partkey, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+    "* CAST(l_quantity AS BIGINT))::BIGINT AS cents "
+    "FROM lineitem GROUP BY l_partkey) "
+    "SELECT l_partkey AS p_partkey, cents / 100.0 AS part_value FROM v "
+    "WHERE cents * (SELECT count(*) FROM v) * 10 > (SELECT sum(cents) FROM v) * 12",
+    doc="TPC-H Q11 shape (important stock): per-part inventory value kept "
+    "only when it exceeds a threshold derived from the global aggregate "
+    "— here 1.2x the AVERAGE part value (cents * n_parts * 10 > total * "
+    "12), a scale-free cut where Q11's fixed fraction degenerates as the "
+    "part count grows. Value accumulates in exact integer cents x "
+    "quantity and the threshold compare is pure integer, so no "
+    "summation-order ulp can flip a part across the cut on either "
+    "engine. The global (total, count) is a 1-row broadcast "
+    "(BroadcastNestedLoop inline), never a second fact scan.",
+)
+def rel_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    v = l.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * F.col("l_quantity").cast("long")
+        ).alias("cents")
+    )
+    total = v.agg(
+        F.sum("cents").alias("__total"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("cents") * F.col("__n") * 10 > F.col("__total") * 12)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("cents") / 100.0).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "rel_q12_priority_lateness",
+    "SELECT l.l_linestatus, "
+    "sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
+    "sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+    "THEN 1 ELSE 0 END)::BIGINT AS low_line_count "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY "
+    "GROUP BY l.l_linestatus",
+    doc="TPC-H Q12 shape (shipmode/priority cross-count, adapted to the "
+    "available columns: 'late' = shipped more than 90 days after the "
+    "order date, line status standing in for ship mode): one fact-dim "
+    "join with the non-equi lateness predicate evaluated in the join "
+    "output, then conditional CASE counts per group — the canonical "
+    "join + pivot-by-CASE aggregation. Exact integer counts; the date "
+    "arithmetic is identical interval math on both engines.",
+)
+def rel_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "rel_q20_excess_suppliers",
+    "WITH pq AS (SELECT l.l_partkey, l.l_suppkey, "
+    "sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS q "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE p.p_name LIKE '%bolt%' GROUP BY l.l_partkey, l.l_suppkey), "
+    "tot AS (SELECT l_partkey, sum(q)::BIGINT AS tq FROM pq GROUP BY l_partkey) "
+    "SELECT DISTINCT s.s_suppkey, s.s_name FROM supplier s "
+    "WHERE s.s_suppkey IN (SELECT pq.l_suppkey FROM pq "
+    "JOIN tot ON pq.l_partkey = tot.l_partkey WHERE pq.q * 8 > tot.tq)",
+    doc="TPC-H Q20 shape (nested IN subqueries selecting dominant "
+    "suppliers): among '%bolt%' parts, suppliers who shipped MORE THAN "
+    "an EIGHTH of a part's total quantity (the dominant-share cut that "
+    "stays non-degenerate as supplier count grows), surfaced through an "
+    "IN subquery "
+    "over two stacked aggregates. The part-name filter is broadcast into "
+    "the fact scan; the per-part total reuses the (l_partkey) "
+    "partitioning via a window sum (no second shuffle); the IN becomes "
+    "a left-semi join on the tiny qualifying-supplier set. Quantities "
+    "sum as exact BIGINTs, threshold compare is integer (q * 2 > total).",
+)
+def rel_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    pq = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        pq.withColumn("__tq", F.sum("q").over(w))
+        .filter(F.col("q") * 8 > F.col("__tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "rel_q21_blocking_supplier",
+    "WITH ls AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship "
+    "FROM lineitem GROUP BY l_orderkey, l_suppkey) "
+    "SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait "
+    "FROM ls l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey "
+    "WHERE EXISTS (SELECT 1 FROM ls l2 WHERE l2.l_orderkey = l1.l_orderkey "
+    "AND l2.l_suppkey <> l1.l_suppkey) "
+    "AND NOT EXISTS (SELECT 1 FROM ls l3 WHERE l3.l_orderkey = l1.l_orderkey "
+    "AND l3.l_suppkey <> l1.l_suppkey AND l3.last_ship >= l1.last_ship) "
+    "GROUP BY s.s_suppkey, s.s_name",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting — EXISTS plus "
+    "NOT EXISTS correlated predicates, adapted to the available columns: "
+    "the blocking supplier is the one whose last shipment in a "
+    "multi-supplier order is STRICTLY latest). The EXISTS compiles to a "
+    "left-semi join and the NOT EXISTS to a left-anti join, both on the "
+    "pre-aggregated (order, supplier) table — the fact table is touched "
+    "once; everything downstream shuffles on l_orderkey and reuses that "
+    "partitioning across both correlated legs.",
+)
+def rel_q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    ls = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    l1, l2, l3 = ls.alias("l1"), ls.alias("l2"), ls.alias("l3")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    blocking = multi.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.last_ship") >= F.col("l1.last_ship")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        blocking.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

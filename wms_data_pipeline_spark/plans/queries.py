@@ -5427,3 +5427,51 @@ def rel_q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "txt_priority_sample",
+    "WITH t AS (SELECT doc_id, source, "
+    "greatest(len(regexp_extract_all(text, '\\S+')), 1)::BIGINT AS w, "
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+    "% 1125899906842624) AS h FROM documents), "
+    "p AS (SELECT doc_id, source, w AS n_tokens, "
+    "(h / 1125899906842624.0) / w AS priority FROM t) "
+    "SELECT doc_id, source, n_tokens, priority FROM ("
+    "SELECT doc_id, source, n_tokens, priority, "
+    "row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rn "
+    "FROM p) WHERE rn <= 40",
+    doc="Deterministic WEIGHTED sampling via priority sampling (Duffield-"
+    "Lund-Thorup, public method): each doc draws priority = u / weight "
+    "with u a content-stable hash uniform and weight = token count, and "
+    "the k smallest priorities per source are kept — selection "
+    "probability rises with weight, estimates are near-optimal, and the "
+    "sample is REPRODUCIBLE across runs and engines (rand() resamples "
+    "every run; A-Res's u^(1/w) needs pow/ln whose libm results differ "
+    "across engines). FP contract: u = (hash % 2^50) / 2^50 is EXACT "
+    "(power-of-two divide of a <2^53 integer), so priority is ONE "
+    "correctly-rounded division — bit-identical cross-engine with no "
+    "rounding step at all. One per-source window, map-side otherwise.",
+)
+def txt_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            F.regexp_count("text", F.lit(r"\S+")).cast("long"), F.lit(1)
+        ).alias("n_tokens"),
+        F.pmod(
+            txt.hex64(F.col("doc_id").cast("string")), F.lit(1 << 50)
+        ).alias("h"),
+    )
+    p = t.select(
+        "doc_id", "source", "n_tokens",
+        ((F.col("h") / F.lit(float(1 << 50))) / F.col("n_tokens")).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        p.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 40)
+        .drop("__rn")
+    )

@@ -138,3 +138,52 @@ def test_containment_join_no_nested_loop(spark):
     plan = _plan(spark, "dd_containment_pairs", "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_q2_min_cost_reuses_partitioning_for_best(spark):
+    """Q2's per-part minimum must ride the (l_partkey) partitioning the
+    first aggregate already established — a window min, not a second
+    shuffle: exactly ONE Exchange on l_partkey in the whole plan (dims
+    are broadcast)."""
+    plan = _plan(spark, "rel_q2_min_cost_supplier", "simple")
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(l_partkey", plan)
+    assert len(exchanges) == 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+@needs_testdata
+def test_q21_touches_fact_once_and_plans_semi_anti(spark):
+    """Q21's EXISTS/NOT EXISTS must compile to left-semi and left-anti
+    joins over the pre-aggregated (order, supplier) table — the lineitem
+    fact is scanned exactly once."""
+    plan = _plan(spark, "rel_q21_blocking_supplier", "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # checkpoint-fenced pre-aggregate: lineitem + supplier only — the
+    # correlated legs read the fence, not their own fact scans
+    assert plan.count("FileScan parquet") <= 2, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_ivfpq_rerank_fetch_is_broadcast(spark):
+    """The refine stage's full-vector fetch must be a broadcast join of
+    the bounded candidate set into the corpus scan — never a shuffle of
+    the vector table."""
+    plan = _plan(spark, "sim_ivfpq_rerank_topk", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_priority_sample_is_single_window_exchange(spark):
+    """Priority sampling is map-side except the per-source top-k window:
+    one Exchange on source, WindowGroupLimit bounding the global pass."""
+    plan = _plan(spark, "txt_priority_sample", "simple")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning\(source", plan)) == 1
+    assert "WindowGroupLimit" in plan

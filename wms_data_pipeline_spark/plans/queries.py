@@ -5247,7 +5247,12 @@ def mm_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
-    pc = l.groupBy("l_partkey", "l_suppkey").agg(
+    # partition by l_partkey ALONE before the (partkey, suppkey) aggregate:
+    # hash(pk) satisfies the agg's clustered-distribution requirement AND
+    # the window's pk requirement, so the whole min-of-min runs on ONE
+    # exchange; the default hash(pk, sk) agg partitioning would force a
+    # second exchange for the window (pinned in test_plans.py)
+    pc = l.repartition("l_partkey").groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     w = Window.partitionBy("l_partkey")
@@ -5364,8 +5369,11 @@ def rel_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    # same one-exchange trick as rel_q2: hash(pk) serves both the
+    # (pk, sk) aggregate and the per-part window share
     pq = (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
     )
@@ -5404,9 +5412,13 @@ def rel_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_q21_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
+    # checkpoint-fence the pre-aggregate: it feeds BOTH correlated legs
+    # and the probe side — without the fence each leg re-plans its own
+    # lineitem scan + aggregate (3 fact scans); with it the fact table is
+    # literally touched once (pinned in test_plans.py)
     ls = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("last_ship")
-    )
+    ).localCheckpoint(eager=False)
     l1, l2, l3 = ls.alias("l1"), ls.alias("l2"), ls.alias("l3")
     multi = l1.join(
         l2,

@@ -204,3 +204,76 @@ def bigram_lm_score(
             F.round(F.avg("__logp"), 6).alias("lm_score"),
         )
     )
+
+
+def curation_pipeline_full(
+    docs: DataFrame,
+    quality_cutoff: float = 0.5,
+    neardup_threshold: float = 0.5,
+    token_budget: int = 10000,
+    decontam_overlap: int = 3,
+) -> DataFrame:
+    """The end-to-end curation dataflow as ONE composed plan — the
+    nightly job a 100 TB training-data run executes (registry twin:
+    ``txt_curation_pipeline_full``; scale measurement:
+    ``tools/ab_curation_pipeline.py``). Stages, in order: quality filter
+    (absolute cutoff) → exact dedup (keep-min-id per sha256) → MinHash
+    near-dup keep (drop id_b per verified pair) → train/test
+    decontamination (b=0 hash bucket held out; drop train docs sharing
+    ≥ ``decontam_overlap`` word 4-grams with it) → per-source token
+    budget (content-stable hash order) → 80/10/10 split assignment.
+    Input: (doc_id, lang, source, text). Output: (doc_id, source, lang,
+    n_tokens, cum_tokens, split). Six keyed exchanges total; every small
+    side broadcast or distinct; nothing quadratic."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+
+    s1 = (
+        quality_features(docs)
+        .filter(F.col("quality_score") >= quality_cutoff)
+        .select("doc_id", "lang", "source", "text")
+    )
+    s2 = dd.exact_dedup(s1, id_col="doc_id", colname="text")
+    pairs = dd.minhash_neardup_pairs(
+        s2.select("doc_id", "text"), threshold=neardup_threshold
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s3 = s2.join(drop, "doc_id", "left_anti")
+    bucket10 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    s3b = s3.withColumn("b", bucket10)
+    sh = s3b.select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
+    test_g = sh.filter(F.col("b") == 0).select("g").distinct()
+    bad = (
+        sh.filter(F.col("b") != 0)
+        .join(test_g, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= decontam_overlap)
+        .select("doc_id")
+    )
+    s4 = s3b.filter(F.col("b") != 0).join(bad, "doc_id", "left_anti")
+    t = s4.select(
+        "doc_id", "source", "lang",
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        hex64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    s5 = t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= token_budget
+    )
+    bucket100 = hex64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket100 < 80, "train").when(bucket100 < 90, "valid").otherwise("test")
+    )
+    return s5.select(
+        "doc_id", "source", "lang", "n_tokens", "cum_tokens", split.alias("split")
+    )

@@ -5096,58 +5096,8 @@ def txt_curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = table_rows_hint(sf_dir, "documents")
     if rows is None or rows > 8_000:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    # 1 — quality filter (same absolute cutoff as txt_corpus_curation)
-    s1 = (
-        txt.quality_features(docs)
-        .filter(F.col("quality_score") >= 0.5)
-        .select("doc_id", "lang", "source", "text")
-    )
-    # 2 — exact dedup, keep min-id per content hash
-    s2 = dd.exact_dedup(s1, id_col="doc_id", colname="text")
-    # 3 — near-dup keep: verified MinHash pairs over the SURVIVORS, drop
-    # the larger id of each pair (keep-smallest representative)
-    pairs = dd.minhash_neardup_pairs(s2.select("doc_id", "text"), threshold=0.5)
-    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    s3 = s2.join(drop, "doc_id", "left_anti")
-    # 4 — decontaminate: b=0 is the held-out bucket; drop overlapping train
-    bucket10 = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        % 10
-    )
-    s3b = s3.withColumn("b", bucket10)
-    sh = s3b.select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
-    test_g = sh.filter(F.col("b") == 0).select("g").distinct()
-    bad = (
-        sh.filter(F.col("b") != 0)
-        .join(test_g, "g")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_overlap"))
-        .filter(F.col("n_overlap") >= 3)
-        .select("doc_id")
-    )
-    s4 = s3b.filter(F.col("b") != 0).join(bad, "doc_id", "left_anti")
-    # 5 — per-source token budget in content-stable hash order
-    t = s4.select(
-        "doc_id", "source", "lang",
-        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tokens"),
-        txt.hex64(F.col("doc_id").cast("string")).alias("h"),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    s5 = t.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
-        F.col("cum_tokens") <= 10000
-    )
-    # 6 — deterministic 80/10/10 split assignment
-    bucket100 = txt.hex64(F.col("doc_id").cast("string")) % 100
-    split = (
-        F.when(bucket100 < 80, "train").when(bucket100 < 90, "valid").otherwise("test")
-    )
-    return s5.select(
-        "doc_id", "source", "lang", "n_tokens", "cum_tokens", split.alias("split")
+    return txt.curation_pipeline_full(
+        docs, quality_cutoff=0.5, neardup_threshold=0.5, token_budget=10000
     )
 
 

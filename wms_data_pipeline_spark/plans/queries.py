@@ -5437,3 +5437,66 @@ def txt_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 40)
         .drop("__rn")
     )
+
+
+@query(
+    "evt_trending_topk",
+    "WITH w AS (SELECT date_trunc('hour', ts) AS window_start, event_type, "
+    "count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+    "SELECT window_start, event_type, n, rn AS rank FROM ("
+    "SELECT window_start, event_type, n, row_number() OVER ("
+    "PARTITION BY window_start ORDER BY n DESC, event_type) AS rn FROM w) "
+    "WHERE rn <= 3",
+    doc="Trending top-k: the 3 most frequent event types per tumbling "
+    "hour — the windowed leaderboard every event-analytics surface "
+    "serves. One event-time aggregate plus a per-window rank; "
+    "WindowGroupLimit bounds the rank pass to k rows per window. The "
+    "streaming twin is tumbling_counts -> foreachBatch rank over closed "
+    "windows (same batch logic, watermark decides closure).",
+)
+def evt_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wdf = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        wdf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n", "rank")
+    )
+
+
+@query(
+    "sim_label_centroids",
+    "WITH g AS (SELECT range AS d FROM range(0, 64)) "
+    "SELECT e.label, g.d AS dim, "
+    "sum(CAST(round(CAST(e.embedding[g.d + 1] AS DOUBLE) * 1000000) AS BIGINT))::BIGINT "
+    "AS sum_micro, count(*)::BIGINT AS n, "
+    "round(sum(CAST(round(CAST(e.embedding[g.d + 1] AS DOUBLE) * 1000000) AS BIGINT)) "
+    "/ 1000000.0 / count(*), 6) AS centroid "
+    "FROM embeddings e CROSS JOIN g GROUP BY e.label, g.d",
+    doc="Per-label embedding centroids (class prototype vectors — the "
+    "primitive behind nearest-centroid classification, semantic-cluster "
+    "summaries, and IVF warm starts). Components accumulate in EXACT "
+    "integer micro-units (round(x * 1e6) as BIGINT), so the sum is "
+    "summation-order-independent and the mean is one division from "
+    "exact integers — the rel_q10 money rule applied to vector space; "
+    "a double sum would drift per partitioning. Long output (label, "
+    "dim, centroid): one posexplode + one (label, dim) aggregate, "
+    "map-side partials, no window.",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    comp = e.select(
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "label", "dim",
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("micro"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.sum("micro").alias("sum_micro"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("micro") / 1000000.0 / F.count(F.lit(1)), 6).alias("centroid"),
+    )

@@ -5473,15 +5473,20 @@ def evt_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT e.label, g.d AS dim, "
     "sum(CAST(round(CAST(e.embedding[g.d + 1] AS DOUBLE) * 1000000) AS BIGINT))::BIGINT "
     "AS sum_micro, count(*)::BIGINT AS n, "
-    "round(sum(CAST(round(CAST(e.embedding[g.d + 1] AS DOUBLE) * 1000000) AS BIGINT)) "
-    "/ 1000000.0 / count(*), 6) AS centroid "
+    "(CASE WHEN sum(CAST(round(CAST(e.embedding[g.d + 1] AS DOUBLE) * 1000000) AS BIGINT)) >= 0 THEN 1 ELSE -1 END) "
+    "* ((abs(sum(CAST(round(CAST(e.embedding[g.d + 1] AS DOUBLE) * 1000000) AS BIGINT))) * 2 + count(*)) "
+    "// (2 * count(*))) / 1000000.0 AS centroid "
     "FROM embeddings e CROSS JOIN g GROUP BY e.label, g.d",
     doc="Per-label embedding centroids (class prototype vectors — the "
     "primitive behind nearest-centroid classification, semantic-cluster "
     "summaries, and IVF warm starts). Components accumulate in EXACT "
     "integer micro-units (round(x * 1e6) as BIGINT), so the sum is "
     "summation-order-independent and the mean is one division from "
-    "exact integers — the rel_q10 money rule applied to vector space; "
+    "exact integers; the half-up-to-micro rounding itself happens in "
+    "INTEGER space ((2|s|+n) div 2n) because a double division can land "
+    "exactly on a 6dp half (observed at sf0.1: 616992/192 = 3213.5 "
+    "micro) where engines disagree on the tie — the rel_q10 money rule "
+    "applied to vector space; "
     "a double sum would drift per partitioning. Long output (label, "
     "dim, centroid): one posexplode + one (label, dim) aggregate, "
     "map-side partials, no window.",
@@ -5498,5 +5503,9 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("label", "dim").agg(
         F.sum("micro").alias("sum_micro"),
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("micro") / 1000000.0 / F.count(F.lit(1)), 6).alias("centroid"),
+        (
+            F.signum(F.sum("micro")).cast("long")
+            * F.expr("(abs(sum(micro)) * 2 + count(1)) DIV (2 * count(1))")
+            / 1000000.0
+        ).alias("centroid"),
     )

@@ -425,3 +425,52 @@ def test_neardup_ingest_replay_emits_no_self_pairs(spark, tmp_path):
               dd.neardup_incremental(spark, batch, index).collect()}
     assert all(a != b for a, b in replay), f"self-pairs leaked: {replay}"
     assert first <= replay  # original pairs re-emitted (keyed-idempotent)
+
+
+TYPED_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def test_trending_stream_ranks_closed_windows(spark, tmp_path):
+    """trending_stream must emit the top-k per CLOSED window only: a
+    first pass whose watermark has passed window A emits A's ranked
+    top-3; the still-open window B emits nothing until later data (or
+    stream end under availableNow) closes it."""
+    from wms_data_pipeline_spark.streaming.pipeline import trending_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    h10 = datetime(2026, 1, 1, 10)
+    rows = (
+        [("view", datetime(2026, 1, 1, 10, m)) for m in (1, 2, 3, 4)]
+        + [("click", datetime(2026, 1, 1, 10, 5)), ("click", datetime(2026, 1, 1, 10, 6))]
+        + [("purchase", datetime(2026, 1, 1, 10, 7))]
+        + [("refund", datetime(2026, 1, 1, 10, 8))]
+        # closes the 10:00 window (watermark = 11:30 - 2 min > 11:00)
+        + [("view", datetime(2026, 1, 1, 11, 30))]
+    )
+    _write_batch(spark, src, rows, TYPED_EVENTS_SCHEMA, "b1")
+    stream = spark.readStream.schema(TYPED_EVENTS_SCHEMA).parquet(src)
+    q = trending_stream(
+        stream, out, str(tmp_path / "ck"), ts_col="ts", key="event_type",
+        window="1 hour", delay="2 minutes", k=3,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["rank"]): (r["event_type"], r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # 10:00 window closed: view(4) > click(2) > purchase(1)=refund(1),
+    # tie broken alphabetically -> purchase
+    assert got[(h10, 1)] == ("view", 4)
+    assert got[(h10, 2)] == ("click", 2)
+    assert got[(h10, 3)] == ("purchase", 1)
+    # the 11:00 window stayed open through the first trigger; under
+    # availableNow the final trigger may or may not flush it depending on
+    # engine version — only the CLOSED window's ranks are contractual
+    assert all(ws == h10 for ws, _ in got), got

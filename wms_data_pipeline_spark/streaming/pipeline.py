@@ -142,6 +142,52 @@ def tumbling_counts(
     )
 
 
+def trending_stream(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key: str = "event_type",
+    window: str = "1 hour",
+    delay: str = "2 minutes",
+    k: int = 3,
+) -> StreamingQuery:
+    """Windowed trending top-k, streaming form (batch twin:
+    ``evt_trending_topk``): tumbling counts emit CLOSED windows in append
+    mode (the watermark decides closure), and a ``foreachBatch`` ranks
+    each closed window's keys and appends its top-``k`` rows to
+    ``out_path`` — ranking happens in batch land because a streaming
+    window function over an aggregated stream is not expressible, and a
+    closed window's counts are final so the rank is exact, not a
+    retractable approximation. State is bounded by the watermark (open
+    windows only); output is one small append per closed window.
+    At-least-once: a replayed batch re-appends the same closed windows —
+    readers dedup on (window_start, key), same contract as the other
+    foreachBatch sinks."""
+    from pyspark.sql import Window as _W
+
+    counts = tumbling_counts(stream_df, ts_col, window, delay, keys=[key])
+
+    def _rank_and_append(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        w = _W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col(key))
+        top = (
+            batch.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        top.write.mode("append").parquet(out_path)
+
+    return (
+        counts.writeStream.foreachBatch(_rank_and_append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -162,3 +162,20 @@ def test_bigram_lm_score_equals_python_model(spark, docs):
         n, score = got[i]
         assert n == len(bgs)
         assert abs(score - sum(logps) / len(logps)) <= 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=3000),
+    st.integers(min_value=2, max_value=8),
+)
+def test_lzw_roundtrip_property(data, min_code_size):
+    """GIF-variant LZW must round-trip ANY byte stream whose symbols fit
+    min_code_size bits — including empty streams, runs (KwKwK), and
+    streams long enough to grow code width."""
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    clear = 1 << min_code_size
+    clamped = bytes(b % clear for b in data)
+    comp = mm._lzw_compress_gif(clamped, min_code_size)
+    assert mm._lzw_decompress_gif(comp, min_code_size) == clamped

@@ -526,6 +526,7 @@ def multimodal_stress(n_items: int = 200_000) -> None:
     ppm = mm.with_ppm_content(ids).localCheckpoint()
     bmp = mm.with_bmp_content(ids).localCheckpoint()
     wav = mm.with_wav_content(ids).localCheckpoint()
+    gif = mm.with_gif_content(ids).localCheckpoint()
 
     def run(label, df):
         best = float("inf")
@@ -539,6 +540,11 @@ def multimodal_stress(n_items: int = 200_000) -> None:
     run("image resize 4x2", mm.resize_images(ppm, out_w=4, out_h=2))
     run("image features", mm.image_features(ppm))
     run("image features (bmp layout undo)", mm.image_features(bmp))
+    # the only codec-BEARING leg: per-item pure-Python LZW decompression —
+    # inherently sequential within a stream (each code extends the dict),
+    # parallel only ACROSS items; expect 1-2 orders below the layout-only
+    # formats' Arrow overhead floor
+    run("image features (gif lzw decompress)", mm.image_features(gif))
     run("audio decode+features (wav)", mm.audio_features(wav))
     spark.stop()
 

@@ -216,6 +216,10 @@ def encode_gif(
     ``palette`` is the 256-entry RGB global color table (768 bytes)."""
     import struct
 
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(
+            f"GIF dimensions are u16 fields: {width}x{height} out of range"
+        )
     if len(indices) != width * height:
         raise ValueError(
             f"GIF {width}x{height} needs {width * height} index bytes, "

@@ -338,3 +338,28 @@ def test_gif_interlace_and_garbage_raise():
         mm.decode_image_real(bytes(blob))
     with pytest.raises(ValueError, match="truncated GIF header"):
         mm.decode_image_real(b"GIF87a\x01")
+
+
+# ------------------------------------------ process-cached index builds
+
+
+def test_process_cached_index_builds_once_and_stays_correct(spark):
+    """The persisted-index registry queries build once per process (the
+    bench contract: warmup pays the build, reps time the search) — the
+    second call must reuse the exact path AND return identical results."""
+    from wms_data_pipeline_spark.plans import queries as q
+
+    q._PROCESS_IDX_CACHE.clear()
+    sf = "/root/testdata/sf0.001"
+    r1 = {
+        (r.query_id, r.vec_id, r.adc_dist)
+        for r in q.REGISTRY["sim_ivfpq_index_topk"].fn(spark, sf).collect()
+    }
+    assert ("ivfpq", sf) in q._PROCESS_IDX_CACHE
+    path_after_first = q._PROCESS_IDX_CACHE[("ivfpq", sf)]
+    r2 = {
+        (r.query_id, r.vec_id, r.adc_dist)
+        for r in q.REGISTRY["sim_ivfpq_index_topk"].fn(spark, sf).collect()
+    }
+    assert q._PROCESS_IDX_CACHE[("ivfpq", sf)] == path_after_first
+    assert r1 == r2 and len(r1) > 0

@@ -363,3 +363,37 @@ def test_process_cached_index_builds_once_and_stays_correct(spark):
     }
     assert q._PROCESS_IDX_CACHE[("ivfpq", sf)] == path_after_first
     assert r1 == r2 and len(r1) > 0
+
+
+def test_ivfpq_and_adc_empty_query_set_short_circuit(spark):
+    """Code-review r7: the empty-query 1-D-numpy crash existed in
+    ivfpq_topk (hit through ivfpq_rerank_topk) and pq_adc_topk too, not
+    only the persisted-index path — all must return typed empty frames."""
+    corpus = _corpus(spark, n=20)
+    empty_q = corpus.filter(F.lit(False)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = sim.pq_adc_topk(corpus, empty_q, k=3, m=4, kcode=8)
+    assert adc.count() == 0 and adc.columns == ["query_id", "vec_id", "adc_dist"]
+    ivfpq = sim.ivfpq_topk(corpus, empty_q, k=3, nlist=2, nprobe=2, m=4, kcode=8)
+    assert ivfpq.count() == 0
+    rr = sim.ivfpq_rerank_topk(
+        corpus, empty_q, k=3, cand=10, nlist=2, nprobe=2, m=4, kcode=8
+    )
+    assert rr.count() == 0 and rr.columns == ["query_id", "vec_id", "l2_dist"]
+
+
+def test_gif_truncation_raises_value_error():
+    """Code-review r7: every truncation point in the GIF parse must raise
+    ValueError (the quarantine contract), never struct.error/IndexError."""
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    palette = bytes(768)
+    blob = mm.encode_gif(3, 2, bytes(6), palette)
+    idesc = blob.index(b",", 6)
+    with pytest.raises(ValueError, match="truncated GIF image descriptor"):
+        mm.decode_image_real(blob[: idesc + 4])
+    with pytest.raises(ValueError, match="missing LZW min code size"):
+        mm.decode_image_real(blob[: idesc + 10])
+    with pytest.raises(ValueError, match="truncated GIF LZW|decoded to"):
+        mm.decode_image_real(blob[: idesc + 13])

@@ -768,23 +768,8 @@ def substring_dup_spans(
     shuffle rows; collisions only merge counts, biasing dup_ratio up by
     ~2^-64 per pair — negligible, but not oracle-reproducible, so the
     registry query keeps the exact-string default)."""
-    n_win = F.when(
-        F.length(F.col(colname)) >= window,
-        ((F.length(F.col(colname)) - window) / stride).cast("int") + 1,
-    ).otherwise(F.lit(0))
-    # sequence(0, -1) DESCENDS in Spark (yields [0, -1]) — short docs must
-    # take the empty-array branch, not the sequence
-    offsets = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    spans = df.select(
-        id_col,
-        F.explode(
-            F.transform(
-                offsets,
-                lambda k: F.col(colname).substr(k * stride + 1, F.lit(window)),
-            )
-        ).alias("__span"),
+    spans = _doc_window_spans(df, id_col, colname, window, stride).select(
+        id_col, "__span"
     )
     key = F.xxhash64(F.col("__span")).alias("__k") if hash_windows else F.col(
         "__span"
@@ -816,6 +801,38 @@ def substring_dup_spans(
     )
 
 
+def _doc_window_spans(
+    df: DataFrame,
+    id_col: str,
+    colname: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """(id, __kk, __span) rows: every ``window``-char span at ``stride``
+    offsets, posexploded with its offset index. THE single source of the
+    windowing arithmetic — substring_dup_spans (the signal) and
+    _removable_spans (the keep/trim actions) both consume it, so the
+    span generation can never diverge between signal and action.
+    sequence(0, -1) DESCENDS in Spark (yields [0, -1]) — short docs must
+    take the empty-array branch, not the sequence."""
+    n_win = F.when(
+        F.length(F.col(colname)) >= window,
+        ((F.length(F.col(colname)) - window) / stride).cast("int") + 1,
+    ).otherwise(F.lit(0))
+    offsets = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                offsets,
+                lambda k: F.col(colname).substr(k * stride + 1, F.lit(window)),
+            )
+        ).alias("__kk", "__span"),
+    )
+
+
 def _removable_spans(
     df: DataFrame,
     id_col: str,
@@ -830,22 +847,7 @@ def _removable_spans(
     ACTION keep-one-copy rather than drop-all-copies: the earliest doc
     retains the text, later verbatim copies lose it. One shuffle on the
     span key (same plan spine as substring_dup_spans), one rank window."""
-    n_win = F.when(
-        F.length(F.col(colname)) >= window,
-        ((F.length(F.col(colname)) - window) / stride).cast("int") + 1,
-    ).otherwise(F.lit(0))
-    offsets = F.when(n_win >= 1, F.sequence(F.lit(0), n_win - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    spans = df.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                offsets,
-                lambda k: F.col(colname).substr(k * stride + 1, F.lit(window)),
-            )
-        ).alias("__kk", "__span"),
-    )
+    spans = _doc_window_spans(df, id_col, colname, window, stride)
     w = Window.partitionBy("__span").orderBy(F.col(id_col), F.col("__kk"))
     return spans.withColumn("__rn", F.row_number().over(w))
 

@@ -138,10 +138,10 @@ def _lzw_compress_gif(indices: bytes, min_code_size: int = 8) -> bytes:
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code == (1 << code_size) + 1 and code_size < 12:
-                # GIF increments width when next EMITTED code could be
-                # next_code-1; the standard early-change-free rule:
-                pass
+        # width alignment with the decoder, which appends its entry one
+        # code LATER than we do: our bump at next_code == 2^cs + 1 lands
+        # on exactly the code for which the decoder's table just reached
+        # 2^cs (derivation in _lzw_decompress_gif's width rule)
         if next_code - 1 == (1 << code_size) and code_size < 12:
             code_size += 1
         if next_code == 4096:
@@ -152,6 +152,14 @@ def _lzw_compress_gif(indices: bytes, min_code_size: int = 8) -> bytes:
         seq = bytes([b])
     if seq:
         emit(table[seq])
+    # EOI is the one code emitted WITHOUT a preceding table add, so the
+    # one-behind pairing above breaks here: after processing our final
+    # data code the decoder appends its last entry and, if its table
+    # lands exactly on 2^cs, widens BEFORE reading EOI — mirror that or
+    # a boundary-sized stream raises a spurious 'truncated' error
+    # (decoder table at EOI time == our next_code)
+    if seq and next_code == (1 << code_size) and code_size < 12:
+        code_size += 1
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
@@ -282,6 +290,8 @@ def decode_image_real(content: bytes) -> dict:
                 continue
             if b0 != 0x2C:
                 raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+            if pos + 9 > len(content):
+                raise ValueError("truncated GIF image descriptor")
             left, top, width, height, iflags = struct.unpack_from("<HHHHB", content, pos)
             pos += 9
             if iflags & 0x40:
@@ -289,7 +299,11 @@ def decode_image_real(content: bytes) -> dict:
             if iflags & 0x80:  # local color table overrides
                 lct_len = 3 * (2 << (iflags & 0x07))
                 palette = content[pos : pos + lct_len]
+                if len(palette) < lct_len:
+                    raise ValueError("truncated GIF local color table")
                 pos += lct_len
+            if pos >= len(content):
+                raise ValueError("truncated GIF (missing LZW min code size)")
             min_code = content[pos]
             pos += 1
             data = bytearray()

@@ -1137,6 +1137,13 @@ def pq_adc_topk(
             f"pq_adc_topk collects the query set into the task closure; got "
             f"more than {MAX_CLOSURE_QUERIES} queries — batch them"
         )
+    if not q_rows:
+        # empty query set: Q would be 1-D and crash the LUT slicing
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        it = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], schema=f"{query_id_col} {qt}, {id_col} {it}, adc_dist double"
+        )
     q_ids = [r[0] for r in q_rows]
     Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
     # LUT[q, s, j]: dim-sequential accumulation, same op order as the oracle
@@ -1304,6 +1311,15 @@ def ivfpq_topk(
     q_rows = queries.select(query_id_col, vec_col).limit(MAX_CLOSURE_QUERIES + 1).collect()
     if len(q_rows) > MAX_CLOSURE_QUERIES:
         raise ValueError("ivfpq_topk: query set too large for the task closure")
+    if not q_rows:
+        # empty query set: Q would be 1-D and crash the qcd slicing —
+        # same short-circuit as ivfpq_index_topk (also covers
+        # ivfpq_rerank_topk, whose stage 1 this is)
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        it = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], schema=f"{query_id_col} {qt}, {id_col} {it}, adc_dist double"
+        )
     q_ids = [r[0] for r in q_rows]
     Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
     qcd = np.zeros((len(q_ids), nlist), dtype=np.float64)

@@ -1230,10 +1230,16 @@ def dd_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", *[f"mh_{p}" for p in range(dd.DEFAULT_NUM_PERM)])
 
 
-def _neardup_duck(threshold: float, num_perm: int = 16, bands: int = 4) -> str:
+def _neardup_pairs_ctes(src: str, threshold: float, num_perm: int = 16,
+                        bands: int = 4) -> str:
+    """The MinHash+LSH pair CTE chain of ``_neardup_duck``, parameterized
+    on the SOURCE relation so it can verify a pipeline STAGE (near-dup
+    over the post-exact-dedup survivors) instead of raw documents.
+    Emits CTE fragments ``ndt .. ndpairs`` for embedding in a larger
+    WITH chain (SQL has no nested WITH)."""
     rows = num_perm // bands
     band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, sha256({concat}) AS bhash FROM sig".format(
+        "SELECT doc_id, {b} AS band, sha256({concat}) AS bhash FROM ndsig".format(
             b=b,
             concat=" || '_' || ".join(
                 f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
@@ -1242,19 +1248,30 @@ def _neardup_duck(threshold: float, num_perm: int = 16, bands: int = 4) -> str:
         for b in range(bands)
     )
     return (
-        f"WITH t AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents), "
-        f"sh_t AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM t), "
-        f"h_t AS (SELECT doc_id, sh, {_SH_HASH_DUCK} AS hs FROM sh_t), "
-        f"sig AS (SELECT doc_id, sh, {_minhash_cols_duck(num_perm)} FROM h_t), "
-        f"b AS ({band_rows}), "
-        "p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
-        "FROM b a JOIN b b2 USING (band, bhash) WHERE a.doc_id < b2.doc_id) "
-        "SELECT id_a, id_b, jaccard_sim FROM ("
-        "SELECT p.id_a, p.id_b, "
+        f"ndt AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM {src}), "
+        f"ndsh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM ndt), "
+        f"ndh AS (SELECT doc_id, sh, {_SH_HASH_DUCK} AS hs FROM ndsh), "
+        f"ndsig AS (SELECT doc_id, sh, {_minhash_cols_duck(num_perm)} FROM ndh), "
+        f"ndb AS ({band_rows}), "
+        "ndp AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
+        "FROM ndb a JOIN ndb b2 USING (band, bhash) WHERE a.doc_id < b2.doc_id), "
+        "ndpairs AS (SELECT id_a, id_b, jaccard_sim FROM ("
+        "SELECT ndp.id_a, ndp.id_b, "
         "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
         "len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard_sim "
-        "FROM p JOIN sh_t sa ON sa.doc_id = p.id_a JOIN sh_t sb ON sb.doc_id = p.id_b) "
-        f"WHERE jaccard_sim >= {threshold}"
+        "FROM ndp JOIN ndsh sa ON sa.doc_id = ndp.id_a "
+        "JOIN ndsh sb ON sb.doc_id = ndp.id_b) "
+        f"WHERE jaccard_sim >= {threshold})"
+    )
+
+
+def _neardup_duck(threshold: float, num_perm: int = 16, bands: int = 4) -> str:
+    """MinHash+LSH near-dup pair SQL over the documents table — a thin
+    wrapper over the parameterized CTE chain (_neardup_pairs_ctes), so
+    the banding/verify logic exists exactly once in the oracle layer."""
+    return (
+        "WITH " + _neardup_pairs_ctes("documents", threshold, num_perm, bands)
+        + " SELECT id_a, id_b, jaccard_sim FROM ndpairs"
     )
 
 
@@ -3318,7 +3335,7 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dd_dedup_keep_canonical",
     "WITH pairs AS (SELECT id_a, id_b FROM ("
-    + _neardup_duck(0.5).replace("SELECT id_a, id_b, jaccard_sim FROM (", "SELECT id_a, id_b FROM (", 1)
+    + _neardup_duck(0.5)
     + ")) SELECT d.lang, count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars "
     "FROM documents d WHERE d.doc_id NOT IN (SELECT id_b FROM pairs) GROUP BY d.lang",
     doc="Dedup APPLICATION: greedy canonical-keep — drop every doc that "
@@ -4992,40 +5009,6 @@ def sim_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_index_topk(spark, path, q, k=10, nprobe=4)
 
 
-def _neardup_pairs_ctes(src: str, threshold: float, num_perm: int = 16,
-                        bands: int = 4) -> str:
-    """The MinHash+LSH pair CTE chain of ``_neardup_duck``, parameterized
-    on the SOURCE relation so it can verify a pipeline STAGE (near-dup
-    over the post-exact-dedup survivors) instead of raw documents.
-    Emits CTE fragments ``ndt .. ndpairs`` for embedding in a larger
-    WITH chain (SQL has no nested WITH)."""
-    rows = num_perm // bands
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, sha256({concat}) AS bhash FROM ndsig".format(
-            b=b,
-            concat=" || '_' || ".join(
-                f"mh_{b * rows + r}::VARCHAR" for r in range(rows)
-            ),
-        )
-        for b in range(bands)
-    )
-    return (
-        f"ndt AS (SELECT doc_id, {_TOKS_DUCK} AS toks FROM {src}), "
-        f"ndsh AS (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM ndt), "
-        f"ndh AS (SELECT doc_id, sh, {_SH_HASH_DUCK} AS hs FROM ndsh), "
-        f"ndsig AS (SELECT doc_id, sh, {_minhash_cols_duck(num_perm)} FROM ndh), "
-        f"ndb AS ({band_rows}), "
-        "ndp AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b "
-        "FROM ndb a JOIN ndb b2 USING (band, bhash) WHERE a.doc_id < b2.doc_id), "
-        "ndpairs AS (SELECT id_a, id_b FROM ("
-        "SELECT ndp.id_a, ndp.id_b, "
-        "round(len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
-        "len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard_sim "
-        "FROM ndp JOIN ndsh sa ON sa.doc_id = ndp.id_a "
-        "JOIN ndsh sb ON sb.doc_id = ndp.id_b) "
-        f"WHERE jaccard_sim >= {threshold})"
-    )
-
 
 _CURATION_FULL_DUCK = (
     "WITH fq AS (SELECT doc_id, length(text) AS n_chars_x, "
@@ -5314,7 +5297,7 @@ def rel_q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the fact scan; the per-part total reuses the (l_partkey) "
     "partitioning via a window sum (no second shuffle); the IN becomes "
     "a left-semi join on the tiny qualifying-supplier set. Quantities "
-    "sum as exact BIGINTs, threshold compare is integer (q * 2 > total).",
+    "sum as exact BIGINTs, threshold compare is integer (q * 8 > total).",
 )
 def rel_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")

@@ -5492,3 +5492,53 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("centroid"),
     )
+
+
+@query(
+    "evt_volume_anomaly_dow",
+    "WITH d AS (SELECT date_trunc('day', ts)::DATE AS day, event_type, "
+    "count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "w AS (SELECT day, event_type, n, "
+    "sum(n) OVER (PARTITION BY event_type, dayofweek(day) "
+    "ORDER BY date_diff('day', DATE '1970-01-01', day) "
+    "RANGE BETWEEN 28 PRECEDING AND 7 PRECEDING)::BIGINT AS s4, "
+    "count(n) OVER (PARTITION BY event_type, dayofweek(day) "
+    "ORDER BY date_diff('day', DATE '1970-01-01', day) "
+    "RANGE BETWEEN 28 PRECEDING AND 7 PRECEDING)::BIGINT AS c4 FROM d) "
+    "SELECT day, event_type, n, round(s4::DOUBLE / c4, 4) AS dow_baseline, "
+    "round(n::DOUBLE * c4 / s4, 4) AS vol_ratio FROM w WHERE c4 > 0",
+    doc="Seasonality-aware volume anomaly: each (day, event_type)'s count "
+    "vs the trailing mean of the SAME WEEKDAY over the previous 4 weeks "
+    "— the baseline that does not flag every Saturday as anomalous the "
+    "way the plain trailing-week mean (evt_volume_anomaly) does for "
+    "weekly-periodic traffic. Partitioning by (event_type, weekday) "
+    "makes the RANGE frame over epoch-days see only same-weekday rows, "
+    "so 28..7 PRECEDING is exactly the last 4 same-weekday observations "
+    "with calendar gaps handled. Same exact-integer sum/count contract; "
+    "weekday numbering pinned cross-engine by the shared partition key.",
+)
+def evt_volume_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    d = d.withColumn("day_num", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    # dayofweek numbering differs across engines (Spark 1=Sunday, DuckDB
+    # 0=Sunday) but it is only a PARTITION key — any bijection of day mod 7
+    # yields identical partitions, so the results agree regardless
+    d = d.withColumn("dow", F.dayofweek("day"))
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day_num")
+        .rangeBetween(-28, -7)
+    )
+    t = d.select(
+        "day", "event_type", "n",
+        F.sum("n").over(w).alias("s4"),
+        F.count("n").over(w).alias("c4"),
+    ).filter(F.col("c4") > 0)
+    return t.select(
+        "day", "event_type", "n",
+        F.round(F.col("s4").cast("double") / F.col("c4"), 4).alias("dow_baseline"),
+        F.round(F.col("n").cast("double") * F.col("c4") / F.col("s4"), 4).alias("vol_ratio"),
+    )

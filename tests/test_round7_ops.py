@@ -397,3 +397,43 @@ def test_gif_truncation_raises_value_error():
         mm.decode_image_real(blob[: idesc + 10])
     with pytest.raises(ValueError, match="truncated GIF LZW|decoded to"):
         mm.decode_image_real(blob[: idesc + 13])
+
+
+# ------------------------------------- partitioning-determinism gate
+
+
+def test_fp_sensitive_queries_are_partitioning_deterministic(spark):
+    """Sample of the queries MOST exposed to partitioning (double sums
+    feeding rounded outputs, collected arrays, window ranks) re-run under
+    a different shuffle-partition count must produce identical canonical
+    rowsets — the property the driver's value-hash oracle silently
+    assumes. The full 176-query sweep is tools/determinism.py."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.parity import _rowset
+
+    from wms_data_pipeline_spark.plans.queries import REGISTRY
+
+    sample = [
+        "rel_q14_promo_revenue",     # double-sum ratio, 6dp round
+        "rel_q15_top_supplier",      # rounded double equality vs max
+        "txt_tfidf",                 # double tf-idf products
+        "evt_volume_anomaly",        # RANGE window sum/count ratio
+        "sim_label_centroids",       # integer-space vector means
+        "txt_priority_sample",       # exact-FP priorities + window
+    ]
+    sf = "/root/testdata/sf0.001"
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in sample:
+            spec = REGISTRY[name]
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            df = spec.fn(spark, sf)
+            a = _rowset(df.columns, [tuple(r) for r in df.collect()])
+            spark.conf.set("spark.sql.shuffle.partitions", "5")
+            df = spec.fn(spark, sf)
+            b = _rowset(df.columns, [tuple(r) for r in df.collect()])
+            assert a == b, f"{name} result depends on partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -30,8 +30,14 @@ from wms_data_pipeline_spark.plans.queries import REGISTRY
 from wms_data_pipeline_spark.session import get_spark
 
 
-def run_once(spark, spec, sf_dir: str, shuffle_parts: int):
+def run_once(spark, spec, sf_dir: str, shuffle_parts: int,
+             max_partition_bytes: str = "128m"):
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+    # shrinking maxPartitionBytes multiplies SCAN splits — map-side kernels
+    # (mapInPandas partial top-k, Arrow signature batches) see different
+    # batch boundaries, a different nondeterminism class than shuffle
+    # partitioning
+    spark.conf.set("spark.sql.files.maxPartitionBytes", max_partition_bytes)
     df = spec.fn(spark, sf_dir)
     rows = df.collect()
     return _rowset(df.columns, [tuple(r) for r in rows])
@@ -46,8 +52,8 @@ def main() -> None:
     for name in names:
         spec = REGISTRY[name]
         try:
-            a = run_once(spark, spec, sf_dir, 32)
-            b = run_once(spark, spec, sf_dir, 5)
+            a = run_once(spark, spec, sf_dir, 32, "128m")
+            b = run_once(spark, spec, sf_dir, 5, "64k")
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             failures.append((name, f"error: {type(e).__name__}: {str(e)[:160]}"))
             print(f"ERR  {name}: {type(e).__name__}", flush=True)

@@ -5542,3 +5542,92 @@ def evt_volume_anomaly_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s4").cast("double") / F.col("c4"), 4).alias("dow_baseline"),
         F.round(F.col("n").cast("double") * F.col("c4") / F.col("s4"), 4).alias("vol_ratio"),
     )
+
+
+@query(
+    "wm_snapshot_diff",
+    # deterministic synthetic snapshots from one table: yesterday drops
+    # doc_id % 10 == 0 (those are "added" today) and carries a stale text
+    # for doc_id % 7 == 0 (those are "changed")
+    "WITH today AS (SELECT doc_id, text FROM documents), "
+    "yesterday AS (SELECT doc_id, "
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' [stale]' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 10 <> 0) "
+    "SELECT COALESCE(t.doc_id, y.doc_id) AS doc_id, "
+    "CASE WHEN y.doc_id IS NULL THEN 'added' "
+    "WHEN t.doc_id IS NULL THEN 'removed' "
+    "WHEN sha256(t.text) <> sha256(y.text) THEN 'changed' "
+    "ELSE 'unchanged' END AS change "
+    "FROM today t FULL OUTER JOIN yesterday y ON t.doc_id = y.doc_id "
+    "WHERE NOT (t.doc_id IS NOT NULL AND y.doc_id IS NOT NULL "
+    "AND sha256(t.text) = sha256(y.text))",
+    doc="Snapshot diff — the daily-ops primitive behind incremental "
+    "re-curation: FULL OUTER JOIN of two corpus snapshots on the id, "
+    "change class from presence + content-hash comparison, unchanged "
+    "rows dropped so the output is exactly the delta a downstream "
+    "pipeline must reprocess. One join shuffle on the id; the hash "
+    "comparison is codegen sha2, no Python. At 100 TB both snapshots "
+    "are id-bucketed tables and this join is exchange-free; the delta "
+    "feeds neardup_index_append / ivfpq_index_append so the expensive "
+    "indexes update incrementally instead of rebuilding.",
+)
+def wm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    today = docs
+    yesterday = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [stale]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    t = today.select(F.col("doc_id").alias("t_id"), F.sha2("text", 256).alias("t_h"))
+    y = yesterday.select(F.col("doc_id").alias("y_id"), F.sha2("text", 256).alias("y_h"))
+    j = t.join(y, t.t_id == y.y_id, "full_outer")
+    change = (
+        F.when(F.col("y_id").isNull(), "added")
+        .when(F.col("t_id").isNull(), "removed")
+        .when(F.col("t_h") != F.col("y_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(F.coalesce("t_id", "y_id").alias("doc_id"), change.alias("change"))
+        .filter(F.col("change") != "unchanged")
+    )
+
+
+@query(
+    "rel_profile_lineitem",
+    "SELECT count(*)::BIGINT AS n_rows, "
+    "count(DISTINCT l_orderkey)::BIGINT AS n_orders, "
+    "count(DISTINCT l_partkey)::BIGINT AS n_parts, "
+    "sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_returnflag, "
+    "min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, "
+    "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship, "
+    "round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) "
+    "AS total_price, "
+    "count(DISTINCT l_returnflag)::BIGINT AS n_flags "
+    "FROM lineitem",
+    doc="One-pass column profile of the fact table — the data-contract "
+    "health check a warehouse runs after every load: row count, key "
+    "cardinalities, null counts, value ranges, exact-integer money "
+    "total. All ten statistics come from ONE scan (partial aggregates "
+    "map-side; the distinct counts each add a shuffle of distinct "
+    "values only). At 100 TB the exact distincts swap for "
+    "approx_count_distinct with identical plan shape.",
+)
+def rel_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum(F.col("l_returnflag").isNull().cast("long")).alias("null_returnflag"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 2
+        ).alias("total_price"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )

@@ -474,3 +474,60 @@ def test_trending_stream_ranks_closed_windows(spark, tmp_path):
     # availableNow the final trigger may or may not flush it depending on
     # engine version — only the CLOSED window's ranks are contractual
     assert all(ws == h10 for ws, _ in got), got
+
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def test_curation_ingest_stream_accepts_only_novel_quality_docs(spark, tmp_path):
+    """curation_ingest_stream: quality rejects land nowhere, duplicates of
+    the corpus or of earlier batches are dropped, and only novel quality
+    survivors are accepted AND appended to the index — so a later batch
+    dedups against an earlier one."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+    from wms_data_pipeline_spark.streaming.pipeline import curation_ingest_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps in "
+            "the warm afternoon sun while birds sing of spring")
+    corpus = spark.createDataFrame(
+        [(1000 + i, f"{base} corpus variant {i} extra tokens {i * 3}")
+         for i in range(6)],
+        DOCS_SCHEMA,
+    )
+    idx = "file://" + str(tmp_path / "ndidx")
+    dd.neardup_index_write(corpus, idx)
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "accepted")
+    os.makedirs(src)
+    rows_b1 = [
+        (1, f"{base} a genuinely new document about warehouse robotics"),
+        (2, f"{base} corpus variant 2 extra tokens 6"),   # dup of corpus 1002
+        (3, "!!! ??? ... ,,, ;;; :::"),                   # quality reject
+    ]
+    _write_batch(spark, src, rows_b1, DOCS_SCHEMA, "b1")
+    stream = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    q = curation_ingest_stream(stream, idx, out, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert accepted == {1}, accepted
+
+    # batch 2 repeats batch 1's accepted doc → must be dropped against
+    # the index batch 1 just appended to
+    rows_b2 = [
+        (10, f"{base} a genuinely new document about warehouse robotics"),
+        (11, f"{base} another fresh doc on conveyor maintenance schedules"),
+    ]
+    _write_batch(spark, src, rows_b2, DOCS_SCHEMA, "b2")
+    stream2 = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    q2 = curation_ingest_stream(stream2, idx, out, str(tmp_path / "ck1"))
+    q2.awaitTermination(120)
+
+    accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert accepted == {1, 11}, accepted

@@ -286,3 +286,98 @@ def neardup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curation_ingest_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    accepted_out: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    colname: str = "text",
+    quality_cutoff: float = 0.5,
+    threshold: float = 0.5,
+) -> StreamingQuery:
+    """Curation-on-INGEST — the streaming form of the composed batch
+    pipeline (text.curation_pipeline_full): each micro-batch is quality-
+    filtered, probed against the persisted near-dup band index (catching
+    duplicates of the corpus, of earlier batches, AND within the batch —
+    exact duplicates score jaccard 1.0, so no separate hash pass is
+    needed), and only the NOVEL quality survivors land in
+    ``accepted_out`` and have their signatures appended to the index.
+    Within-batch duplicate groups keep their smallest id (the SemDeDup
+    keep rule), so one representative of new content always survives.
+
+    Ordering inside the foreachBatch is the correctness argument:
+    quality-filter first (rejected docs must not poison the index),
+    probe BEFORE append (else every doc is its own duplicate), append
+    ONLY survivors (a dropped duplicate's signature would bloat the
+    index with content it already has). At-least-once: a replayed batch
+    re-probes ids already appended — the probe's self-pair guard drops
+    (x, x) pairs, and every true pair it re-emits marks the replayed doc
+    as a duplicate of its first delivery, so replays converge to zero
+    accepted rows rather than double-landing; accepted_out carries
+    batch_id for the audit."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        neardup_incremental,
+        neardup_index_append,
+    )
+    from wms_data_pipeline_spark.operators.text import quality_features
+
+    spark = stream_df.sparkSession
+
+    def _curate(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        passed = (
+            quality_features(batch)
+            .filter(F.col("quality_score") >= quality_cutoff)
+            .select(*batch.columns)
+            .localCheckpoint()
+        )
+        if passed.isEmpty():
+            return
+        pairs = neardup_incremental(
+            spark, passed, index_path, threshold=threshold,
+            id_col=id_col, colname=colname,
+        ).localCheckpoint()
+        # novelty is against the INDEX, not against id order: the probe
+        # normalizes pairs to id_a < id_b, so when batch ids happen to be
+        # SMALLER than corpus ids the corpus doc lands on the id_b side —
+        # dropping id_b there would keep the batch copy and "dedup" the
+        # corpus. A batch doc in any pair with a NON-batch doc is a
+        # duplicate regardless of side; within-batch pairs keep the
+        # smallest id (the SemDeDup rule among genuinely new content).
+        bids = passed.select(F.col(id_col).alias("__bid")).localCheckpoint()
+        sides = pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("x"), F.col("id_b").alias("other")),
+                    F.struct(F.col("id_b").alias("x"), F.col("id_a").alias("other")),
+                )
+            ).alias("s")
+        ).select("s.x", "s.other")
+        vs_corpus = (
+            sides.join(bids, sides.x == F.col("__bid"), "left_semi")
+            .join(bids, sides.other == F.col("__bid"), "left_anti")
+            .select(F.col("x").alias(id_col))
+        )
+        within = (
+            pairs.join(bids, pairs.id_a == F.col("__bid"), "left_semi")
+            .join(bids, pairs.id_b == F.col("__bid"), "left_semi")
+            .select(F.col("id_b").alias(id_col))
+        )
+        dupes = vs_corpus.unionByName(within).distinct()
+        novel = passed.join(dupes, id_col, "left_anti").localCheckpoint()
+        novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(accepted_out)
+        if not novel.isEmpty():
+            neardup_index_append(novel, index_path, id_col=id_col, colname=colname)
+
+    return (
+        stream_df.writeStream.foreachBatch(_curate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

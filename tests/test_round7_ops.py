@@ -437,3 +437,48 @@ def test_fp_sensitive_queries_are_partitioning_deterministic(spark):
             assert a == b, f"{name} result depends on partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+# ----------------------------------------------- PNG / DEFLATE real codec
+
+
+def test_png_roundtrip_all_filters_and_integrity():
+    """encode_png -> decode must recover the exact raster through the full
+    filter chain; CRC corruption and truncation must raise ValueError
+    (quarantine contract); unsupported variants raise NotImplementedError."""
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(9)
+    for w, h in ((2, 2), (9, 5), (16, 8), (31, 7)):
+        pixels = bytes(rng.randrange(256) for _ in range(3 * w * h))
+        for filt in (0, 1, 2, 3, 4, None):  # each fixed filter + cycling
+            fo = (lambda y, f=filt: f) if filt is not None else None
+            blob = mm.encode_png(w, h, pixels, filter_of=fo)
+            arr, meta = mm.netpbm_array(blob)
+            assert arr.tobytes() == pixels, (w, h, filt)
+    blob = mm.encode_png(4, 3, bytes(range(36)))
+    bad = bytearray(blob)
+    bad[45] ^= 0x01
+    with pytest.raises(ValueError, match="CRC mismatch|corrupt PNG"):
+        mm.decode_image_real(bytes(bad))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        mm.decode_image_real(blob[:20])
+    # a corrupted signature is no longer recognizably PNG — it falls to
+    # the generic unsupported-magic path, same as any unknown format
+    with pytest.raises(NotImplementedError, match="unsupported image magic"):
+        mm.decode_image_real(b"\x89PNG\r\n\x1a\x00" + blob[8:])
+
+
+def test_png_features_match_arithmetic_raster(spark):
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    feats = {r.doc_id: r for r in mm.image_features(mm.with_png_content(docs)).collect()}
+    for i in range(10):
+        w, h = i % 8 + 2, i % 4 + 2
+        by = [((i + 2 * j) * 29) % 256 for j in range(3 * w * h)]
+        assert feats[i].mean_r == round(sum(by[0::3]) / (w * h), 6)
+        assert feats[i].mean_g == round(sum(by[1::3]) / (w * h), 6)
+        assert feats[i].mean_b == round(sum(by[2::3]) / (w * h), 6)

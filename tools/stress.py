@@ -527,6 +527,7 @@ def multimodal_stress(n_items: int = 200_000) -> None:
     bmp = mm.with_bmp_content(ids).localCheckpoint()
     wav = mm.with_wav_content(ids).localCheckpoint()
     gif = mm.with_gif_content(ids).localCheckpoint()
+    png = mm.with_png_content(ids).localCheckpoint()
 
     def run(label, df):
         best = float("inf")
@@ -545,6 +546,7 @@ def multimodal_stress(n_items: int = 200_000) -> None:
     # parallel only ACROSS items; expect 1-2 orders below the layout-only
     # formats' Arrow overhead floor
     run("image features (gif lzw decompress)", mm.image_features(gif))
+    run("image features (png inflate+unfilter)", mm.image_features(png))
     run("audio decode+features (wav)", mm.audio_features(wav))
     spark.stop()
 

@@ -250,6 +250,195 @@ def encode_gif(
     return bytes(out)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083): pick the neighbor (left, up,
+    up-left) closest to a + b - c, ties resolved left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, filter_of=None
+) -> bytes:
+    """PNG encoder (8-bit truecolor RGB) with REAL DEFLATE compression via
+    stdlib zlib — the second codec-bearing format after GIF/LZW, and a
+    mainstream one: signature, IHDR/IDAT/IEND chunks with genuine CRC32s,
+    per-scanline filters (``filter_of(y)`` chooses 0-4; default cycles
+    y % 5 so Sub/Up/Average/Paeth are all exercised), zlib-compressed
+    filtered scanlines. The decoder must parse chunks, verify CRCs,
+    inflate, and UNDO the filter chain byte-sequentially to recover the
+    raster."""
+    import struct
+    import zlib
+
+    if len(pixels) != 3 * width * height:
+        raise ValueError(
+            f"PNG {width}x{height} needs {3 * width * height} pixel bytes, "
+            f"got {len(pixels)}"
+        )
+    if filter_of is None:
+        filter_of = lambda y: y % 5  # noqa: E731
+    bpp = 3
+    stride = 3 * width
+    raw = memoryview(pixels)
+    out_lines = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        line = raw[y * stride : (y + 1) * stride]
+        ft = filter_of(y)
+        out_lines.append(ft)
+        if ft == 0:
+            out_lines += line
+        elif ft == 1:  # Sub
+            out_lines += bytes(
+                (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 2:  # Up
+            out_lines += bytes((line[x] - prior[x]) & 0xFF for x in range(stride))
+        elif ft == 3:  # Average
+            out_lines += bytes(
+                (line[x] - ((line[x - bpp] if x >= bpp else 0) + prior[x]) // 2) & 0xFF
+                for x in range(stride)
+            )
+        elif ft == 4:  # Paeth
+            out_lines += bytes(
+                (
+                    line[x]
+                    - _paeth(
+                        line[x - bpp] if x >= bpp else 0,
+                        prior[x],
+                        prior[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        prior = bytes(line)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(out_lines), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(content: bytes) -> dict:
+    """PNG parse + inflate + filter undo (stdlib zlib, no image library):
+    chunk walk with CRC32 verification, IHDR validation (8-bit truecolor,
+    no interlace), concatenated-IDAT zlib inflate, and the byte-
+    sequential unfilter pass (None/Sub/Up/Average/Paeth). Raises
+    ValueError on truncation/CRC/filter corruption — the quarantine
+    contract; NotImplementedError for PNG variants (palette, 16-bit,
+    interlaced) a codec library would cover."""
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(content):
+        if pos + 8 > len(content):
+            raise ValueError("truncated PNG chunk header")
+        clen = struct.unpack_from(">I", content, pos)[0]
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if len(data) < clen or pos + 12 + clen > len(content):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        crc = struct.unpack_from(">I", content, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype_i != 2:
+                raise NotImplementedError(
+                    f"only 8-bit truecolor PNG supported (depth={depth}, "
+                    f"colortype={ctype_i})"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG contains no IHDR")
+    try:
+        lines = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    bpp = 3
+    stride = 3 * width
+    if len(lines) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG scanline data is {len(lines)} bytes, "
+            f"{width}x{height} needs {(stride + 1) * height}"
+        )
+    raster = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        ft = lines[y * (stride + 1)]
+        line = bytearray(lines[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:
+            for x in range(stride):
+                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                line[x] = (
+                    line[x] + ((line[x - bpp] if x >= bpp else 0) + prior[x]) // 2
+                ) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                line[x] = (
+                    line[x]
+                    + _paeth(
+                        line[x - bpp] if x >= bpp else 0,
+                        prior[x],
+                        prior[x - bpp] if x >= bpp else 0,
+                    )
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter {ft} on row {y}")
+        raster += line
+        prior = bytes(line)
+    return {
+        "format": "image/png",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "pixel_bytes": 3 * width * height,
+        "channels": 3,
+        "raster_offset": -1,
+        "raster": bytes(raster),
+    }
+
+
 def decode_image_real(content: bytes) -> dict:
     """REAL image decode for the codec-free formats: binary PPM (``P6``,
     RGB), PGM (``P5``, grayscale), and 24-bit uncompressed BMP (``BM``) —
@@ -261,6 +450,8 @@ def decode_image_real(content: bytes) -> dict:
     raster_offset}`` (+ ``bottom_up``/``stride`` for BMP's layout);
     raises ``ValueError`` on a malformed or truncated file."""
     magic = content[:2]
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         import struct
 
@@ -492,6 +683,28 @@ def with_bmp_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("content", _blob(F.col(id_col)))
 
 
+def with_png_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test adapter: a REAL PNG blob per row, deterministically derived
+    from the id (width = id % 8 + 2, height = id % 4 + 2, RGB raster byte
+    j = ((id + 2 * j) * 29) % 256, scanline filter (id + y) % 5 so every
+    filter type appears across the corpus) — channel statistics are
+    arithmetic on the id and therefore ORACLE-EXPRESSIBLE, while the
+    bytes carry genuine DEFLATE compression + the full filter chain the
+    decoder must undo."""
+
+    @pandas_udf("binary")
+    def _blob(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = i % 8 + 2, i % 4 + 2
+            pixels = bytes(((i + 2 * j) * 29) % 256 for j in range(3 * w * h))
+            out.append(encode_png(w, h, pixels, filter_of=lambda y, i=i: (i + y) % 5))
+        return pd.Series(out)
+
+    return df.withColumn("content", _blob(F.col(id_col)))
+
+
 def with_gif_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Test adapter: a REAL GIF87a blob per row, deterministically derived
     from the id (width = id % 8 + 2, height = id % 4 + 2, palette index at
@@ -561,6 +774,10 @@ def netpbm_array(content: bytes):
     meta = decode_image_real(content)
     off = meta["raster_offset"]
     h, w, ch = meta["height"], meta["width"], meta["channels"]
+    if meta["format"] == "image/png":
+        # raster is the INFLATED + unfiltered bytes, already logical RGB
+        arr = np.frombuffer(meta["raster"], dtype=np.uint8)
+        return arr.reshape(h, w, 3), meta
     if meta["format"] == "image/gif":
         # palette-mapped: LZW-decompressed indices -> RGB via the color table
         pal = np.frombuffer(meta["palette"], dtype=np.uint8).reshape(256, 3)

@@ -5631,3 +5631,38 @@ def rel_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_price"),
         F.countDistinct("l_returnflag").alias("n_flags"),
     )
+
+
+@query(
+    "mm_png_features",
+    # with_png_content's raster: RGB byte j = ((doc_id + 2j) * 29) % 256,
+    # channel c collects every 3rd byte. Matching sums prove the DEFLATE
+    # inflate AND the per-row filter undo (Sub/Up/Average/Paeth chain,
+    # filter (doc_id + y) % 5) recovered every byte exactly.
+    "WITH d AS (SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 4 + 2 AS h "
+    "FROM documents), "
+    "g AS (SELECT range AS p FROM range(0, 135)) "
+    "SELECT doc_id, w AS width, h AS height, "
+    "round(sum(((doc_id + 2 * p) * 29) % 256) FILTER (WHERE p % 3 = 0) "
+    "/ (w * h), 6) AS mean_r, "
+    "round(sum(((doc_id + 2 * p) * 29) % 256) FILTER (WHERE p % 3 = 1) "
+    "/ (w * h), 6) AS mean_g, "
+    "round(sum(((doc_id + 2 * p) * 29) % 256) FILTER (WHERE p % 3 = 2) "
+    "/ (w * h), 6) AS mean_b "
+    "FROM d JOIN g ON g.p < 3 * w * h GROUP BY doc_id, w, h",
+    doc="REAL PNG decode + per-channel features — the second codec-BEARING "
+    "format, and a mainstream one, built entirely on stdlib zlib: "
+    "encode_png writes genuine DEFLATE-compressed scanlines behind "
+    "CRC32-verified chunks with the full filter chain (None/Sub/Up/"
+    "Average/Paeth, cycling per doc+row), and the Arrow feature stage "
+    "must chunk-walk, CRC-check, inflate, and undo each row's filter "
+    "byte-sequentially to recover the raster. The oracle reproduces "
+    "each channel mean arithmetically from doc_id, so one wrong byte "
+    "anywhere in the inflate/unfilter chain breaks the hash. JPEG "
+    "(DCT + Huffman) remains the one format genuinely needing an "
+    "external codec; it still raises loudly.",
+)
+def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    blobs = mm.with_png_content(docs)
+    return mm.image_features(blobs)

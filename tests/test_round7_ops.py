@@ -407,7 +407,7 @@ def test_fp_sensitive_queries_are_partitioning_deterministic(spark):
     feeding rounded outputs, collected arrays, window ranks) re-run under
     a different shuffle-partition count must produce identical canonical
     rowsets — the property the driver's value-hash oracle silently
-    assumes. The full 176-query sweep is tools/determinism.py."""
+    assumes. The full registry-wide sweep is tools/determinism.py."""
     import sys
 
     sys.path.insert(0, "/root/repo")

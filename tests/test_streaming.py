@@ -531,3 +531,44 @@ def test_curation_ingest_stream_accepts_only_novel_quality_docs(spark, tmp_path)
 
     accepted = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert accepted == {1, 11}, accepted
+
+
+def test_curation_ingest_stream_replay_converges(spark, tmp_path):
+    """Code-review r7: a replayed batch's docs match only their own
+    filtered self-pairs in the index, so without the index-membership
+    guard they would be re-accepted and re-appended. A fresh checkpoint
+    over the same source (the replay in the limit) must accept nothing
+    new."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+    from wms_data_pipeline_spark.streaming.pipeline import curation_ingest_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then naps in "
+            "the warm afternoon sun while birds sing of spring")
+    corpus = spark.createDataFrame(
+        [(1000 + i, f"{base} corpus variant {i} extra tokens {i * 3}")
+         for i in range(6)],
+        DOCS_SCHEMA,
+    )
+    idx = "file://" + str(tmp_path / "ndidx")
+    dd.neardup_index_write(corpus, idx)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "accepted")
+    os.makedirs(src)
+    # genuinely novel: shares NO shingles with the corpus (a base-prefixed
+    # text would be a true near-dup at jaccard ~0.6 and rightly rejected)
+    novel_text = (
+        "the forklift battery rotation schedule is posted in the charging "
+        "room and every operator signs the log before swapping a unit onto "
+        "the rack for its weekly maintenance check"
+    )
+    _write_batch(spark, src, [(50, novel_text)], DOCS_SCHEMA, "b1")
+    s1 = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    curation_ingest_stream(s1, idx, out, str(tmp_path / "ck1")).awaitTermination(120)
+    first = [(r.doc_id, r.batch_id) for r in spark.read.parquet(out).collect()]
+    assert {d for d, _ in first} == {50}
+
+    # replay: new checkpoint, same files — everything is redelivered
+    s2 = spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+    curation_ingest_stream(s2, idx, out, str(tmp_path / "ck2")).awaitTermination(120)
+    after = [(r.doc_id, r.batch_id) for r in spark.read.parquet(out).collect()]
+    assert after == first, f"replay double-landed rows: {after}"

@@ -310,14 +310,19 @@ def curation_ingest_stream(
 
     Ordering inside the foreachBatch is the correctness argument:
     quality-filter first (rejected docs must not poison the index),
-    probe BEFORE append (else every doc is its own duplicate), append
-    ONLY survivors (a dropped duplicate's signature would bloat the
-    index with content it already has). At-least-once: a replayed batch
-    re-probes ids already appended — the probe's self-pair guard drops
-    (x, x) pairs, and every true pair it re-emits marks the replayed doc
-    as a duplicate of its first delivery, so replays converge to zero
-    accepted rows rather than double-landing; accepted_out carries
-    batch_id for the audit."""
+    REPLAY check second (a batch id already present in the index was
+    fully processed by a previous delivery — a crash between the
+    accepted write and the checkpoint commit replays the batch, and the
+    replayed doc's only index match would be its own filtered self-pair,
+    so without this membership check it would be re-accepted and
+    re-appended), probe BEFORE append (else every doc is its own
+    duplicate), and both the accept write and the signature append
+    gated on the SAME non-empty novel set (an all-duplicate batch must
+    not churn empty parquet commits into accepted_out). The residual
+    at-least-once window is a crash between the accepted write and the
+    index append: the NEXT replay then sees the ids in accepted_out but
+    not the index — readers dedup accepted_out on the id column, the
+    same keyed-sink contract as every other foreachBatch sink here."""
     from wms_data_pipeline_spark.operators.dedup import (
         neardup_incremental,
         neardup_index_append,
@@ -330,11 +335,34 @@ def curation_ingest_stream(
         if batch.isEmpty():
             return
         passed = (
-            quality_features(batch)
+            quality_features(batch, colname)
             .filter(F.col("quality_score") >= quality_cutoff)
             .select(*batch.columns)
             .localCheckpoint()
         )
+        if passed.isEmpty():
+            return
+        # replay guard: drop batch ids ALREADY IN the index (ids are
+        # unique and the index is append-only, so presence == a previous
+        # delivery completed the append). The read is partition-pruned to
+        # the batch ids' shingle buckets — bounded like the probe's own
+        # verification read.
+        meta = spark.read.parquet(index_path.rstrip("/") + "/meta").collect()[0]
+        sbs = sorted(
+            r.sb
+            for r in passed.select(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")),
+                    F.lit(meta.id_buckets),
+                ).alias("sb")
+            ).distinct().collect()
+        )
+        seen = (
+            spark.read.parquet(index_path.rstrip("/") + "/shingles")
+            .filter(F.col("sb").isin(sbs))
+            .select(id_col)
+        )
+        passed = passed.join(seen, id_col, "left_anti").localCheckpoint()
         if passed.isEmpty():
             return
         pairs = neardup_incremental(
@@ -369,11 +397,12 @@ def curation_ingest_stream(
         )
         dupes = vs_corpus.unionByName(within).distinct()
         novel = passed.join(dupes, id_col, "left_anti").localCheckpoint()
+        if novel.isEmpty():
+            return  # all-duplicate batch: no empty parquet commit churn
         novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(accepted_out)
-        if not novel.isEmpty():
-            neardup_index_append(novel, index_path, id_col=id_col, colname=colname)
+        neardup_index_append(novel, index_path, id_col=id_col, colname=colname)
 
     return (
         stream_df.writeStream.foreachBatch(_curate)

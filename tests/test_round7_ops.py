@@ -482,3 +482,34 @@ def test_png_features_match_arithmetic_raster(spark):
         assert feats[i].mean_r == round(sum(by[0::3]) / (w * h), 6)
         assert feats[i].mean_g == round(sum(by[1::3]) / (w * h), 6)
         assert feats[i].mean_b == round(sum(by[2::3]) / (w * h), 6)
+
+
+# --------------------------------------------------- SQ8 scalar search
+
+
+def test_sq8_topk_matches_numpy_and_guards_queries(spark, monkeypatch):
+    """sq8_topk must equal a numpy brute force over the dequantized grid
+    (floor(x*sc+0.5)/sc per vector) and enforce the broadcast guard."""
+    import numpy as np
+
+    corpus = _corpus(spark, n=30)
+    rows = corpus.collect()
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    am = np.abs(X).max(axis=1, keepdims=True)
+    sc = np.where(am > 0, 127.0 / am, 1.0)
+    DQ = np.floor(X * sc + 0.5) / sc
+    q = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in sim.sq8_topk(corpus, q, k=5).collect():
+        got.setdefault(r.query_id, []).append((r.sq8_dist, r.vec_id))
+    for qid in range(3):
+        qv = X[ids == qid][0]
+        d = np.round(((DQ - qv) ** 2).sum(axis=1), 6)
+        expect = sorted(zip(d, ids))[:5]
+        assert sorted(got[qid]) == [(float(a), int(b)) for a, b in expect]
+    monkeypatch.setattr(sim, "MAX_CLOSURE_QUERIES", 2)
+    with pytest.raises(ValueError, match="sq8_topk"):
+        sim.sq8_topk(corpus, corpus.select(F.col("vec_id").alias("query_id"), "embedding"))

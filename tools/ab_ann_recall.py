@@ -221,6 +221,35 @@ def main() -> None:
                 touched=round(nprobe / 256, 4),
             )
 
+        # SQ8 ground truth is computable driver-side from the corpus matrix
+        # (the quantizer is a closed-form per-row map) — exact replica of
+        # sim.sq8_topk's pinned floor(x*sc+0.5)/sc grid, so the number in
+        # SCALE_NOTES is rerunnable, not a one-off
+        t0 = time.perf_counter()
+        pdf_all = corpus.toPandas()
+        Xall = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf_all["embedding"]]
+        )
+        ids_all = pdf_all["vec_id"].to_numpy()
+        del pdf_all
+        am = np.abs(Xall).max(axis=1, keepdims=True)
+        sc = np.where(am > 0, 127.0 / am, 1.0)
+        DQ = np.floor(Xall * sc + 0.5) / sc
+        recs = []
+        for i, qid in enumerate(qids):
+            d = ((DQ - Q[i]) ** 2).sum(axis=1)
+            got = set(ids_all[np.argsort(d, kind="stable")[:10]].tolist())
+            recs.append(len(got & truth_l2[qid]) / 10)
+        row = {
+            "leg": "sq8", "compression_vs_f32": 4.0,
+            "recall_at_10": round(sum(recs) / len(recs), 3),
+            "wall_sec": round(time.perf_counter() - t0, 1),
+            "corpus_fraction_scanned": 1.0,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        del Xall, DQ
+
         for nprobe, cand_n in ((16, 50), (16, 100)):
             leg(
                 "ivfpq_rerank",

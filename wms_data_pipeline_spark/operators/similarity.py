@@ -1686,3 +1686,67 @@ def ivfpq_index_append(
     ).repartition(F.col("cell")).write.mode("append").partitionBy(
         "cell"
     ).parquet(base + "/data")
+
+
+def sq8_scale(vec_col: Column) -> Column:
+    """Per-vector symmetric SQ8 scale: 127 / max|x| (1.0 for the zero
+    vector). THE single Spark-side source of the pinned quantizer shared
+    by sim_embedding_quantize (accounting) and sq8_topk (search)."""
+    amax = F.array_max(F.transform(vec_col, lambda x: F.abs(x)))
+    return F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+
+
+def sq8_dequantize(vec_col: Column, scale_col: Column) -> Column:
+    """Quantize-then-dequantize through the pinned int8 grid:
+    floor(x * sc + 0.5) / sc — floor(x+0.5) rather than round() because
+    both engines floor identically on every double, while their round()
+    tie rules differ."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x * scale_col + F.lit(0.5)) / scale_col
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """SQ8 scalar-quantized search (FAISS's SQ8, public method):
+    asymmetric L2 between each RAW query vector and the corpus vectors
+    reconstructed through the int8 grid — the higher-accuracy form, and
+    the quantization family's middle tier (4x compression vs float32 at
+    near-exact ranking: 0.965 recall@10 on the clustered 1M corpus,
+    SCALE_NOTES r7, vs PQ m=8's 0.10 without a refine stage).
+
+    All JVM-side: per-vector scale + dequantize are array expressions,
+    the distance a zip_with/aggregate left fold (dim-sequential, the
+    oracle's list_sum order), ranking by (6dp-rounded distance, id).
+    The query side is force-broadcast — bounded like its siblings."""
+    if queries.limit(MAX_CLOSURE_QUERIES + 1).count() > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"sq8_topk broadcasts the query side; got more than "
+            f"{MAX_CLOSURE_QUERIES} queries — batch them"
+        )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    c = corpus.select(F.col(id_col), v.alias("__v")).select(
+        id_col,
+        sq8_dequantize(F.col("__v"), sq8_scale(F.col("__v"))).alias("__dq"),
+    )
+    q = queries.select(F.col(query_id_col), v.alias("__qv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("__dq"), F.col("__qv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    t = c.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, F.round(dist, 6).alias("sq8_dist")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sq8_dist").asc(), F.col(id_col))
+    return (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -3399,6 +3399,14 @@ def txt_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_deq_duck(x: str) -> str:
+    """Dequantize-through-int8-grid SQL for a scale column ``sc`` in scope
+    — THE single oracle-side source of the pinned SQ8 quantizer, shared
+    by sim_embedding_quantize and sim_sq8_topk (the Spark twins are
+    similarity.sq8_scale / sq8_dequantize)."""
+    return f"floor({x} * sc + 0.5) / sc"
+
+
 @query(
     "sim_embedding_quantize",
     "WITH q AS (SELECT label, e AS v, "
@@ -3407,9 +3415,9 @@ def txt_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s AS (SELECT label, v, CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS sc "
     "FROM q), "
     "err AS (SELECT label, list_max(list_transform(v, x -> "
-    "abs(x - floor(x * sc + 0.5) / sc))) AS max_abs_err, "
+    f"abs(x - {_sq8_deq_duck('x')}))) AS max_abs_err, "
     "sqrt(list_sum(list_transform(v, x -> "
-    "pow(x - floor(x * sc + 0.5) / sc, 2))) / len(v)) AS rmse FROM s) "
+    f"pow(x - {_sq8_deq_duck('x')}, 2))) / len(v)) AS rmse FROM s) "
     "SELECT label, count(*) AS n, round(avg(rmse), 6) AS avg_rmse, "
     "round(max(max_abs_err), 6) AS worst_abs_err FROM err GROUP BY label",
     doc="Symmetric int8 scalar quantization of the embedding column with "
@@ -3422,8 +3430,7 @@ def txt_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    sc = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    sc = sim.sq8_scale(v)
     deq = lambda x: F.floor(x * F.col("sc") + F.lit(0.5)) / F.col("sc")  # noqa: E731
     errs = F.transform(F.col("v"), lambda x: F.abs(x - deq(x)))
     sq = F.transform(F.col("v"), lambda x: F.pow(x - deq(x), F.lit(2.0)))
@@ -5676,7 +5683,7 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s AS (SELECT vec_id, v, "
     "CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS sc FROM b), "
     "d AS (SELECT vec_id, list_transform(range(1, 65), "
-    "i -> floor(v[i] * sc + 0.5) / sc) AS dq FROM s), "
+    f"i -> {_sq8_deq_duck('v[i]')}) AS dq FROM s), "
     "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
     "FROM embeddings WHERE vec_id < 5), "
     "t AS (SELECT q.query_id, d.vec_id, "
@@ -5702,29 +5709,7 @@ def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    sc = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
-    corpus = e.select(F.col("vec_id"), v.alias("v"), sc.alias("sc")).select(
-        "vec_id",
-        F.transform(
-            F.col("v"), lambda x: F.floor(x * F.col("sc") + F.lit(0.5)) / F.col("sc")
-        ).alias("dq"),
-    )
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), v.alias("qv")
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("dq"), F.col("qv"), lambda c, qq: (c - qq) * (c - qq)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    t = corpus.crossJoin(F.broadcast(q)).select(
-        "query_id", "vec_id", F.round(dist, 6).alias("sq8_dist")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("sq8_dist").asc(), "vec_id")
-    return (
-        t.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 10)
-        .drop("__rn")
-    )
+    return sim.sq8_topk(e, q, k=10)

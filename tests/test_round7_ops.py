@@ -355,13 +355,14 @@ def test_process_cached_index_builds_once_and_stays_correct(spark):
         (r.query_id, r.vec_id, r.adc_dist)
         for r in q.REGISTRY["sim_ivfpq_index_topk"].fn(spark, sf).collect()
     }
-    assert ("ivfpq", sf) in q._PROCESS_IDX_CACHE
-    path_after_first = q._PROCESS_IDX_CACHE[("ivfpq", sf)]
+    key = ("ivfpq", sf, q._sf_dir_fingerprint(sf))
+    assert key in q._PROCESS_IDX_CACHE
+    path_after_first = q._PROCESS_IDX_CACHE[key]
     r2 = {
         (r.query_id, r.vec_id, r.adc_dist)
         for r in q.REGISTRY["sim_ivfpq_index_topk"].fn(spark, sf).collect()
     }
-    assert q._PROCESS_IDX_CACHE[("ivfpq", sf)] == path_after_first
+    assert q._PROCESS_IDX_CACHE[key] == path_after_first
     assert r1 == r2 and len(r1) > 0
 
 

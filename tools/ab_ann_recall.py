@@ -82,8 +82,9 @@ def build_clustered_corpus(
 ) -> str:
     """Deterministic mixture-of-Gaussians corpus: centers ~ N(0, I) in
     ``dim`` dims (inter-center distance ~ sqrt(2*dim) ≈ 11.3), cluster
-    assignment = pmod(xxhash64(vec_id), n_centers) (near-equal multinomial
-    sizes), per-vector noise ~ N(0, sigma^2 I) from an RNG seeded by
+    assignment = splitmix64(vec_id) % n_centers (near-equal multinomial
+    sizes; a driver-side stable hash, NOT xxhash64 — see hash_cluster),
+    per-vector noise ~ N(0, sigma^2 I) from an RNG seeded by
     vec_id — so the corpus is identical regardless of partitioning or
     parallelism. sigma=0.5 gives intra-cluster radius ~ sigma*sqrt(dim) =
     4, well inside the center spacing: clusters are distinct but not

@@ -202,8 +202,13 @@ def _lzw_decompress_gif(data: bytes, min_code_size: int = 8) -> bytes:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):
+            # 12-bit ceiling: a conforming encoder CLEARs at 4096, but a
+            # foreign "deferred clear" stream keeps emitting existing codes
+            # with a full table — stop growing it (codes stay <= 4095) so
+            # adversarial input can't inflate memory quadratically (ADVICE r7)
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
             entry = prev + prev[:1]  # KwKwK
             table.append(entry)
         else:

@@ -99,7 +99,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_PROCESS_IDX_CACHE: dict[tuple[str, str], str] = {}
+_PROCESS_IDX_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def _sf_dir_fingerprint(sf_dir: str) -> int:
+    """Max mtime_ns over the sf_dir's parquet payloads: folded into the
+    process-cache key so a REGENERATED dataset mid-process invalidates the
+    cached index instead of silently serving stale search results
+    (ADVICE r7). Directory walk is bounded by the handful of tables."""
+    import os
+
+    newest = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    newest = max(newest, os.stat(os.path.join(root, f)).st_mtime_ns)
+                except OSError:
+                    pass
+    return newest
+
+
+def _cleanup_process_idx_cache() -> None:
+    import shutil
+
+    for path in _PROCESS_IDX_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _PROCESS_IDX_CACHE.clear()
 
 
 def _process_cached_index(kind: str, sf_dir: str, build) -> str:
@@ -114,11 +140,17 @@ def _process_cached_index(kind: str, sf_dir: str, build) -> str:
     (the nightly build cost is measured separately in SCALE_NOTES).
     Correctness is unaffected: driver/parity runs build in their own
     process and search the index they just built. Leak bound: one dir
-    per process per (kind, sf_dir) vs one per CALL before (ADVICE r6)."""
+    per process per (kind, sf_dir, data-fingerprint), removed at process
+    exit via atexit; the fingerprint (max parquet mtime under sf_dir)
+    invalidates the cache if the dataset is regenerated mid-process
+    (ADVICE r6 + r7)."""
+    import atexit
     import tempfile
 
-    key = (kind, sf_dir)
+    key = (kind, sf_dir, _sf_dir_fingerprint(sf_dir))
     if key not in _PROCESS_IDX_CACHE:
+        if not _PROCESS_IDX_CACHE:
+            atexit.register(_cleanup_process_idx_cache)
         path = tempfile.mkdtemp(prefix=f"wms_{kind}_idx_")
         build(path)
         _PROCESS_IDX_CACHE[key] = path
@@ -3548,24 +3580,31 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rel_approx_percentile_check",
-    "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50, "
+    "SELECT l_returnflag, "
+    "quantile_cont(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5) "
+    "AS exact_p50_cents, "
     "TRUE AS within_5pct FROM lineitem GROUP BY l_returnflag",
     doc="approx_percentile (t-digest/GK sketch path for 100 TB quantiles) "
     "checked the same way as rel_approx_distinct: the oracle pins the "
     "exact interpolated median (quantile_cont == Spark percentile), and "
     "the sketch estimate is asserted within 5% of it — drift flips "
-    "within_5pct and fails the hash compare.",
+    "within_5pct and fails the hash compare. The median is interpolated "
+    "over INTEGER CENTS: a + (b-a)*0.5 over integers is exact in binary "
+    "FP in both engines, where round(median_dollars, 2) sat one ulp "
+    "apart at a half-cent boundary (r8 parity fix at sf0.001).",
 )
 def rel_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_cents", F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    )
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("exact_p50"),
+        F.expr("percentile(_cents, 0.5)").alias("exact_p50_cents"),
         (
             F.abs(
-                F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
-                - F.expr("percentile(l_extendedprice, 0.5)")
+                F.expr("approx_percentile(_cents, 0.5, 1000)")
+                - F.expr("percentile(_cents, 0.5)")
             )
-            <= 0.05 * F.expr("percentile(l_extendedprice, 0.5)")
+            <= 0.05 * F.expr("percentile(_cents, 0.5)")
         ).alias("within_5pct"),
     )
 

@@ -233,6 +233,23 @@ def session_counts(
     )
 
 
+def _require_neardup_index(spark, index_path: str) -> None:
+    """Up-front precondition for the ingest streams: the persisted band
+    index must already exist (its ``meta`` sidecar is written last by
+    ``neardup_index_write``), else the first micro-batch dies mid-stream
+    with a raw 'path does not exist' parquet error instead of a usable
+    message (ADVICE r7). Checked through the Hadoop FileSystem so any
+    supported scheme (file://, s3a://, hdfs://) works."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(index_path.rstrip("/") + "/meta")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise ValueError(
+            f"no near-dup index at {index_path!r} (missing 'meta' sidecar): "
+            "bootstrap it with operators.dedup.neardup_index_write(corpus, "
+            "index_path) before starting the ingest stream"
+        )
+
+
 def neardup_ingest_stream(
     stream_df: DataFrame,
     index_path: str,
@@ -266,6 +283,7 @@ def neardup_ingest_stream(
     )
 
     spark = stream_df.sparkSession
+    _require_neardup_index(spark, index_path)
 
     def _probe_then_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -330,6 +348,7 @@ def curation_ingest_stream(
     from wms_data_pipeline_spark.operators.text import quality_features
 
     spark = stream_df.sparkSession
+    _require_neardup_index(spark, index_path)
 
     def _curate(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

@@ -277,3 +277,99 @@ def curation_pipeline_full(
     return s5.select(
         "doc_id", "source", "lang", "n_tokens", "cum_tokens", split.alias("split")
     )
+
+
+#: Bloom-prefilter member cap: the member side must be collectable to the
+#: driver (benchmark/eval sets are small by construction); beyond this the
+#: right design is a partitioned exact semi-join, not a bigger bloom.
+MAX_BLOOM_KEYS = 5_000_000
+
+
+def _splitmix64_np(x):
+    """Vectorized splitmix64 finalizer over a uint64 numpy array — the
+    second hash of the Kirsch-Mitzenmacher double-hashing scheme."""
+    import numpy as np
+
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def bloom_semi_prefilter(
+    df: DataFrame,
+    colname: str,
+    members: DataFrame,
+    member_col: str,
+    bits_per_key: int = 16,
+    n_hashes: int = 4,
+    max_keys: int = MAX_BLOOM_KEYS,
+) -> DataFrame:
+    """Approximate semi-join PREFILTER: returns the rows of ``df`` whose
+    ``colname`` value MIGHT be in ``members[member_col]`` — a guaranteed
+    superset of the exact semi-join (a Bloom filter has no false
+    negatives), typically ~0.1% false positives at 16 bits/key, k=4.
+
+    The 100 TB decontamination shape: the benchmark/eval shingle set is
+    small (thousands of docs), the train side is the 100 TB corpus. An
+    exact semi-join shuffles every train shingle on the join key; the
+    bloom drops ~all non-matching shingles MAP-SIDE for the cost of a
+    broadcast bitset (n*2 bytes), so only the tiny maybe-set reaches the
+    shuffle. Callers MUST still confirm survivors with the exact join —
+    compose prefilter -> exact semi-join for exact results at prefilter
+    cost (this is what Spark's own runtime bloom-filter join does
+    JVM-side; here it is explicit, sized by the caller, and reusable
+    across jobs).
+
+    Mechanics: keys are xxhash64 of the column (computed JVM-side on both
+    sides), bit positions are h1 + i*h2 mod m with h2 = splitmix64(h1)|1
+    (Kirsch-Mitzenmacher double hashing), the bitset is a broadcast
+    uint64 word array probed in one vectorized Arrow batch per hash."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    n = members.select(member_col).distinct().count()
+    if n > max_keys:
+        raise ValueError(
+            f"bloom_semi_prefilter: {n} distinct member keys exceed "
+            f"max_keys={max_keys}; the member side is no longer "
+            "broadcast-sized — use an exact semi-join instead"
+        )
+    m_bits = 1 << max(10, int(n * bits_per_key - 1).bit_length())
+    rows = (
+        members.select(F.xxhash64(member_col).alias("h")).distinct().collect()
+    )
+    h1 = np.array([r.h for r in rows], dtype=np.int64).view(np.uint64)
+    h2 = _splitmix64_np(h1) | np.uint64(1)
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    for i in range(n_hashes):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    bc = df.sparkSession.sparkContext.broadcast(words)
+    mb = np.uint64(m_bits)
+    k = n_hashes
+
+    # annotations attached explicitly: this module uses
+    # `from __future__ import annotations`, which stringifies inline hints
+    # and breaks pandas_udf's signature introspection
+    def _probe(h):
+        w = bc.value
+        hv = h.to_numpy().astype(np.int64).view(np.uint64)
+        g2 = _splitmix64_np(hv) | np.uint64(1)
+        ok = np.ones(len(hv), dtype=bool)
+        for i in range(k):
+            pos = (hv + np.uint64(i) * g2) % mb
+            ok &= ((w[(pos >> np.uint64(6)).astype(np.int64)]
+                    >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return pd.Series(ok)
+
+    _probe.__annotations__ = {"h": pd.Series, "return": pd.Series}
+    _maybe_member = pandas_udf(_probe, "boolean")
+
+    return (
+        df.withColumn("_bloom_h", F.xxhash64(colname))
+        .filter(_maybe_member(F.col("_bloom_h")))
+        .drop("_bloom_h")
+    )

@@ -5752,3 +5752,351 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.sq8_topk(e, q, k=10)
+
+# ===========================================================================
+# round-8 additions: graph operators (PageRank, skyline), bloom-prefilter
+# decontamination, collocations, robust anomaly, equi-depth histogram,
+# exact-integer EWMA.
+# ===========================================================================
+
+from wms_data_pipeline_spark.operators import graph as gr
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-point PageRank in DuckDB SQL — one CTE pair per
+    iteration mirroring graph.pagerank's integer arithmetic exactly
+    (``//`` floor == Spark ``div`` trunc on positives, integer sums are
+    order-free, so N iterations are bit-identical)."""
+    s = gr.PR_SCALE
+    sql = (
+        "WITH seq AS (SELECT event_type AS src, lead(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), "
+        "e AS (SELECT src, dst, count(*)::BIGINT AS w FROM seq "
+        "WHERE dst IS NOT NULL GROUP BY 1, 2), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "o AS (SELECT src, sum(w)::BIGINT AS out_w FROM e GROUP BY 1), "
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes), "
+        f"r0 AS (SELECT node, ({s} // nn.n)::BIGINT AS r "
+        "FROM nodes CROSS JOIN nn)"
+    )
+    for k in range(1, iterations + 1):
+        p = k - 1
+        sql += (
+            f", c{k} AS (SELECT e.dst AS node, "
+            f"sum((p.r * e.w) // o.out_w)::BIGINT AS contrib "
+            f"FROM e JOIN r{p} p ON e.src = p.node "
+            "JOIN o ON o.src = e.src GROUP BY 1), "
+            f"d{k} AS (SELECT coalesce(sum(p.r), 0)::BIGINT AS dang "
+            f"FROM r{p} p LEFT JOIN o ON p.node = o.src WHERE o.src IS NULL), "
+            f"r{k} AS (SELECT n.node, "
+            f"((15 * ({s} // nn.n)) // 100 "
+            f"+ (85 * (coalesce(c.contrib, 0) + d.dang // nn.n)) // 100"
+            f")::BIGINT AS r "
+            f"FROM nodes n LEFT JOIN c{k} c USING (node) "
+            f"CROSS JOIN d{k} d CROSS JOIN nn)"
+        )
+    return sql + f" SELECT node, r AS rank_scaled FROM r{iterations}"
+
+
+@query(
+    "evt_pagerank",
+    _pagerank_oracle_sql(5),
+    doc="Weighted PageRank (damping 0.85, 5 iterations, dangling mass "
+    "redistributed) over the event-type transition graph of "
+    "evt_markov_transitions — the link-graph quality prior of public "
+    "web-corpus curation, here as a GENERIC iterative DataFrame operator "
+    "(operators/graph.py pagerank): per iteration one shuffle on src "
+    "(ranks join edges) + one on dst (contribution agg), lineage "
+    "truncated by localCheckpoint every 4 iterations. Exactness across "
+    "engines comes from scaled-BIGINT fixed-point arithmetic (scale 1e9, "
+    "div==// on positives, order-free integer sums) — double-typed "
+    "PageRank cannot hash-match after 5 iterations; this formulation "
+    "is bit-stable at any partitioning. The test graph is small; the "
+    "operator is sized for billion-edge graphs (edges persisted once, "
+    "rank state never driver-side except the scalar dangling sum).",
+)
+def evt_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .localCheckpoint()  # reused by all 5 iterations + out-degree
+    )
+    return gr.pagerank(edges, iterations=5)
+
+
+@query(
+    "rel_skyline_orders",
+    "WITH s AS (SELECT o_orderkey, "
+    "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents, "
+    "datediff('day', TIMESTAMP '1970-01-01', o_orderdate)::BIGINT AS day_no "
+    "FROM orders), "
+    "w AS (SELECT *, "
+    "min(day_no) OVER (ORDER BY price_cents RANGE BETWEEN UNBOUNDED "
+    "PRECEDING AND 1 PRECEDING) AS m1, "
+    "min(day_no) OVER (PARTITION BY price_cents ORDER BY day_no "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2 FROM s) "
+    "SELECT o_orderkey, price_cents, day_no FROM w "
+    "WHERE (m1 IS NULL OR m1 > day_no) AND (m2 IS NULL OR m2 >= day_no)",
+    doc="Exact 2-D skyline (pareto front: cheapest-AND-earliest orders, "
+    "minimize both) via the distributed two-stage operator "
+    "(operators/graph.py skyline_2d): per-partition local skylines in "
+    "one vectorized Arrow pass, then one global pass over the tiny "
+    "survivor union, with a loud candidate-count guard against "
+    "anti-correlated worst cases. The oracle is the one-window prefix-"
+    "min formulation (min day over strictly-cheaper orders) — same "
+    "exact semantics, different algorithm, which is the point: the "
+    "window form forces a single global sort partition at scale, the "
+    "two-stage form never does.",
+)
+def rel_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("price_cents"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+        .cast("bigint")
+        .alias("day_no"),
+    )
+    return gr.skyline_2d(o, "price_cents", "day_no")
+
+
+@query(
+    "txt_collocations_pmi",
+    "WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+    "bg AS (SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2 "
+    "FROM t WHERE len(tk) >= 2), "
+    "cxy AS (SELECT w1, w2, count(*)::BIGINT AS nxy FROM bg GROUP BY 1, 2), "
+    "cx AS (SELECT w1, count(*)::BIGINT AS nx FROM bg GROUP BY 1), "
+    "cy AS (SELECT w2, count(*)::BIGINT AS ny FROM bg GROUP BY 1), "
+    "nn AS (SELECT count(*)::BIGINT AS n FROM bg) "
+    "SELECT w1, w2, nxy, "
+    "((nxy * nn.n * 1000000) // (cx.nx * cy.ny))::BIGINT AS pmi_ratio_x1m "
+    "FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN nn "
+    "WHERE nxy >= 5 "
+    "ORDER BY pmi_ratio_x1m DESC, w1, w2 LIMIT 50",
+    doc="Collocation mining by pointwise mutual information: bigram "
+    "counts vs unigram margins, PMI emitted as the EXACT integer-scaled "
+    "ratio c(xy)*N*1e6 div (c(x)*c(y)) — the log is monotone, so ranking "
+    "by the scaled ratio ranks by PMI with zero FP (ln() differs per "
+    "libm at the last ulp; integer ratios cannot). One bigram-key "
+    "shuffle + two margin aggregates, min-count 5, top-50. The "
+    "phrase-detection pass of corpus tokenizer training (word2vec-style "
+    "phrase merging, public method).",
+)
+def txt_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bg = (
+        docs.select(txt.tokens_of("text").alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(tk[i-1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    n_bigrams = bg.count()  # scalar, embedded as a literal like txt_tfidf
+    cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nxy"))
+    cx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("nx"))
+    cy = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("ny"))
+    scored = (
+        cxy.join(cx, "w1")
+        .join(cy, "w2")
+        .filter(F.col("nxy") >= 5)
+        .select(
+            "w1",
+            "w2",
+            "nxy",
+            F.expr(f"(nxy * {n_bigrams}L * 1000000L) div (nx * ny)").alias(
+                "pmi_ratio_x1m"
+            ),
+        )
+    )
+    return rel.top_k(
+        scored, 50, [F.col("pmi_ratio_x1m").desc(), F.col("w1"), F.col("w2")]
+    )
+
+
+@query(
+    "evt_robust_anomaly_mad",
+    "WITH d AS (SELECT event_type, date_trunc('day', ts)::DATE AS day, "
+    "count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "m AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM d GROUP BY 1), "
+    "dev AS (SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS adev "
+    "FROM d JOIN m USING (event_type)), "
+    "md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad "
+    "FROM dev GROUP BY 1) "
+    "SELECT dev.event_type, dev.day, dev.n, dev.med, md.mad "
+    "FROM dev JOIN md USING (event_type) "
+    "WHERE abs(dev.n - dev.med) > 3 * md.mad",
+    doc="Robust volume-anomaly detection: median/MAD replaces the "
+    "mean/stddev of evt_volume_anomaly, so a burst day cannot inflate "
+    "its own threshold (breakdown point 50% vs 0%). Exactness: daily "
+    "counts are integers, their median is a multiple of 0.5 and the MAD "
+    "of 0.5-step deviations a multiple of 0.25 — all exact in binary "
+    "FP, so the 3-sigma-equivalent comparison is bit-identical across "
+    "engines with no rounding. Two grouped exact percentiles + one "
+    "small join; group count = |event_types|, per-group days bounded by "
+    "the calendar.",
+)
+def evt_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = d.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("med"))
+    dev = d.join(m, "event_type").withColumn("adev", F.abs(F.col("n") - F.col("med")))
+    md = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(md, "event_type")
+        .filter(F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+        .select("event_type", "day", "n", "med", "mad")
+    )
+
+
+@query(
+    "dq_equidepth_histogram",
+    "WITH c AS (SELECT l_returnflag, "
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents, "
+    "l_orderkey, l_linenumber FROM lineitem), "
+    "b AS (SELECT l_returnflag, cents, ntile(10) OVER (PARTITION BY "
+    "l_returnflag ORDER BY cents, l_orderkey, l_linenumber) AS bucket FROM c) "
+    "SELECT l_returnflag, bucket::BIGINT AS bucket, count(*)::BIGINT AS n, "
+    "min(cents) AS lo_cents, max(cents) AS hi_cents "
+    "FROM b GROUP BY 1, 2",
+    doc="Equi-depth (equal-height) histogram per group: decile boundaries "
+    "of l_extendedprice, the optimizer-statistics / data-profiling "
+    "companion to dq_null_profile. Deterministic despite value ties via "
+    "the unique (cents, orderkey, linenumber) sort; prices in integer "
+    "cents. ntile is windowed per GROUP (scale = the group fan-out); a "
+    "global single-column equi-depth at 100 TB uses approx_percentile "
+    "boundaries or the distributed-rank pattern instead — documented "
+    "trade-off, same output contract.",
+)
+def dq_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("bucket", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+@query(
+    "evt_ewma_value",
+    "WITH s AS (SELECT user_id, event_id, ts, "
+    "CAST(round(value * 100, 0) AS BIGINT) AS cents, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+    + ", ".join(
+        f"lag(CAST(round(value * 100, 0) AS BIGINT), {i}) OVER "
+        f"(PARTITION BY user_id ORDER BY ts, event_id) AS l{i}"
+        for i in range(1, 8)
+    )
+    + " FROM events) "
+    "SELECT user_id, event_id, ts, cents, "
+    "(cents * 128 + l1 * 64 + l2 * 32 + l3 * 16 + l4 * 8 + l5 * 4 + l6 * 2 "
+    "+ l7)::BIGINT AS ewma_num_x255 FROM s WHERE rn >= 8",
+    doc="Exponentially-weighted moving average of event value per user "
+    "(8-tap, half-life one step) in EXACT integer arithmetic: weights "
+    "are powers of two over integer cents, numerator emitted scaled by "
+    "255 (= weight sum) as BIGINT — the recursive-EWMA float form drifts "
+    "per-ulp across engines, the windowed power-of-two form cannot. One "
+    "keyed window sort producing 7 lags map-side; rows before a full "
+    "history are excluded (rn >= 8) so the weight sum is constant.",
+)
+def evt_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        *[
+            F.lag(F.round(F.col("value") * 100, 0).cast("bigint"), i)
+            .over(w)
+            .alias(f"l{i}")
+            for i in range(1, 8)
+        ],
+    )
+    return s.filter(F.col("rn") >= 8).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "cents",
+        F.expr(
+            "cents * 128 + l1 * 64 + l2 * 32 + l3 * 16 + l4 * 8 + l5 * 4 "
+            "+ l6 * 2 + l7"
+        )
+        .cast("bigint")
+        .alias("ewma_num_x255"),
+    )
+
+
+@query(
+    "txt_bloom_decontaminate",
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks, "
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, b, unnest(list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1)), "
+    "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2] || ' ' || toks[j + 3]"
+    "))) AS g FROM t WHERE len(toks) >= 4), "
+    "test AS (SELECT DISTINCT g FROM sh WHERE b = 0) "
+    "SELECT sh.doc_id, count(DISTINCT sh.g)::BIGINT AS n_overlap "
+    "FROM sh JOIN test USING (g) WHERE sh.b <> 0 "
+    "GROUP BY sh.doc_id HAVING count(DISTINCT sh.g) >= 3",
+    doc="Decontamination via Bloom PREFILTER + exact confirm: the eval "
+    "split's distinct 4-gram shingles build a broadcast Bloom bitset "
+    "(16 bits/key, k=4, Kirsch-Mitzenmacher double hashing over "
+    "xxhash64 — operators/text.py bloom_semi_prefilter), the train "
+    "side's shingles are pruned MAP-SIDE to the ~0.1%-FP maybe-set, and "
+    "only survivors reach the exact shingle join — so the result is "
+    "EXACTLY the contaminated-doc set (Bloom has no false negatives; "
+    "the confirm join kills false positives) while the shuffle carries "
+    "~0.1% of the 100 TB train shingle volume instead of all of it. "
+    "Same flag semantics as txt_decontaminate_train's drop set, emitted "
+    "as (doc_id, n_overlap).",
+)
+def txt_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    sh = docs.withColumn("b", bucket).select(
+        "doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g")
+    )
+    eval_g = sh.filter(F.col("b") == 0).select("g").distinct().localCheckpoint()
+    train_sh = sh.filter(F.col("b") != 0)
+    maybe = txt.bloom_semi_prefilter(train_sh, "g", eval_g, "g")
+    return (
+        maybe.join(eval_g, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 3)
+    )

@@ -205,3 +205,90 @@ def test_bloom_prefilter_member_cap(spark):
     members = spark.range(100).selectExpr("CAST(id AS STRING) AS g")
     with pytest.raises(ValueError, match="exact semi-join"):
         txt.bloom_semi_prefilter(members, "g", members, "g", max_keys=10)
+
+
+# -------------------------------------------------------------- JPEG codec
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """DC-only spectra reconstruct bit-exactly under the all-ones quant
+    table — the property the mm_jpeg_features oracle relies on."""
+    for i in (0, 7, 123, 9999):
+        w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
+        bw = w // 8
+        gray = bytes(
+            ((i + 13 * ((y // 8) * bw + x // 8)) * 37) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        meta = mm.decode_image_real(mm.encode_jpeg(w, h, gray))
+        assert meta["raster"] == gray
+        assert (meta["width"], meta["height"], meta["channels"]) == (w, h, 1)
+        assert meta["format"] == "image/jpeg"
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_odd_sizes():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for w, h in [(8, 8), (16, 24), (13, 9), (1, 1), (10, 3)]:
+        gray = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+        out = np.frombuffer(
+            mm.decode_image_real(mm.encode_jpeg(w, h, gray))["raster"], np.uint8
+        )
+        err = np.abs(
+            out.astype(int) - np.frombuffer(gray, np.uint8).astype(int)
+        ).max()
+        assert err <= 4, (w, h, err)  # q=1: only DCT/round noise survives
+
+
+def test_jpeg_actually_compresses_smooth_content():
+    import numpy as np
+
+    qt = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+    ).reshape(8, 8)
+    xx, yy = np.meshgrid(np.arange(64), np.arange(64))
+    smooth = ((xx + yy) & 0xFF).astype(np.uint8).tobytes()
+    blob = mm.encode_jpeg(64, 64, smooth, qtable=qt)
+    assert len(blob) < 4096 // 4  # DCT concentrates a gradient hard
+    out = mm.decode_image_real(blob)  # and it still decodes
+    assert len(out["raster"]) == 4096
+
+
+def test_jpeg_error_paths():
+    gray = bytes(64)
+    blob = mm.encode_jpeg(8, 8, gray)
+    with pytest.raises(ValueError, match="SOI"):
+        mm._decode_jpeg(b"\xff\xd9" + blob[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image_real(blob[: len(blob) // 2])
+    # flip SOF0 -> SOF2 (progressive) => loud NotImplementedError
+    prog = bytearray(blob)
+    prog[blob.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        mm.decode_image_real(bytes(prog))
+    with pytest.raises(ValueError, match="gray bytes"):
+        mm.encode_jpeg(8, 8, bytes(63))
+    with pytest.raises(ValueError, match="quant table"):
+        mm.encode_jpeg(8, 8, gray, qtable=[0] * 64)
+
+
+def test_jpeg_huffman_tables_are_consistent():
+    """Every (run,size) symbol the encoder can emit must be encodable,
+    and the canonical codes must be prefix-free."""
+    ac = mm._jpeg_huff_codes(mm._JPEG_AC_BITS, mm._JPEG_AC_VALS)
+    dc = mm._jpeg_huff_codes(mm._JPEG_DC_BITS, mm._JPEG_DC_VALS)
+    assert set(dc) == set(range(12))
+    assert 0x00 in ac and 0xF0 in ac  # EOB + ZRL
+    for run in range(16):
+        for size in range(1, 11):
+            assert (run << 4) | size in ac
+    codes = sorted((ln, code) for ln, code in ac.values())
+    as_bits = [format(code, f"0{ln}b") for ln, code in codes]
+    for i, a in enumerate(as_bits):
+        for b in as_bits[i + 1 :]:
+            assert not b.startswith(a), (a, b)

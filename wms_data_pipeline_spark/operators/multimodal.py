@@ -455,6 +455,8 @@ def decode_image_real(content: bytes) -> dict:
     raster_offset}`` (+ ``bottom_up``/``stride`` for BMP's layout);
     raises ``ValueError`` on a malformed or truncated file."""
     magic = content[:2]
+    if magic == b"\xff\xd8":
+        return _decode_jpeg(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
@@ -569,8 +571,9 @@ def decode_image_real(content: bytes) -> dict:
         }
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
-            f"unsupported image magic {magic!r}: only codec-free netpbm "
-            f"P6/P5 and 24-bit BMP decode is available in this environment"
+            f"unsupported image magic {magic!r}: decode covers netpbm "
+            f"P6/P5, 24-bit BMP, GIF87a/89a, 8-bit truecolor PNG, and "
+            f"baseline grayscale JPEG in this environment"
         )
     # netpbm header: magic, width, height, maxval as whitespace-separated
     # tokens; '#' starts a comment running to end-of-line
@@ -783,6 +786,10 @@ def netpbm_array(content: bytes):
         # raster is the INFLATED + unfiltered bytes, already logical RGB
         arr = np.frombuffer(meta["raster"], dtype=np.uint8)
         return arr.reshape(h, w, 3), meta
+    if meta["format"] == "image/jpeg":
+        # raster is the Huffman-decoded + IDCT'd grayscale plane
+        arr = np.frombuffer(meta["raster"], dtype=np.uint8)
+        return arr.reshape(h, w, 1), meta
     if meta["format"] == "image/gif":
         # palette-mapped: LZW-decompressed indices -> RGB via the color table
         pal = np.frombuffer(meta["palette"], dtype=np.uint8).reshape(256, 3)
@@ -1100,3 +1107,400 @@ def audio_features(
         "sum_abs",
         F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 6).alias("rms"),
     )
+
+
+# ---------------------------------------------------------------- JPEG codec
+# Baseline sequential DCT JPEG (ITU-T T.81), grayscale, standard Annex K
+# luminance Huffman tables — a REAL transform codec (bit-level Huffman
+# entropy coding, zigzag run-length, 8x8 DCT) built on numpy + struct only.
+# Completes the codec ladder: netpbm/BMP/WAV (layout), GIF (LZW), PNG
+# (DEFLATE via zlib), JPEG (DCT + Huffman, fully hand-rolled).
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+#: Annex K.3 luminance DC: code-length counts for lengths 1..16 + symbols.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+#: Annex K.5 luminance AC.
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical Huffman code assignment (T.81 C.2): symbol -> (len, code)."""
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II basis C (C @ C.T = I): forward S = C B C^T,
+    inverse B = C^T S C — identical to T.81's normalization."""
+    import numpy as np
+
+    x = np.arange(8)
+    C = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    C[0] *= 1.0 / np.sqrt(2.0)
+    return C
+
+
+def encode_jpeg(
+    width: int, height: int, gray: bytes, qtable=None
+) -> bytes:
+    """Baseline sequential JPEG encoder (grayscale, 8-bit): level shift,
+    8x8 orthonormal DCT, quantization (default all-ones table — the
+    near-lossless setting the exact-oracle test corpus relies on),
+    zigzag, differential-DC + run-length-AC Huffman coding with the
+    standard Annex K luminance tables, 0xFF byte stuffing. Edge blocks
+    pad by edge replication; the SOF0 header carries the TRUE size."""
+    import struct
+
+    import numpy as np
+
+    if len(gray) != width * height:
+        raise ValueError(
+            f"JPEG {width}x{height} needs {width * height} gray bytes, "
+            f"got {len(gray)}"
+        )
+    q = (
+        np.ones((8, 8), dtype=np.int64)
+        if qtable is None
+        else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
+    )
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("JPEG quant table entries must be in 1..255")
+    img = np.frombuffer(gray, np.uint8).reshape(height, width).astype(np.float64)
+    H, W = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, H - height), (0, W - width)), mode="edge") - 128.0
+    C = _dct_matrix()
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    scan = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def put(val: int, n: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << n) | (val & ((1 << n) - 1))
+        bitcnt += n
+        while bitcnt >= 8:
+            b = (bitbuf >> (bitcnt - 8)) & 0xFF
+            scan.append(b)
+            if b == 0xFF:
+                scan.append(0x00)  # byte stuffing
+            bitcnt -= 8
+        bitbuf &= (1 << bitcnt) - 1
+
+    def put_magnitude(v: int) -> int:
+        """Emit the magnitude bits of v, return its category (size)."""
+        s = abs(v).bit_length()
+        if s:
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+        return s
+
+    prev_dc = 0
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            block = img[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+            coef = np.round((C @ block @ C.T) / q).astype(np.int64)
+            zz = coef.reshape(-1)[list(_JPEG_ZIGZAG)]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = abs(diff).bit_length()
+            ln, code = dc_codes[s]
+            put(code, ln)
+            if s:
+                put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            nz = np.flatnonzero(zz[1:])
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_codes[0xF0]  # ZRL
+                    put(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = ac_codes[(run << 4) | s]
+                put(code, ln)
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                ln, code = ac_codes[0x00]  # EOB
+                put(code, ln)
+    if bitcnt:
+        put(0xFF, 8 - bitcnt)  # pad with 1s
+
+    zz_q = q.reshape(-1)[list(_JPEG_ZIGZAG)]
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(
+        int(v) for v in zz_q
+    )  # DQT, 8-bit, id 0, zigzag order
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHBBBB", 11, 8, height, width, 1, 1, 0x11, 0
+    )  # SOF0: 1 component, 1x1 sampling, qtable 0
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    out += b"\xff\xda" + struct.pack(">HBBBBBB", 8, 1, 1, 0x00, 0, 63, 0)  # SOS
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg(content: bytes) -> dict:
+    """Baseline JPEG decoder — the real codec half: marker parse, DQT/DHT
+    table builds, bit-level canonical-Huffman entropy decode with 0xFF00
+    unstuffing, differential-DC extend, zigzag undo, dequantize, 8x8 IDCT,
+    level shift, edge-pad crop. Grayscale baseline only; progressive
+    (SOF2), multi-component (color), subsampling, and restart intervals
+    raise NotImplementedError loudly (the reference's decode contract —
+    SURVEY §2.3 multimodal row). Bit-serial Huffman is inherently
+    sequential per image; parallelism comes from the Arrow batch axis
+    (many images per task), same as the GIF/PNG codecs here."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG signature (no SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    hufftabs: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_tq = 0
+    scan_start = None
+    while pos < len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got 0x{content[pos]:02x}")
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG marker")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("JPEG EOI before any scan data")
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG segment length")
+        seglen = struct.unpack_from(">H", content, pos)[0]
+        seg = content[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                zz = np.frombuffer(seg[i + 1 : i + 65], np.uint8).astype(np.int64)
+                t = np.empty(64, np.int64)
+                t[list(_JPEG_ZIGZAG)] = zz
+                qtables[tq] = t.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (only grayscale baseline here)"
+                )
+            _cid, sampling, comp_tq = seg[6], seg[7], seg[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled JPEG")
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x})"
+            )
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = tuple(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = tuple(seg[i + 17 : i + 17 + n])
+                inv = {
+                    (ln, code): v
+                    for v, (ln, code) in _jpeg_huff_codes(bits, vals).items()
+                }
+                hufftabs[(tc, th)] = inv
+                i += 17 + n
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component JPEG scan")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+            scan_start = pos
+            break
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            continue  # APPn / COM: skip
+        else:
+            raise ValueError(f"unexpected JPEG marker 0x{marker:02x}")
+    if scan_start is None or width is None:
+        raise ValueError("JPEG contains no SOS/SOF segment")
+    if comp_tq not in qtables:
+        raise ValueError(f"JPEG quant table {comp_tq} not defined")
+    for key in ((0, dc_id), (1, ac_id)):
+        if key not in hufftabs:
+            raise ValueError(f"JPEG Huffman table {key} not defined")
+    q = qtables[comp_tq]
+    dc_tab, ac_tab = hufftabs[(0, dc_id)], hufftabs[(1, ac_id)]
+
+    # unstuff the entropy-coded segment up to EOI
+    data = bytearray()
+    i = scan_start
+    while i < len(content):
+        b = content[i]
+        if b == 0xFF:
+            nxt = content[i + 1] if i + 1 < len(content) else None
+            if nxt == 0x00:
+                data.append(0xFF)
+                i += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise ValueError(f"unexpected marker 0xff{nxt:02x} in JPEG scan")
+        data.append(b)
+        i += 1
+    else:
+        raise ValueError("truncated JPEG scan (no EOI)")
+
+    bitpos = 0
+    nbits_total = 8 * len(data)
+
+    def read_bit() -> int:
+        nonlocal bitpos
+        if bitpos >= nbits_total:
+            raise ValueError("truncated JPEG entropy stream")
+        b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_bits(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def decode_sym(tab) -> int:
+        ln, code = 0, 0
+        while ln < 16:
+            code = (code << 1) | read_bit()
+            ln += 1
+            v = tab.get((ln, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+    C = _dct_matrix()
+    H, W = -(-height // 8) * 8, -(-width // 8) * 8
+    raster = np.empty((H, W), np.uint8)
+    prev_dc = 0
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            zz = np.zeros(64, np.int64)
+            s = decode_sym(dc_tab)
+            prev_dc += extend(read_bits(s), s) if s else 0
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = decode_sym(ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 15
+                if k > 63 or size == 0:
+                    raise ValueError("corrupt JPEG AC run-length")
+                zz[k] = extend(read_bits(size), size)
+                k += 1
+            coef = np.empty(64, np.int64)
+            coef[list(_JPEG_ZIGZAG)] = zz
+            block = C.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ C
+            raster[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
+                np.round(block + 128.0), 0, 255
+            ).astype(np.uint8)
+    return {
+        "format": "image/jpeg",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "pixel_bytes": width * height,
+        "channels": 1,
+        "raster_offset": -1,  # raster is DECODED, not sliced
+        "raster": raster[:height, :width].tobytes(),
+    }
+
+
+def with_jpeg_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test adapter: a REAL baseline JPEG blob per row, deterministically
+    derived from the id (width = (id%3+1)*8, height = (id%2+1)*8; every
+    8x8 block b holds the CONSTANT value ((id + 13*b)*37) % 256). A
+    constant block's DCT is DC-only with the DC recovered EXACTLY under
+    the all-ones quant table (8c/8 is a power-of-two product in float),
+    so channel statistics are arithmetic on the id and ORACLE-EXPRESSIBLE
+    even though the bytes ride the full Huffman+DCT codec. Non-constant
+    content exercises the same code path lossily (test_round8 asserts
+    the bounded reconstruction error)."""
+
+    @pandas_udf("binary")
+    def _blob(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
+            bw = w // 8
+            gray = bytes(
+                ((i + 13 * ((y // 8) * bw + x // 8)) * 37) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            out.append(encode_jpeg(w, h, gray))
+        return pd.Series(out)
+
+    return df.withColumn("content", _blob(F.col(id_col)))

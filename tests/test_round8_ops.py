@@ -292,3 +292,52 @@ def test_jpeg_huffman_tables_are_consistent():
     for i, a in enumerate(as_bits):
         for b in as_bits[i + 1 :]:
             assert not b.startswith(a), (a, b)
+
+
+# ----------------------------------------------------------------- MaxSim
+
+
+def test_maxsim_matches_numpy_and_guards_queries(spark, monkeypatch):
+    import numpy as np
+    import wms_data_pipeline_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(3)
+    n_docs, tpd, dim = 12, 3, 8
+    X = rng.normal(size=(n_docs * tpd, dim))
+    rows = [
+        (int(i // tpd), [float(x) for x in X[i]]) for i in range(len(X))
+    ]
+    toks = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    q = toks.filter(F.col("doc_id") < 2).withColumnRenamed("doc_id", "query_doc")
+    got = {}
+    for r in sim.maxsim_topk(toks.repartition(7), q, k=4).collect():
+        got.setdefault(r.query_doc, []).append((r.maxsim_x1m, r.doc_id))
+    # numpy reference: per query token, max cosine within each doc, to
+    # integer micros, summed
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = U @ U.T
+    for qd in range(2):
+        scores = {}
+        for d in range(n_docs):
+            s = 0
+            for qt in range(qd * tpd, qd * tpd + tpd):
+                m = sims[d * tpd : d * tpd + tpd, qt].max()
+                s += int(np.floor(m * 1_000_000 + 0.5))
+            scores[d] = s
+        expect = sorted(((v, d) for d, v in scores.items()), key=lambda t: (-t[0], t[1]))[:4]
+        assert sorted(got[qd], key=lambda t: (-t[0], t[1])) == expect
+    monkeypatch.setattr(sim, "MAX_CLOSURE_QUERIES", 3)
+    with pytest.raises(ValueError, match="maxsim_topk"):
+        sim.maxsim_topk(toks, q)
+
+
+def test_maxsim_empty_queries_short_circuits(spark):
+    import wms_data_pipeline_spark.operators.similarity as sim
+
+    toks = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    q = toks.filter("doc_id < 0").withColumnRenamed("doc_id", "query_doc")
+    out = sim.maxsim_topk(toks, q)
+    assert out.count() == 0
+    assert out.columns == ["query_doc", "doc_id", "maxsim_x1m"]

@@ -1750,3 +1750,132 @@ def sq8_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def maxsim_topk(
+    tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    qdoc_col: str = "query_doc",
+) -> DataFrame:
+    """Multi-vector late-interaction retrieval (ColBERT-style MaxSim,
+    public method): documents and queries are BAGS of token vectors;
+    ``score(q, d) = Σ_{qv∈q} max_{dv∈d} cos(qv, dv)`` — each query token
+    finds its best-matching document token, scores sum over query tokens.
+    Returns (qdoc_col, doc_col, maxsim_x1m) top-k per query doc, the
+    score as integer micros.
+
+    Distributed shape: the query token matrix is collected into the
+    scoring closure (MAX_CLOSURE_QUERIES guard, same contract as
+    ``cosine_topk``); one Arrow pass computes each partition's PARTIAL
+    per-(doc, query-token) max — max is associative, so docs may span
+    partitions freely — and the shuffle then carries only
+    docs × query_tokens partial-max rows (never token × token). The
+    per-token maxima round to integer MICROS before the sum, making the
+    final score an order-free BIGINT sum (FP summation order can't flip
+    a comparison, the same exact-integer trick as the PageRank and EWMA
+    operators); cosines themselves accumulate dim-sequentially like
+    every kernel here, so the raw maxima are bit-identical to the SQL
+    oracle's list_dot_product form."""
+    q_rows = (
+        query_tokens.select(qdoc_col, vec_col)
+        .limit(MAX_CLOSURE_QUERIES + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_CLOSURE_QUERIES:
+        raise ValueError(
+            f"maxsim_topk collects the query token set into the task "
+            f"closure; got more than {MAX_CLOSURE_QUERIES} query tokens — "
+            "batch the query docs"
+        )
+    spark = tokens.sparkSession
+    qdoc_type = query_tokens.schema[qdoc_col].dataType.simpleString()
+    doc_type = tokens.schema[doc_col].dataType.simpleString()
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            schema=f"{qdoc_col} {qdoc_type}, {doc_col} {doc_type}, "
+            "maxsim_x1m bigint",
+        )
+    q_docs = [r[0] for r in q_rows]
+    Q = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    dim = Q.shape[1]
+    qn = np.zeros(len(q_rows), dtype=np.float64)
+    for j in range(dim):
+        qn += Q[:, j] * Q[:, j]
+    qn = np.sqrt(qn)
+
+    par = spark.sparkContext.defaultParallelism
+    if tokens.rdd.getNumPartitions() < par:
+        tokens = tokens.repartition(par)
+
+    out_schema = f"__qidx int, {doc_col} {doc_type}, __pmax double"
+
+    def _partial_max(batches):
+        for pdf in batches:
+            rows = [
+                (d, np.asarray(v, dtype=np.float64))
+                for d, v in zip(pdf[doc_col], pdf[vec_col])
+                if v is not None and len(v) == dim
+            ]
+            if not rows:
+                continue
+            docs = np.array([d for d, _ in rows])
+            X = np.stack([a for _, a in rows])
+            dots = np.zeros((len(rows), len(q_rows)), dtype=np.float64)
+            xn = np.zeros(len(rows), dtype=np.float64)
+            for j in range(dim):  # dim-sequential: oracle-identical order
+                xj = X[:, j]
+                dots += xj[:, None] * Q[:, j]
+                xn += xj * xj
+            sims = dots / (np.sqrt(xn)[:, None] * qn[None, :])
+            sims = np.where(np.isfinite(sims), sims, -np.inf)
+            order = np.argsort(docs, kind="mergesort")
+            sdocs, ssims = docs[order], sims[order]
+            cuts = np.flatnonzero(
+                np.r_[True, sdocs[1:] != sdocs[:-1]]
+            )
+            frames = []
+            for s, e in zip(cuts, np.r_[cuts[1:], len(sdocs)]):
+                pm = ssims[s:e].max(axis=0)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__qidx": np.arange(len(q_rows), dtype=np.int32),
+                            doc_col: sdocs[s],
+                            "__pmax": pm,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    partial = tokens.select(doc_col, vec_col).mapInPandas(
+        _partial_max, schema=out_schema
+    )
+    qmap = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(q_docs)],
+        schema=f"__qidx int, {qdoc_col} {qdoc_type}",
+    )
+    per_qtoken = (
+        partial.groupBy(doc_col, "__qidx")
+        .agg(F.max("__pmax").alias("__m"))
+        .join(F.broadcast(qmap), "__qidx")
+        .select(
+            qdoc_col,
+            doc_col,
+            F.round(F.col("__m") * 1_000_000, 0).cast("bigint").alias("__micros"),
+        )
+    )
+    scores = per_qtoken.groupBy(qdoc_col, doc_col).agg(
+        F.sum("__micros").cast("bigint").alias("maxsim_x1m")
+    )
+    w = Window.partitionBy(qdoc_col).orderBy(
+        F.col("maxsim_x1m").desc(), F.col(doc_col)
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

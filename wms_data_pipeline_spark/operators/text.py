@@ -224,7 +224,16 @@ def curation_pipeline_full(
     budget (content-stable hash order) → 80/10/10 split assignment.
     Input: (doc_id, lang, source, text). Output: (doc_id, source, lang,
     n_tokens, cum_tokens, split). Six keyed exchanges total; every small
-    side broadcast or distinct; nothing quadratic."""
+    side broadcast or distinct; nothing quadratic.
+
+    The two ``localCheckpoint`` barriers pin the stages that feed TWO
+    consumers each (post-exact-dedup feeds the minhash kernel and the
+    keep-join; post-near-dup feeds the shingle explode and the final
+    anti-join) — without them Spark re-executes quality+dedup+minhash
+    per consumer (measured −30% wall at sf0.1; a 100 TB nightly would
+    write these stage boundaries to storage anyway). The exploded
+    shingle set is deliberately NOT checkpointed: materializing it costs
+    more than recomputing the explode (measured +20%)."""
     from wms_data_pipeline_spark.operators import dedup as dd
 
     s1 = (
@@ -232,7 +241,7 @@ def curation_pipeline_full(
         .filter(F.col("quality_score") >= quality_cutoff)
         .select("doc_id", "lang", "source", "text")
     )
-    s2 = dd.exact_dedup(s1, id_col="doc_id", colname="text")
+    s2 = dd.exact_dedup(s1, id_col="doc_id", colname="text").localCheckpoint()
     pairs = dd.minhash_neardup_pairs(
         s2.select("doc_id", "text"), threshold=neardup_threshold
     )
@@ -243,7 +252,7 @@ def curation_pipeline_full(
         .cast("bigint")
         % 10
     )
-    s3b = s3.withColumn("b", bucket10)
+    s3b = s3.withColumn("b", bucket10).localCheckpoint()
     sh = s3b.select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
     test_g = sh.filter(F.col("b") == 0).select("g").distinct()
     bad = (

@@ -5953,11 +5953,15 @@ def evt_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    m = d.groupBy("event_type").agg(F.expr("percentile(n, 0.5)").alias("med"))
-    dev = d.join(m, "event_type").withColumn("adev", F.abs(F.col("n") - F.col("med")))
-    md = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    # med and mad as windowed aggregates over ONE event_type partitioning:
+    # the second window reuses the first's exchange, so the whole query is
+    # the day-count shuffle + one group shuffle (was 3 joins / 7 exchanges)
+    w = Window.partitionBy("event_type")
+    dev = d.withColumn("med", F.expr("percentile(n, 0.5)").over(w)).withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
     return (
-        dev.join(md, "event_type")
+        dev.withColumn("mad", F.expr("percentile(adev, 0.5)").over(w))
         .filter(F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
         .select("event_type", "day", "n", "med", "mad")
     )
@@ -6132,3 +6136,153 @@ def txt_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return mm.image_features(mm.with_jpeg_content(docs))
+
+
+@query(
+    "sim_maxsim_topk",
+    "WITH t AS (SELECT vec_id, vec_id // 4 AS doc_id, "
+    "embedding::DOUBLE[] AS v, "
+    "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm "
+    "FROM embeddings), "
+    "q AS (SELECT vec_id, doc_id AS qdoc, v, nrm FROM t WHERE vec_id < 8), "
+    "c AS (SELECT q.qdoc, q.vec_id AS qv, t.doc_id, "
+    "max(list_dot_product(t.v, q.v) / (t.nrm * q.nrm)) AS m "
+    "FROM t CROSS JOIN q GROUP BY 1, 2, 3), "
+    "s AS (SELECT qdoc, doc_id, "
+    "SUM(CAST(round(m * 1000000, 0) AS BIGINT))::BIGINT AS maxsim_x1m "
+    "FROM c GROUP BY 1, 2) "
+    "SELECT qdoc AS query_doc, doc_id, maxsim_x1m FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY qdoc "
+    "ORDER BY maxsim_x1m DESC, doc_id) AS rn FROM s) WHERE rn <= 5",
+    doc="Multi-vector late-interaction retrieval (ColBERT MaxSim, public "
+    "method): docs and queries are bags of token vectors (vec_id div 4 "
+    "groups the embeddings table into 4-token docs), score = sum over "
+    "query tokens of the best-matching doc-token cosine. The missing "
+    "retrieval paradigm next to single-vector ANN (sim_*_topk) — "
+    "operators/similarity.py maxsim_topk: partition-partial per-(doc, "
+    "qtoken) maxima in one Arrow pass (max is associative; shuffle "
+    "carries docs x query-tokens, never token x token), per-token "
+    "maxima to integer micros BEFORE the sum so the score is an "
+    "order-free BIGINT.",
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    toks = e.select(F.expr("vec_id div 4").alias("doc_id"), "embedding")
+    qt = e.filter(F.col("vec_id") < 8).select(
+        F.expr("vec_id div 4").alias("query_doc"), "embedding"
+    )
+    return sim.maxsim_topk(toks, qt, k=5)
+
+
+#: Benford first-digit expectations in integer micros, precomputed in
+#: Python so neither engine's libm log10 is in the compared output.
+_BENFORD_X1M = {
+    d: round(__import__("math").log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)
+}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN {d} THEN {v}" for d, v in _BENFORD_X1M.items())
+    + " END"
+)
+
+
+@query(
+    "dq_benford_check",
+    "WITH t AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) "
+    "AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS first_digit FROM orders), "
+    "n AS (SELECT count(*)::BIGINT AS total FROM t) "
+    "SELECT first_digit, count(*)::BIGINT AS n, "
+    "((count(*) * 1000000) // n.total)::BIGINT AS share_x1m, "
+    f"{_BENFORD_CASE}::BIGINT AS benford_x1m "
+    "FROM t CROSS JOIN n GROUP BY first_digit, n.total",
+    doc="Benford's-law first-significant-digit profile of order totals — "
+    "the classic fraud/synthetic-data screen (public method). Observed "
+    "share as an exact integer ratio (count*1e6 div total); the Benford "
+    "expectation log10(1+1/d) is PRECOMPUTED in Python and emitted as a "
+    "literal on both sides, so no engine libm is in the compared "
+    "output. One map-side digit extract + a 9-row aggregate.",
+)
+def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    t = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    total = t.count()  # scalar literal, like txt_tfidf's n_docs
+    expect = F.coalesce(
+        *[
+            F.when(F.col("first_digit") == d, F.lit(v))
+            for d, v in _BENFORD_X1M.items()
+        ]
+    )
+    return (
+        t.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "first_digit",
+            "n",
+            F.expr(f"(n * 1000000) div {total}L").alias("share_x1m"),
+            expect.cast("bigint").alias("benford_x1m"),
+        )
+    )
+
+
+@query(
+    "evt_cohort_ltv",
+    "WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week "
+    "FROM events GROUP BY user_id), "
+    "wk AS (SELECT e.user_id, f.cohort_week, "
+    "CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7 "
+    "AS BIGINT) AS week_offset, "
+    "CAST(round(e.value * 100, 0) AS BIGINT) AS cents "
+    "FROM events e JOIN f USING (user_id)), "
+    "g AS (SELECT cohort_week, week_offset, sum(cents)::BIGINT AS rev_cents "
+    "FROM wk GROUP BY 1, 2) "
+    "SELECT cohort_week, week_offset, rev_cents, "
+    "CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_offset "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "AS cum_rev_cents FROM g",
+    doc="Cohort lifetime-value curves: per signup-week cohort, weekly and "
+    "CUMULATIVE revenue by week offset — the monetization companion of "
+    "evt_retention_cohorts (same first-touch cohort join), in exact "
+    "integer cents end-to-end (sums and the running window are "
+    "order-free BIGINT). One user-keyed min + one join + one tiny "
+    "cohort-week window.",
+)
+def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    wk = ev.join(f, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(
+                F.date_trunc("week", F.col("ts")).cast("date"),
+                F.col("cohort_week"),
+            )
+            / 7
+        )
+        .cast("bigint")
+        .alias("week_offset"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    g = wk.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort_week",
+        "week_offset",
+        F.col("rev_cents").cast("bigint"),
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )

@@ -162,7 +162,9 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             dominated = (hp & (m1 <= y)) | (group_first_y < y)
             yield pdf[~dominated]
 
-    local = df.mapInPandas(_local, schema=df.schema)
+    # checkpoint the (tiny) survivor set: the guard count and the final
+    # pass would otherwise each re-execute the full stage-1 scan
+    local = df.mapInPandas(_local, schema=df.schema).localCheckpoint()
     n_cand = local.count()
     if n_cand > MAX_SKYLINE_CANDIDATES:
         raise ValueError(

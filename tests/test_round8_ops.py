@@ -341,3 +341,31 @@ def test_maxsim_empty_queries_short_circuits(spark):
     out = sim.maxsim_topk(toks, q)
     assert out.count() == 0
     assert out.columns == ["query_doc", "doc_id", "maxsim_x1m"]
+
+
+# -------------------------------------------------------------- graph: BFS
+
+
+def test_bfs_hops_matches_reference_and_is_partition_invariant(spark):
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"), ("x", "a")],
+        "src string, dst string",
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops for r in gr.bfs_hops(edges, src, max_hops=4).collect()}
+    # a=0, b=1, c=1 (direct a->c beats a->b->c), d=2, e=3; x unreachable
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    got7 = {
+        r.node: r.hops
+        for r in gr.bfs_hops(edges.repartition(7), src, max_hops=4).collect()
+    }
+    assert got7 == got
+    # multi-source takes the nearest source
+    src2 = spark.createDataFrame([("a",), ("d",)], "node string")
+    got2 = {r.node: r.hops for r in gr.bfs_hops(edges, src2, max_hops=4).collect()}
+    assert got2["e"] == 1 and got2["d"] == 0
+    # hop cap truncates reach
+    got1 = {r.node: r.hops for r in gr.bfs_hops(edges, src, max_hops=1).collect()}
+    assert "d" not in got1 and got1 == {"a": 0, "b": 1, "c": 1}

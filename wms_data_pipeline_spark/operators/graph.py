@@ -174,3 +174,45 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             "skyline_2d per bucket, or raise the cap deliberately"
         )
     return local.coalesce(1).mapInPandas(_local, schema=df.schema)
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest source node,
+    following edge direction, capped at ``max_hops``. Returns
+    (node, hops) for every REACHED node — unreachable nodes are absent
+    (the caller left-joins if it wants NULL-distance rows).
+
+    Frontier-free formulation: ``dist_{k+1}(v) = min(dist_k(v),
+    1 + min over in-edges of dist_k(u))`` — a min-plus relaxation whose
+    state is all integers, so results are exact and partitioning-
+    independent (same contract as ``pagerank``). Each iteration is one
+    shuffle on ``src`` (dist join edges) + one on the node key (min
+    aggregate); lineage truncates every ``checkpoint_every`` iterations.
+    Iterating to ``max_hops`` rather than to convergence keeps the pass
+    count static for planning; BFS depth beyond ~6 on social-shaped
+    graphs is usually noise (public small-world measurements)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    dist = sources.select(F.col(node).alias("_n")).distinct().withColumn(
+        "hops", F.lit(0).cast("long")
+    )
+    for it in range(max_hops):
+        relaxed = (
+            e.join(dist, e._s == dist._n)
+            .select(F.col("_d").alias("_n"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("_n")
+            .agg(F.min("hops").alias("hops"))
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < max_hops:
+            dist = dist.localCheckpoint()
+    return dist.select(F.col("_n").alias(node), "hops")

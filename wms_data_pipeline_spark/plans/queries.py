@@ -6286,3 +6286,51 @@ def evt_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("bigint"),
         F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
     )
+
+
+def _bfs_oracle_sql(source: str, hops: int) -> str:
+    """Unrolled multi-source BFS min-plus relaxation in DuckDB SQL,
+    mirroring graph.bfs_hops' integer iteration exactly."""
+    sql = (
+        "WITH seq AS (SELECT event_type AS src, lead(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), "
+        "e AS (SELECT DISTINCT src, dst FROM seq WHERE dst IS NOT NULL), "
+        f"d0 AS (SELECT '{source}' AS node, 0::BIGINT AS hops)"
+    )
+    for k in range(1, hops + 1):
+        p = k - 1
+        sql += (
+            f", d{k} AS (SELECT node, min(hops)::BIGINT AS hops FROM ("
+            f"SELECT node, hops FROM d{p} UNION ALL "
+            f"SELECT e.dst AS node, p.hops + 1 AS hops "
+            f"FROM e JOIN d{p} p ON e.src = p.node) GROUP BY node)"
+        )
+    return sql + f" SELECT node, hops FROM d{hops}"
+
+
+@query(
+    "evt_bfs_hops",
+    _bfs_oracle_sql("click", 4),
+    doc="Multi-source BFS hop distance (here: how many event transitions "
+    "separate each event type from 'click') via the frontier-free "
+    "min-plus relaxation in operators/graph.py bfs_hops — the reach/"
+    "influence companion of evt_pagerank on the same transition graph, "
+    "and the second iterative-algorithm shape (min-plus vs weighted-sum) "
+    "the oracle pins through an unrolled-CTE twin. All-integer state -> "
+    "bit-stable at any partitioning; per iteration one src-keyed join + "
+    "one min aggregate, lineage checkpointed every 4.",
+)
+def evt_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    sources = spark.createDataFrame([("click",)], "node string")
+    return gr.bfs_hops(edges, sources, max_hops=4)

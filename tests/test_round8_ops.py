@@ -369,3 +369,52 @@ def test_bfs_hops_matches_reference_and_is_partition_invariant(spark):
     # hop cap truncates reach
     got1 = {r.node: r.hops for r in gr.bfs_hops(edges, src, max_hops=1).collect()}
     assert "d" not in got1 and got1 == {"a": 0, "b": 1, "c": 1}
+
+
+def test_skyline_nd_matches_bruteforce(spark):
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    import random
+
+    rng = random.Random(88)
+    pts = [
+        (rng.randint(0, 12), rng.randint(0, 12), rng.randint(0, 12))
+        for _ in range(400)
+    ]
+    pts += [(0, 1, 2), (0, 1, 2), (1, 1, 1)]
+    df = spark.createDataFrame(
+        [(i, *p) for i, p in enumerate(pts)], "id long, a long, b long, c long"
+    )
+    got = sorted(
+        (r.a, r.b, r.c)
+        for r in gr.skyline_nd(df.repartition(11), ["a", "b", "c"]).collect()
+    )
+    brute = sorted(
+        p
+        for p in set(pts)
+        if not any(
+            all(q[i] <= p[i] for i in range(3)) and q != p for q in pts
+        )
+    )
+    assert sorted(set(got)) == brute
+    assert all(p in brute for p in got)  # dups of pareto points only
+    with pytest.raises(ValueError, match="at least 2"):
+        gr.skyline_nd(df, ["a"])
+
+
+def test_skyline_stage2_pools_across_arrow_batches(spark, monkeypatch):
+    """>10k stage-2 candidates span multiple Arrow batches (default
+    maxRecordsPerBatch=10000); the global pass must pool them or it
+    emits per-batch skylines — dominated points whose dominator sits in
+    another batch would survive (code-review r8)."""
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    n = 15_000
+    diag = spark.range(n).selectExpr("id AS x", f"{n} - id AS y")
+    # 500 dominated points: (i+1, n+1-i) is beaten by diagonal (i+1, n-i-1)
+    dominated = spark.range(500).selectExpr("id + 1 AS x", f"{n} + 1 - id AS y")
+    pts = diag.unionByName(dominated).repartition(16)
+    out = gr.skyline_2d(pts, "x", "y")
+    assert out.count() == n
+    df3 = pts.withColumn("z", F.lit(0))
+    assert gr.skyline_nd(df3, ["x", "y", "z"]).count() == n

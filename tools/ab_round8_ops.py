@@ -70,7 +70,6 @@ def leg_skyline(spark):
     )
     # survivor volume on the adversarial shape (why the guard exists)
     diag = spark.range(200_000).selectExpr("id AS x", "199999 - id AS y")
-    local = diag.repartition(32).mapInPandas  # count via the operator path
     surv = gr.skyline_2d(diag.repartition(32), "x", "y").count()
     print(f"skyline 200k anti-correlated: every point survives ({surv})")
 

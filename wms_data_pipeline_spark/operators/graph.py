@@ -111,6 +111,25 @@ def pagerank(
     return ranks
 
 
+def _pool_batches(kernel):
+    """Wrap a per-frame skyline kernel for the STAGE-2 global pass:
+    ``mapInPandas`` feeds the coalesced single partition as MULTIPLE
+    Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch, default
+    10k rows), and running the kernel per batch would emit a union of
+    per-batch skylines, not the global front — dominated points whose
+    dominator sits in another batch would survive (code-review r8).
+    Pooling is safe exactly here: stage-2 input is capped by
+    MAX_SKYLINE_CANDIDATES, so the concat is bounded driver-set-sized."""
+    import pandas as pd
+
+    def _pooled(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if pdfs:
+            yield from kernel(iter([pd.concat(pdfs, ignore_index=True)]))
+
+    return _pooled
+
+
 def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Exact 2-D skyline (pareto front, minimize BOTH columns; duplicate
     points all kept): p dominates q iff p.x<=q.x, p.y<=q.y and they
@@ -173,7 +192,9 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             "pathologically anti-correlated — pre-bucket by x and run "
             "skyline_2d per bucket, or raise the cap deliberately"
         )
-    return local.coalesce(1).mapInPandas(_local, schema=df.schema)
+    return local.coalesce(1).mapInPandas(
+        _pool_batches(_local), schema=df.schema
+    )
 
 
 def bfs_hops(
@@ -216,3 +237,86 @@ def bfs_hops(
         if (it + 1) % checkpoint_every == 0 and it + 1 < max_hops:
             dist = dist.localCheckpoint()
     return dist.select(F.col("_n").alias(node), "hops")
+
+
+def skyline_nd(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact d-dimensional skyline (minimize EVERY column in ``cols``;
+    duplicates kept), same two-stage shape as ``skyline_2d`` — which
+    remains the fast path for d=2 (prefix-min scan vs this kernel's
+    front-list check).
+
+    Kernel: points sort lexicographically (all dims ascending), under
+    which any dominator precedes what it dominates (componentwise ≤ with
+    one strict < implies lexicographic <), so one forward scan against
+    the growing front array is exact. Per-point cost is a vectorized
+    check against the current front (O(front · d)); fronts are tiny on
+    correlated data and the MAX_SKYLINE_CANDIDATES guard bounds the
+    one-task final pass exactly like the 2-D operator."""
+    import numpy as np
+    import pandas as pd
+
+    if len(cols) < 2:
+        raise ValueError("skyline_nd needs at least 2 criteria columns")
+
+    CHUNK = 256  # rows screened per vectorized front pass
+    FRONT_BLOCK = 65536  # front rows per dominance sub-pass (memory bound)
+
+    def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+            P = pdf[cols].to_numpy()
+            n = len(pdf)
+            keep = np.zeros(n, dtype=bool)
+            front_chunks: list = []  # appended per chunk, consolidated lazily
+            F = np.empty((0, P.shape[1]), dtype=P.dtype)
+            for start in range(0, n, CHUNK):
+                c = P[start : start + CHUNK]
+                # vectorized screen of the whole chunk against the frozen
+                # front, in FRONT_BLOCK slabs to bound temp memory
+                dom = np.zeros(len(c), dtype=bool)
+                for fb in range(0, len(F), FRONT_BLOCK):
+                    blk = F[fb : fb + FRONT_BLOCK]
+                    m = (blk[None, :, :] <= c[:, None, :]).all(2) & (
+                        blk[None, :, :] < c[:, None, :]
+                    ).any(2)
+                    dom |= m.any(1)
+                    if dom.all():
+                        break
+                # survivors still need the in-chunk sequential pass (a row
+                # can be dominated by an earlier row of its own chunk)
+                added: list = []
+                for j in np.flatnonzero(~dom):
+                    p = c[j]
+                    if added:
+                        A = np.asarray(added)
+                        if ((A <= p).all(1) & (A < p).any(1)).any():
+                            continue
+                    keep[start + j] = True
+                    # equal duplicates are kept but enter the front once
+                    if not added or (added[-1] != p).any():
+                        added.append(p)
+                if added:
+                    front_chunks.append(np.asarray(added))
+                    F = (
+                        np.concatenate(front_chunks)
+                        if len(front_chunks) > 1
+                        else front_chunks[0]
+                    )
+                    front_chunks = [F]
+            yield pdf[keep]
+
+    local = df.mapInPandas(_local, schema=df.schema).localCheckpoint()
+    n_cand = local.count()
+    if n_cand > MAX_SKYLINE_CANDIDATES:
+        raise ValueError(
+            f"skyline_nd: {n_cand} local-skyline candidates exceed "
+            f"MAX_SKYLINE_CANDIDATES={MAX_SKYLINE_CANDIDATES}; the input is "
+            "pathologically anti-correlated — pre-bucket on the first "
+            "criterion and run per bucket, or raise the cap deliberately"
+        )
+    return local.coalesce(1).mapInPandas(
+        _pool_batches(_local), schema=df.schema
+    )

@@ -1231,11 +1231,9 @@ def encode_jpeg(
             zz = coef.reshape(-1)[list(_JPEG_ZIGZAG)]
             diff = int(zz[0]) - prev_dc
             prev_dc = int(zz[0])
-            s = abs(diff).bit_length()
-            ln, code = dc_codes[s]
+            ln, code = dc_codes[abs(diff).bit_length()]
             put(code, ln)
-            if s:
-                put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            put_magnitude(diff)
             run = 0
             nz = np.flatnonzero(zz[1:])
             last = nz[-1] + 1 if len(nz) else 0
@@ -1248,10 +1246,9 @@ def encode_jpeg(
                     ln, code = ac_codes[0xF0]  # ZRL
                     put(code, ln)
                     run -= 16
-                s = abs(v).bit_length()
-                ln, code = ac_codes[(run << 4) | s]
+                ln, code = ac_codes[(run << 4) | abs(v).bit_length()]
                 put(code, ln)
-                put(v if v >= 0 else v + (1 << s) - 1, s)
+                put_magnitude(v)
                 run = 0
             if last < 63:
                 ln, code = ac_codes[0x00]  # EOB

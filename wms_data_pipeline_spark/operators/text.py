@@ -338,17 +338,24 @@ def bloom_semi_prefilter(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    n = members.select(member_col).distinct().count()
+    # one job: collect (capped) distinct hashes and guard on the row
+    # count, the same limit+collect pattern as maxsim_topk — a separate
+    # distinct().count() guard would run the member aggregation twice
+    # (code-review r8)
+    rows = (
+        members.select(F.xxhash64(member_col).alias("h"))
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    )
+    n = len(rows)
     if n > max_keys:
         raise ValueError(
-            f"bloom_semi_prefilter: {n} distinct member keys exceed "
-            f"max_keys={max_keys}; the member side is no longer "
-            "broadcast-sized — use an exact semi-join instead"
+            f"bloom_semi_prefilter: over {max_keys} distinct member keys "
+            "(max_keys); the member side is no longer broadcast-sized — "
+            "use an exact semi-join instead"
         )
     m_bits = 1 << max(10, int(n * bits_per_key - 1).bit_length())
-    rows = (
-        members.select(F.xxhash64(member_col).alias("h")).distinct().collect()
-    )
     h1 = np.array([r.h for r in rows], dtype=np.int64).view(np.uint64)
     h2 = _splitmix64_np(h1) | np.uint64(1)
     words = np.zeros(m_bits // 64, dtype=np.uint64)

@@ -5873,21 +5873,27 @@ def rel_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "FROM t WHERE len(tk) >= 2), "
     "cxy AS (SELECT w1, w2, count(*)::BIGINT AS nxy FROM bg GROUP BY 1, 2), "
     "cx AS (SELECT w1, count(*)::BIGINT AS nx FROM bg GROUP BY 1), "
-    "cy AS (SELECT w2, count(*)::BIGINT AS ny FROM bg GROUP BY 1), "
-    "nn AS (SELECT count(*)::BIGINT AS n FROM bg) "
+    "cy AS (SELECT w2, count(*)::BIGINT AS ny FROM bg GROUP BY 1) "
     "SELECT w1, w2, nxy, "
-    "((nxy * nn.n * 1000000) // (cx.nx * cy.ny))::BIGINT AS pmi_ratio_x1m "
-    "FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN nn "
+    "((((nxy * 1000000) // cx.nx) * 1000000) // cy.ny)::BIGINT "
+    "AS pmi_score_x1e12 "
+    "FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) "
     "WHERE nxy >= 5 "
-    "ORDER BY pmi_ratio_x1m DESC, w1, w2 LIMIT 50",
+    "ORDER BY pmi_score_x1e12 DESC, w1, w2 LIMIT 50",
     doc="Collocation mining by pointwise mutual information: bigram "
-    "counts vs unigram margins, PMI emitted as the EXACT integer-scaled "
-    "ratio c(xy)*N*1e6 div (c(x)*c(y)) — the log is monotone, so ranking "
-    "by the scaled ratio ranks by PMI with zero FP (ln() differs per "
-    "libm at the last ulp; integer ratios cannot). One bigram-key "
-    "shuffle + two margin aggregates, min-count 5, top-50. The "
-    "phrase-detection pass of corpus tokenizer training (word2vec-style "
-    "phrase merging, public method).",
+    "counts vs unigram margins, scored as the EXACT integer-staged "
+    "ratio ((c(xy)*1e6 div c(x)) * 1e6) div c(y) — a 1e12-scaled "
+    "c(xy)/(c(x)c(y)), which ranks identically to PMI within a corpus "
+    "(N is a constant factor, log is monotone) with zero FP (ln() "
+    "differs per libm at the last ulp; integer ratios cannot). BIGINT "
+    "headroom is corpus-size-INDEPENDENT: c(xy) <= c(x) caps the first "
+    "quotient at 1e6, so every intermediate is <= 1e12 as long as "
+    "c(xy) <= 9.2e12 occurrences of one bigram (code-review r8 replaced "
+    "the single-product form, which overflowed at ~1e9 corpus bigrams). "
+    "The staged truncation coarsens only ratios below 1e-6 — never "
+    "top-50 material with min-count 5. One bigram-key shuffle + two "
+    "margin aggregates. The phrase-detection pass of corpus tokenizer "
+    "training (word2vec-style phrase merging, public method).",
 )
 def txt_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -5904,7 +5910,6 @@ def txt_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b.w1", "b.w2")
     )
-    n_bigrams = bg.count()  # scalar, embedded as a literal like txt_tfidf
     cxy = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nxy"))
     cx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("nx"))
     cy = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("ny"))
@@ -5916,13 +5921,13 @@ def txt_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "nxy",
-            F.expr(f"(nxy * {n_bigrams}L * 1000000L) div (nx * ny)").alias(
-                "pmi_ratio_x1m"
+            F.expr("(((nxy * 1000000L) div nx) * 1000000L) div ny").alias(
+                "pmi_score_x1e12"
             ),
         )
     )
     return rel.top_k(
-        scored, 50, [F.col("pmi_ratio_x1m").desc(), F.col("w1"), F.col("w2")]
+        scored, 50, [F.col("pmi_score_x1e12").desc(), F.col("w1"), F.col("w2")]
     )
 
 
@@ -6333,4 +6338,52 @@ def evt_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     sources = spark.createDataFrame([("click",)], "node string")
-    return gr.bfs_hops(edges, sources, max_hops=4)
+    # checkpoint_every=2: halves the nested union+join lineage the final
+    # plan carries (31 -> ~15 exchanges) for one extra tiny-state job
+    return gr.bfs_hops(edges, sources, max_hops=4, checkpoint_every=2)
+
+
+@query(
+    "rel_skyline_3d",
+    "WITH s AS (SELECT l_orderkey, l_linenumber, "
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents, "
+    "datediff('day', TIMESTAMP '1970-01-01', l_shipdate)::BIGINT AS day_no, "
+    "10000 - CAST(round(l_discount * 10000, 0) AS BIGINT) AS inv_disc_bp "
+    "FROM lineitem WHERE l_orderkey % 20 = 0) "
+    "SELECT l_orderkey, l_linenumber, price_cents, day_no, inv_disc_bp "
+    "FROM s q WHERE NOT EXISTS (SELECT 1 FROM s p "
+    "WHERE p.price_cents <= q.price_cents AND p.day_no <= q.day_no "
+    "AND p.inv_disc_bp <= q.inv_disc_bp AND (p.price_cents < q.price_cents "
+    "OR p.day_no < q.day_no OR p.inv_disc_bp < q.inv_disc_bp))",
+    doc="3-criteria skyline (cheapest, earliest-shipped, best-discount "
+    "line items; discount maximized via the 10000-bp complement so all "
+    "criteria minimize) through the GENERAL d-dimensional two-stage "
+    "operator (graph.skyline_nd: lex-sorted forward scan against the "
+    "growing front — a dominator always lex-precedes its victims — "
+    "local fronts, checkpointed union, guarded one-task final pass). "
+    "The oracle is the O(n^2) NOT-EXISTS definition, runnable because "
+    "the query pins a 1-in-20 orderkey subset; the operator itself "
+    "never goes quadratic in the corpus — per-point cost is the front "
+    "width, and the 2-D prefix-min fast path stays in skyline_2d.",
+)
+def rel_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+            )
+            .cast("bigint")
+            .alias("day_no"),
+            (10000 - F.round(F.col("l_discount") * 10000, 0).cast("bigint")).alias(
+                "inv_disc_bp"
+            ),
+        )
+    )
+    return gr.skyline_nd(li, ["price_cents", "day_no", "inv_disc_bp"])

@@ -418,3 +418,44 @@ def test_skyline_stage2_pools_across_arrow_batches(spark, monkeypatch):
     assert out.count() == n
     df3 = pts.withColumn("z", F.lit(0))
     assert gr.skyline_nd(df3, ["x", "y", "z"]).count() == n
+
+
+# ----------------------------------------------- trend slope / changepoint
+
+
+def test_trend_slope_sign_matches_construction(spark):
+    from wms_data_pipeline_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["evt_trend_slope"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.slope_den > 0  # day numbers are never all-equal
+        # slope magnitude sanity: |num/den| bounded by max daily count
+        assert abs(r.slope_num) <= r.slope_den * 10_000
+
+
+def test_cusum_changepoint_locates_injected_shift(spark):
+    from wms_data_pipeline_spark.operators import graph  # noqa: F401  (import path sanity)
+    import wms_data_pipeline_spark.plans.queries as Q
+
+    # synthetic series: 20 days at level 10, then 20 days at level 50 --
+    # the scaled CUSUM |sum(nd*x - S)| must peak exactly at the shift
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        """
+        WITH d AS (
+          SELECT 'a' AS event_type, range AS day_no,
+                 CASE WHEN range < 20 THEN 10 ELSE 50 END AS n
+          FROM range(0, 40)),
+        t AS (SELECT event_type, count(*) AS nd, sum(n) AS s FROM d GROUP BY 1),
+        c AS (SELECT d.event_type, d.day_no,
+              sum(t.nd * d.n - t.s) OVER (PARTITION BY d.event_type
+              ORDER BY d.day_no ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+              FROM d JOIN t USING (event_type))
+        SELECT day_no FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        ORDER BY abs(cusum) DESC, day_no) rn FROM c) WHERE rn = 1
+        """
+    ).fetchall()
+    assert rows[0][0] == 19  # last day of the low regime

@@ -6387,3 +6387,110 @@ def rel_skyline_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gr.skyline_nd(li, ["price_cents", "day_no", "inv_disc_bp"])
+
+
+@query(
+    "evt_trend_slope",
+    "WITH d AS (SELECT event_type, "
+    "datediff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts))::BIGINT "
+    "AS day_no, count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+    "SELECT event_type, count(*)::BIGINT AS n_days, "
+    "(count(*) * sum(day_no * n) - sum(day_no) * sum(n))::BIGINT "
+    "AS slope_num, "
+    "(count(*) * sum(day_no * day_no) - sum(day_no) * sum(day_no))::BIGINT "
+    "AS slope_den "
+    "FROM d GROUP BY event_type",
+    doc="Per-series least-squares trend: OLS slope of daily event counts "
+    "over the day number, emitted as the EXACT integer numerator/"
+    "denominator pair (slope = num/den) — the closed-form normal "
+    "equations are all integer sums of integer products, so the trend "
+    "test (sign, magnitude comparisons across series) is bit-exact with "
+    "no FP anywhere. Headroom: n_days*sum(day*n) <= 1e3 * (2e4*1e6*1e3) "
+    "= 2e16 at a thousand days of a million events/day. One day-rollup "
+    "shuffle + one tiny per-series aggregate; the volume-trend "
+    "complement of evt_robust_anomaly_mad's level test.",
+)
+def evt_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("bigint")
+        .alias("day_no"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("day_no") * F.col("n"))
+            - F.sum("day_no") * F.sum("n")
+        )
+        .cast("bigint")
+        .alias("slope_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("day_no") * F.col("day_no"))
+            - F.sum("day_no") * F.sum("day_no")
+        )
+        .cast("bigint")
+        .alias("slope_den"),
+    )
+
+
+@query(
+    "evt_cusum_changepoint",
+    "WITH d AS (SELECT event_type, "
+    "datediff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts))::BIGINT "
+    "AS day_no, count(*)::BIGINT AS n FROM events GROUP BY 1, 2), "
+    "t AS (SELECT event_type, count(*)::BIGINT AS nd, sum(n)::BIGINT AS s "
+    "FROM d GROUP BY 1), "
+    "c AS (SELECT d.event_type, d.day_no, "
+    "sum(t.nd * d.n - t.s) OVER (PARTITION BY d.event_type ORDER BY d.day_no "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cusum "
+    "FROM d JOIN t USING (event_type)) "
+    "SELECT event_type, day_no AS change_day_no, cusum AS cusum_peak "
+    "FROM (SELECT *, row_number() OVER (PARTITION BY event_type "
+    "ORDER BY abs(cusum) DESC, day_no) AS rn FROM c) WHERE rn = 1",
+    doc="CUSUM changepoint detection per event series: the day where the "
+    "cumulative deviation from the series mean peaks — the classic "
+    "level-shift locator (public method: CUSUM charts). Exactness trick: "
+    "deviations are scaled by the day count (nd*x_i - S is the "
+    "nd-scaled x_i - mean), keeping the running sum all-BIGINT — means "
+    "are rational, scaled means are integers. One day rollup, one tiny "
+    "per-series total, one keyed running window, one argmax window; "
+    "everything after the rollup is |series| x |days| sized.",
+)
+def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01")))
+        .cast("bigint")
+        .alias("day_no"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.join(t, "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(F.col("nd") * F.col("n") - F.col("s")).over(wrun).cast("bigint"),
+        )
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day_no")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wmax))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_no").alias("change_day_no"),
+            F.col("cusum").alias("cusum_peak"),
+        )
+    )

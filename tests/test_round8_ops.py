@@ -459,3 +459,48 @@ def test_cusum_changepoint_locates_injected_shift(spark):
         """
     ).fetchall()
     assert rows[0][0] == 19  # last day of the low regime
+
+
+# ----------------------------------------------- zorder + compaction
+
+
+def test_zorder_key_interleaves_and_guards(spark):
+    from wms_data_pipeline_spark.operators import relational as rel
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long")
+    key = df.select(rel.zorder_key(["a", "b"], bits=3).alias("k")).collect()[0].k
+    # interleave a=101, b=011 -> bits (b2 a2 b1 a1 b0 a0) = 0 1 1 0 1 1
+    assert key == 0b011011
+    with pytest.raises(ValueError, match="BIGINT"):
+        rel.zorder_key(["a", "b"], bits=32)
+    # locality: sorting by zkey bounds BOTH dims within contiguous runs
+    import itertools
+
+    pts = list(itertools.product(range(16), range(16)))
+    big = spark.createDataFrame(pts, "a long, b long")
+    rows = (
+        big.withColumn("k", rel.zorder_key(["a", "b"], bits=4))
+        .orderBy("k")
+        .collect()
+    )
+    quarter = rows[:64]  # first quarter of z-order = one 8x8 quadrant
+    assert max(r.a for r in quarter) < 8 and max(r.b for r in quarter) < 8
+
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    from wms_data_pipeline_spark.sources.landing import compact_dataset
+
+    path = str(tmp_path / "zone")
+    spark.range(10000).repartition(40).write.parquet(path)
+    import os
+
+    n0 = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n0 == 40
+    stats = compact_dataset(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 40 and stats["files_after"] == 1
+    assert stats["rows"] == 10000
+    got = spark.read.parquet(path)
+    assert got.count() == 10000
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(10000))
+    assert not os.path.exists(path + ".__compact_tmp")
+    assert not os.path.exists(path + ".__compact_trash")

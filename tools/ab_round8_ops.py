@@ -10,6 +10,8 @@ Legs (pick with argv[1], default all):
   wall vs the exact-join form at sf0.1.
 - ``jpeg``     : codec throughput (encode + decode, images/s single
   core) at the test-corpus image sizes.
+- ``zorder``   : parquet row-group pruning for a 2-D box predicate,
+  natural vs Z-ordered layout at sf0.1.
 
 Deterministic inputs throughout (hash-derived, no RNG state).
 """
@@ -163,11 +165,83 @@ def leg_jpeg():
         )
 
 
+
+
+def leg_zorder(spark, sf_dir="/root/testdata/sf0.1"):
+    """Data-skipping economics: lineitem written naturally vs Z-ordered
+    on (l_partkey, l_suppkey), then a 2-D box predicate scanned on each.
+    Reports parquet row-groups whose min/max CANNOT be pruned (pyarrow
+    footer walk) and the measured scan wall."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from wms_data_pipeline_spark.operators import relational as rel
+    from wms_data_pipeline_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    work = tempfile.mkdtemp(prefix="wms_zorder_ab_")
+    nat, zo = os.path.join(work, "nat"), os.path.join(work, "zo")
+    li.repartition(32).write.parquet(nat)
+    rel.zorder_layout(li, ["l_partkey", "l_suppkey"], bits=16).write.parquet(zo)
+
+    # 2-D box: a 1/8 slice of each dimension
+    pk_max = li.agg(F.max("l_partkey")).collect()[0][0]
+    sk_max = li.agg(F.max("l_suppkey")).collect()[0][0]
+    pk_lo, pk_hi = pk_max // 2, pk_max // 2 + pk_max // 8
+    sk_lo, sk_hi = sk_max // 2, sk_max // 2 + sk_max // 8
+
+    def rg_stats(path):
+        total = live = 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                cols = {
+                    g.column(i).path_in_schema: g.column(i).statistics
+                    for i in range(g.num_columns)
+                }
+                total += 1
+                pk, sk = cols["l_partkey"], cols["l_suppkey"]
+                if (
+                    pk.min <= pk_hi and pk.max >= pk_lo
+                    and sk.min <= sk_hi and sk.max >= sk_lo
+                ):
+                    live += 1
+        return total, live
+
+    def scan(path):
+        t0 = time.time()
+        n = (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("l_partkey").between(pk_lo, pk_hi))
+                & (F.col("l_suppkey").between(sk_lo, sk_hi))
+            )
+            .count()
+        )
+        return n, time.time() - t0
+
+    for label, path in (("natural", nat), ("zorder", zo)):
+        total, live = rg_stats(path)
+        n, dt = scan(path)
+        print(
+            f"zorder A/B {label}: {live}/{total} row-groups survive the "
+            f"2-D box min/max prune, scan {dt:.2f}s, {n} rows"
+        )
+    shutil.rmtree(work, ignore_errors=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("jpeg", "all"):
         leg_jpeg()
-    if which in ("skyline", "pagerank", "bloom", "all"):
+    if which in ("skyline", "pagerank", "bloom", "zorder", "all"):
         spark = _spark()
         if which in ("skyline", "all"):
             leg_skyline(spark)
@@ -175,3 +249,5 @@ if __name__ == "__main__":
             leg_pagerank(spark)
         if which in ("bloom", "all"):
             leg_bloom(spark)
+        if which in ("zorder", "all"):
+            leg_zorder(spark)

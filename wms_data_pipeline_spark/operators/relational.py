@@ -81,3 +81,53 @@ def sessionize(
         "session_id",
         F.coalesce(F.sum(F.coalesce(new_session, F.lit(0))).over(w), F.lit(0)),
     )
+
+
+def zorder_key(cols: list, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of ``len(cols)`` non-negative integer
+    columns, ``bits`` bits each, as one BIGINT sort key — the
+    multi-dimensional clustering technique behind Delta/Iceberg's
+    OPTIMIZE ZORDER (public method): sorting by the interleaved key
+    places rows close in EVERY keyed dimension into the same file/row
+    group, so min/max data skipping prunes scans filtered on ANY subset
+    of the dimensions (a lexicographic sort only prunes the leading
+    one).
+
+    Values are masked to ``bits`` low bits (callers range-normalize
+    first — e.g. bucketize or rank — when the domain exceeds 2^bits).
+    The key is a pure JVM expression (shift/or chain inside whole-stage
+    codegen, identical arithmetic in any SQL engine); bits*len(cols)
+    must fit a BIGINT (<= 62)."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * k > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds BIGINT range")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    mask = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cs):
+        masked = c.cast("long").bitwiseAND(F.lit(mask))
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(masked, b).bitwiseAND(F.lit(1)), b * k + j
+                )
+            )
+    return key.cast("long")
+
+
+def zorder_layout(df: DataFrame, cols: list, bits: int = 16) -> DataFrame:
+    """Rewrite ``df`` into Z-order: range-partition then sort by the
+    Morton key of ``cols`` so each output file covers a tight
+    hyper-rectangle of the keyed dimensions. Use before a partitioned/
+    bucketed write; pair with parquet min/max stats for data skipping.
+    ``repartitionByRange`` samples the key distribution, so output
+    files are balanced even when the key space is occupied unevenly."""
+    keyed = df.withColumn("__zkey", zorder_key(cols, bits))
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    return (
+        keyed.repartitionByRange(n, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )

@@ -100,3 +100,74 @@ def read_landing_all_runs(spark: SparkSession, landing_root: str, entity: str) -
         .option("mergeSchema", True)
         .parquet(os.path.join(landing_root, entity))
     )
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within_by: list | None = None,
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into
+    size-targeted files (ceil(total_bytes / target)) and atomically swap
+    it into place. THE recurring operational task of any long-running
+    landing/history zone — the r6 measurements showed a
+    partitionBy-without-repartition write producing 10x-slower readers;
+    this is the repair tool (and ``repartition-before-partitionBy`` the
+    prevention).
+
+    Swap protocol: write to ``<path>.__compact_tmp``, verify row count
+    equality, rename old -> ``.__compact_trash``, tmp -> path, delete
+    trash. On a POSIX filesystem the renames are atomic; on object
+    stores rename is copy+delete, so production there uses a table
+    format's transactional rewrite (Delta OPTIMIZE / Iceberg rewrite)
+    — same dataflow, different commit. Readers racing the swap on plain
+    parquet may glimpse the trash window; this tool is for maintenance
+    windows, which is how plain-parquet compaction is actually run.
+
+    ``sort_within_by`` optionally re-sorts rows inside each output file
+    (e.g. a zorder key via ``relational.zorder_key``) so compaction
+    doubles as a clustering pass. Returns {files_before, files_after,
+    bytes, rows}."""
+    import shutil
+
+    files = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    rows_before = df.count()
+    tmp = path.rstrip("/") + ".__compact_tmp"
+    trash = path.rstrip("/") + ".__compact_trash"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = df.repartition(int(n_out))
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_dataset: rewrite row count {rows_after} != "
+            f"{rows_before}; aborting before swap"
+        )
+    shutil.rmtree(trash, ignore_errors=True)
+    os.rename(path, trash)
+    os.rename(tmp, path)
+    shutil.rmtree(trash)
+    n_after = sum(
+        1
+        for dp, _dn, fn in os.walk(path)
+        for f in fn
+        if f.endswith(".parquet")
+    )
+    return {
+        "files_before": len(files),
+        "files_after": n_after,
+        "bytes": int(total_bytes),
+        "rows": int(rows_before),
+    }

@@ -504,3 +504,44 @@ def test_compact_dataset_merges_small_files(spark, tmp_path):
     assert got.agg(F.sum("id")).collect()[0][0] == sum(range(10000))
     assert not os.path.exists(path + ".__compact_tmp")
     assert not os.path.exists(path + ".__compact_trash")
+
+
+# -------------------------------------------------------------- BPE trainer
+
+
+def test_bpe_train_matches_textbook_sequence(spark):
+    """The Sennrich et al. example corpus must produce the canonical
+    merge order; ties break count-desc then lexicographic."""
+    import wms_data_pipeline_spark.operators.text as txt
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame([(text,)], "text string")
+    merges, vocab = txt.bpe_train(docs, num_merges=6)
+    got = [(r.left, r.right, r.pair_count) for r in merges.orderBy("rank").collect()]
+    assert got == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "w", 6),
+    ]
+    # vocab state after the merges: 'newest' is [n, ew, est</w>]
+    v = {tuple(r.syms): r.c for r in vocab.collect()}
+    assert v[("n", "ew", "est</w>")] == 6
+    assert v[("low", "</w>")] == 5
+
+
+def test_bpe_train_is_partition_invariant_and_stops_on_singletons(spark):
+    import wms_data_pipeline_spark.operators.text as txt
+
+    text = "aaab aaab abab cdcd cdcd"
+    d1 = spark.createDataFrame([(text,)], "text string")
+    d2 = spark.createDataFrame([(w,) for w in text.split()], "text string").repartition(5)
+    m1 = [(r.left, r.right) for r in txt.bpe_train(d1, num_merges=4)[0].orderBy("rank").collect()]
+    m2 = [(r.left, r.right) for r in txt.bpe_train(d2, num_merges=4)[0].orderBy("rank").collect()]
+    assert m1 == m2
+    # a corpus with no repeating pair (all count<2) learns nothing
+    empty = spark.createDataFrame([("xy",)], "text string")
+    m0, _ = txt.bpe_train(empty, num_merges=3)
+    assert m0.count() == 0

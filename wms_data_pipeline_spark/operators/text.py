@@ -389,3 +389,86 @@ def bloom_semi_prefilter(
         .filter(_maybe_member(F.col("_bloom_h")))
         .drop("_bloom_h")
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    colname: str = "text",
+    num_merges: int = 10,
+    checkpoint_every: int = 3,
+):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016, public
+    method) — learn ``num_merges`` byte-pair merges from a corpus.
+    Returns (merges_df, vocab_df): merges = (rank, left, right, merged,
+    pair_count) in learned order — THE artifact a tokenizer ships;
+    vocab = the final (word, symbols, count) state.
+
+    Distributed shape (how BPE actually trains at corpus scale): the
+    corpus collapses ONCE to (distinct word, count) — merges operate on
+    word TYPES weighted by frequency, so iteration cost scales with
+    vocabulary (~1e6 types for 100 TB of text), not corpus size. Each
+    round: one adjacent-pair explode + weighted count (shuffle on the
+    pair key), a 1-row argmax collect (bounded control-plane, ties
+    broken count-desc then lexicographic so training is deterministic),
+    and one Arrow pass merging the winning pair leftmost-first,
+    non-overlapping inside each word. State localCheckpoints every
+    ``checkpoint_every`` rounds (same lineage rule as graph.pagerank).
+    Words are lowercased [a-z]+ tokens with the </w> end marker."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens_of(colname)).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("syms"),
+            "c",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(num_merges):
+        pairs = words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+            "c",
+        ).groupBy("p.a", "p.b").agg(F.sum("c").alias("n"))
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not top or top[0].n < 2:
+            break
+        a, b, n = top[0].a, top[0].b, int(top[0].n)
+        merges.append((rank, a, b, a + b, n))
+
+        def _merge_pair(batches, a=a, b=b):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    s = list(syms)
+                    j, m = 0, []
+                    while j < len(s):
+                        if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                            m.append(a + b)
+                            j += 2
+                        else:
+                            m.append(s[j])
+                            j += 1
+                    out.append(m)
+                pdf = pdf.copy()
+                pdf["syms"] = out
+                yield pdf
+
+        words = words.mapInPandas(_merge_pair, schema="syms array<string>, c long")
+        if (rank + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    merges_df = spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    )
+    return merges_df, words

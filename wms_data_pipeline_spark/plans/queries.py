@@ -6547,3 +6547,51 @@ def rel_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk8").cast("bigint").alias("min_sk"),
         F.max("sk8").cast("bigint").alias("max_sk"),
     )
+
+
+@query(
+    "txt_bpe_top_pairs",
+    "WITH w AS (SELECT lower(t.tok) AS w, count(*)::BIGINT AS c FROM ("
+    "SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents) t "
+    "WHERE regexp_matches(lower(t.tok), '^[a-z]+$') GROUP BY 1), "
+    "s AS (SELECT list_append(string_split(w, ''), '</w>') AS syms, c FROM w), "
+    "p AS (SELECT syms[i] AS a, syms[i+1] AS b, c FROM s, "
+    "unnest(range(1, len(syms))) AS u(i)) "
+    "SELECT a, b, sum(c)::BIGINT AS pair_count FROM p GROUP BY a, b "
+    "ORDER BY pair_count DESC, a, b LIMIT 20",
+    doc="BPE training, step zero: frequency-weighted adjacent symbol-pair "
+    "counts over the word-type vocabulary (chars + the </w> end marker) "
+    "— the argmax of this table is the first merge operators/text.py "
+    "bpe_train learns (Sennrich et al. 2016, public method). The "
+    "iterative trainer itself is pytest-pinned to the paper's textbook "
+    "merge sequence (tests/test_round8_ops.py) because post-merge "
+    "symbol substitution is a sequential per-word scan no SQL engine "
+    "expresses; this query pins the distributed core of every round "
+    "(word-type collapse -> pair explode -> weighted count) under the "
+    "full value-hash oracle. Iteration cost scales with VOCABULARY "
+    "(word types), not corpus size — the property that makes corpus-"
+    "scale BPE training tractable.",
+)
+def txt_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(txt.tokens_of("text")).alias("tok"))
+        .select(F.lower("tok").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = w.select(
+        F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("syms"), "c"
+    )
+    p = s.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i-1] AS a, syms[i] AS b))"
+            )
+        ).alias("pr"),
+        "c",
+    ).select("pr.a", "pr.b", "c")
+    agg = p.groupBy("a", "b").agg(F.sum("c").cast("bigint").alias("pair_count"))
+    return rel.top_k(agg, 20, [F.col("pair_count").desc(), F.col("a"), F.col("b")])

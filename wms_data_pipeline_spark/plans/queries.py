@@ -5801,6 +5801,7 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
 @query(
     "evt_pagerank",
     _pagerank_oracle_sql(5),
+    headline=True,
     doc="Weighted PageRank (damping 0.85, 5 iterations, dangling mass "
     "redistributed) over the event-type transition graph of "
     "evt_markov_transitions — the link-graph quality prior of public "
@@ -6077,6 +6078,7 @@ def evt_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT sh.doc_id, count(DISTINCT sh.g)::BIGINT AS n_overlap "
     "FROM sh JOIN test USING (g) WHERE sh.b <> 0 "
     "GROUP BY sh.doc_id HAVING count(DISTINCT sh.g) >= 3",
+    headline=True,
     doc="Decontamination via Bloom PREFILTER + exact confirm: the eval "
     "split's distinct 4-gram shingles build a broadcast Bloom bitset "
     "(16 bits/key, k=4, Kirsch-Mitzenmacher double hashing over "
@@ -6159,6 +6161,7 @@ def mm_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT qdoc AS query_doc, doc_id, maxsim_x1m FROM ("
     "SELECT *, row_number() OVER (PARTITION BY qdoc "
     "ORDER BY maxsim_x1m DESC, doc_id) AS rn FROM s) WHERE rn <= 5",
+    headline=True,
     doc="Multi-vector late-interaction retrieval (ColBERT MaxSim, public "
     "method): docs and queries are bags of token vectors (vec_id div 4 "
     "groups the embeddings table into 4-token docs), score = sum over "
@@ -6316,6 +6319,7 @@ def _bfs_oracle_sql(source: str, hops: int) -> str:
 @query(
     "evt_bfs_hops",
     _bfs_oracle_sql("click", 4),
+    headline=True,
     doc="Multi-source BFS hop distance (here: how many event transitions "
     "separate each event type from 'click') via the frontier-free "
     "min-plus relaxation in operators/graph.py bfs_hops — the reach/"

@@ -129,6 +129,33 @@ def test_pagerank_sums_to_scale_and_is_partition_invariant(spark):
     assert r1["a"] == max(r1.values()) and r1["d"] == min(r1.values())
 
 
+def test_pagerank_local_matches_distributed_bitwise(spark):
+    import random
+
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    rng = random.Random(8)
+    edges = spark.createDataFrame(
+        [
+            (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}", rng.randrange(1, 9))
+            for _ in range(200)
+        ],
+        "src string, dst string, weight long",
+    )
+    loc = {
+        r.node: r.rank_scaled
+        for r in gr.pagerank(edges, iterations=5, strategy="local").collect()
+    }
+    dist = {
+        r.node: r.rank_scaled
+        for r in gr.pagerank(edges, iterations=5, strategy="distributed").collect()
+    }
+    assert loc == dist  # one integer formula, two execution plans
+
+    with pytest.raises(ValueError, match="strategy"):
+        gr.pagerank(edges, strategy="bogus")
+
+
 def test_pagerank_dangling_mass_redistributed(spark):
     from wms_data_pipeline_spark.operators import graph as gr
 
@@ -369,6 +396,35 @@ def test_bfs_hops_matches_reference_and_is_partition_invariant(spark):
     # hop cap truncates reach
     got1 = {r.node: r.hops for r in gr.bfs_hops(edges, src, max_hops=1).collect()}
     assert "d" not in got1 and got1 == {"a": 0, "b": 1, "c": 1}
+
+
+def test_bfs_hops_local_matches_distributed(spark):
+    import random
+
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [
+            (f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+            for _ in range(120)
+        ],
+        "src string, dst string",
+    )
+    src = spark.createDataFrame([("n0",), ("n7",)], "node string")
+    loc = {
+        r.node: r.hops
+        for r in gr.bfs_hops(edges, src, max_hops=5, strategy="local").collect()
+    }
+    dist = {
+        r.node: r.hops
+        for r in gr.bfs_hops(
+            edges, src, max_hops=5, strategy="distributed"
+        ).collect()
+    }
+    assert loc == dist
+    with pytest.raises(ValueError, match="strategy"):
+        gr.bfs_hops(edges, src, strategy="nope")
 
 
 def test_skyline_nd_matches_bruteforce(spark):

@@ -32,6 +32,14 @@ PR_SCALE = 1_000_000_000
 #: single-partition final pass would be the bottleneck — fail loudly.
 MAX_SKYLINE_CANDIDATES = 2_000_000
 
+#: ``pagerank(strategy="auto")`` solves graphs at or below this many
+#: AGGREGATED edges driver-side (one bounded collect, same size class as
+#: a broadcast-join build side) instead of running N distributed
+#: iterations. An aggregated (src, dst, weight) list this small is
+#: dimension-table-sized however big the raw event scan that produced it
+#: was — the scan stays distributed; only the fixed-point loop moves.
+MAX_LOCAL_GRAPH_EDGES = 1_000_000
+
 
 def pagerank(
     edges: DataFrame,
@@ -41,6 +49,7 @@ def pagerank(
     dst: str = "dst",
     weight: str = "weight",
     checkpoint_every: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Weighted PageRank with dangling-mass redistribution, in exact
     scaled-integer arithmetic (see module docstring).
@@ -52,13 +61,24 @@ def pagerank(
     out-edges. Returns (node, rank_scaled) — rank_scaled/1e9 ≈ the
     probability.
 
-    Scale: each iteration is one shuffle on ``src`` (edges ⋈ ranks) plus
-    one on ``dst`` (contribution aggregate); edges are re-used every
-    iteration, so callers should persist them. ``localCheckpoint`` every
-    ``checkpoint_every`` iterations truncates the growing lineage —
-    without it iteration 30's plan replays all prior joins. The dangling
-    sum is a scalar aggregate (one tiny driver value per iteration, the
-    same control-plane shape as the watermark reads)."""
+    ``strategy``: ``"distributed"`` iterates in DataFrame ops —
+    each iteration one shuffle on ``src`` (edges ⋈ ranks) plus one on
+    ``dst`` (contribution aggregate), lineage truncated every
+    ``checkpoint_every`` iterations — the path for web-scale link
+    graphs. ``"local"`` collects the AGGREGATED edge list once and runs
+    the fixed-point loop in driver Python over exact ints — the path
+    for graphs whose edge list is broadcast-sized (an event-type
+    transition matrix, a label co-occurrence graph) where N distributed
+    iterations are pure scheduling overhead. ``"auto"`` counts edges and
+    picks (≤ MAX_LOCAL_GRAPH_EDGES → local). Both paths share one
+    integer formula, so they are bit-identical — tested, not assumed.
+
+    Scale: edges are re-used every iteration, so callers should persist
+    them. The distributed path's dangling sum is a scalar aggregate (one
+    tiny driver value per iteration, the same control-plane shape as the
+    watermark reads)."""
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"pagerank: unknown strategy {strategy!r}")
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
@@ -69,6 +89,12 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if strategy == "auto":
+        strategy = (
+            "local" if e.count() <= MAX_LOCAL_GRAPH_EDGES else "distributed"
+        )
+    if strategy == "local":
+        return _pagerank_local(e, nodes, iterations, damping_pct)
     outw = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -109,6 +135,46 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def _pagerank_local(
+    e: DataFrame, nodes: DataFrame, iterations: int, damping_pct: int
+) -> DataFrame:
+    """Driver-side fixed point for broadcast-sized graphs: one bounded
+    collect of the aggregated edges, then the IDENTICAL integer formula
+    as the distributed loop (Python ``//`` on non-negative ints == Spark
+    ``div`` == DuckDB ``//``), so results are bit-for-bit equal."""
+    from pyspark.sql import types as T
+
+    rows = e.collect()
+    node_field = nodes.schema.fields[0]
+    out_schema = T.StructType(
+        [node_field, T.StructField("rank_scaled", T.LongType(), False)]
+    )
+    spark = e.sparkSession
+    node_set = {r.src for r in rows} | {r.dst for r in rows}
+    n_nodes = len(node_set)
+    if n_nodes == 0:
+        return spark.createDataFrame([], out_schema)
+    out_w: dict = {}
+    for r in rows:
+        out_w[r.src] = out_w.get(r.src, 0) + int(r.w)
+    init = PR_SCALE // n_nodes
+    teleport = ((100 - damping_pct) * init) // 100
+    ranks = {v: init for v in node_set}
+    for _ in range(iterations):
+        contrib = dict.fromkeys(node_set, 0)
+        for r in rows:
+            contrib[r.dst] += (ranks[r.src] * int(r.w)) // out_w[r.src]
+        dangling = sum(ranks[v] for v in node_set if v not in out_w)
+        ranks = {
+            v: teleport
+            + (damping_pct * (contrib[v] + dangling // n_nodes)) // 100
+            for v in node_set
+        }
+    return spark.createDataFrame(
+        sorted(ranks.items()), out_schema
+    )
 
 
 def _pool_batches(kernel):
@@ -205,6 +271,7 @@ def bfs_hops(
     dst: str = "dst",
     node: str = "node",
     checkpoint_every: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Multi-source BFS: hop distance from the nearest source node,
     following edge direction, capped at ``max_hops``. Returns
@@ -219,8 +286,47 @@ def bfs_hops(
     aggregate); lineage truncates every ``checkpoint_every`` iterations.
     Iterating to ``max_hops`` rather than to convergence keeps the pass
     count static for planning; BFS depth beyond ~6 on social-shaped
-    graphs is usually noise (public small-world measurements)."""
+    graphs is usually noise (public small-world measurements).
+
+    ``strategy`` mirrors ``pagerank``: ``"local"`` collects the
+    aggregated edge list (bounded by MAX_LOCAL_GRAPH_EDGES under
+    ``"auto"``) and runs the frontier loop driver-side — hop counts are
+    small exact ints, so the two paths are trivially bit-identical."""
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"bfs_hops: unknown strategy {strategy!r}")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if strategy == "auto":
+        strategy = (
+            "local" if e.count() <= MAX_LOCAL_GRAPH_EDGES else "distributed"
+        )
+    if strategy == "local":
+        from pyspark.sql import types as T
+
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r._s, set()).add(r._d)
+        hops = {r[0]: 0 for r in sources.select(node).distinct().collect()}
+        frontier = set(hops)
+        for h in range(1, max_hops + 1):
+            frontier = {
+                d
+                for s in frontier
+                for d in adj.get(s, ())
+                if d not in hops
+            }
+            for d in frontier:
+                hops[d] = h
+            if not frontier:
+                break
+        node_field = T.StructField(
+            node, sources.schema[node].dataType, True
+        )
+        return edges.sparkSession.createDataFrame(
+            sorted(hops.items()),
+            T.StructType(
+                [node_field, T.StructField("hops", T.LongType(), False)]
+            ),
+        )
     dist = sources.select(F.col(node).alias("_n")).distinct().withColumn(
         "hops", F.lit(0).cast("long")
     )

@@ -601,3 +601,88 @@ def test_bpe_train_is_partition_invariant_and_stops_on_singletons(spark):
     empty = spark.createDataFrame([("xy",)], "text string")
     m0, _ = txt.bpe_train(empty, num_merges=3)
     assert m0.count() == 0
+
+
+# ------------------------------------------- CDC apply_changes (tombstones)
+
+
+def test_apply_changes_tombstone_and_compose_equals_replay(spark):
+    from wms_data_pipeline_spark.operators.merge import apply_changes
+
+    rows = [
+        # (key, seq, val, op)
+        ("a", 1, "a1", "U"),
+        ("a", 2, "a2", "U"),
+        ("b", 1, "b1", "U"),
+        ("b", 2, None, "D"),   # b deleted
+        ("c", 1, None, "D"),   # c never existed -> still absent
+        ("c", 2, "c2", "U"),   # ...but revived later
+        ("d", 1, "d1", "U"),
+        ("d", 3, None, "D"),   # d's delete wins over the later-arriving d@2
+        ("d", 2, "d2", "U"),
+    ]
+    ch = spark.createDataFrame(rows, "k string, seq int, v string, op string")
+    replay = {
+        (r.k, r.seq, r.v)
+        for r in apply_changes(None, ch, "k", ["seq"]).collect()
+    }
+    assert replay == {("a", 2, "a2"), ("c", 2, "c2")}
+
+    # compose: snapshot at seq<=1 then delta seq>1 == full replay
+    snap = apply_changes(None, ch.filter("seq <= 1"), "k", ["seq"])
+    composed = {
+        (r.k, r.seq, r.v)
+        for r in apply_changes(snap, ch.filter("seq > 1"), "k", ["seq"]).collect()
+    }
+    assert composed == replay
+
+    with pytest.raises(ValueError, match="op column"):
+        apply_changes(None, ch.drop("op"), "k", ["seq"])
+    with pytest.raises(ValueError, match="compacted"):
+        apply_changes(ch, ch, "k", ["seq"])
+
+
+# --------------------------------------------------- CMS heavy hitters
+
+
+def test_cms_heavy_keys_exact_vs_brute(spark):
+    import random
+
+    from wms_data_pipeline_spark.operators import text as txt
+
+    rng = random.Random(5)
+    vals = [f"k{rng.randrange(400)}" for _ in range(3000)] + ["hot"] * 50
+    df = spark.createDataFrame([(v,) for v in vals], "g string")
+    got = {(r.g, r.n) for r in txt.cms_heavy_keys(df, "g", 12).collect()}
+    from collections import Counter
+
+    want = {(k, n) for k, n in Counter(vals).items() if n >= 12}
+    assert got == want and ("hot", 50) in got
+
+    # narrow fixed width on a uniform corpus must fail loudly, not
+    # silently degrade to a full shuffle
+    with pytest.raises(ValueError, match="widen the sketch"):
+        txt.cms_heavy_keys(df, "g", 2, width=64)
+
+
+# ------------------------------------------------ expectations_report
+
+
+def test_expectations_report_long_form(spark):
+    from wms_data_pipeline_spark.operators.quality import (
+        accepted_values,
+        expectations_report,
+        in_range,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 5), ("B", 200), (None, 7), ("A", None)],
+        "flag string, qty int",
+    )
+    rules = {**accepted_values("flag", "AB"), **in_range("qty", 0, 100)}
+    got = {r.rule: (r.n_rows, r.n_violations) for r in
+           expectations_report(df, rules).collect()}
+    # null flag and null qty both count as violations
+    assert got == {"flag_domain": (4, 1), "qty_range": (4, 2)}
+    with pytest.raises(ValueError, match="no expectations"):
+        expectations_report(df, {})

@@ -33,8 +33,10 @@ DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 4  # rows per band = NUM_PERM / BANDS
 
 
-def shingles_of(colname: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as a distinct array, map-side.
+def shingles_of(colname: str = "text", n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles as an array, map-side — distinct per doc by
+    default (set semantics for MinHash/Jaccard); ``distinct=False`` keeps
+    every occurrence (multiplicity semantics for frequency sketches).
 
     Built as ``arrays_zip`` of n shifted slices rather than indexed
     ``element_at`` inside the transform lambda — the lambda body would
@@ -48,7 +50,9 @@ def shingles_of(colname: str = "text", n: int = 3) -> Column:
     grams = F.transform(
         zipped, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -116,6 +116,44 @@ def latest_merge(
     )
 
 
+def apply_changes(
+    current: DataFrame | None,
+    changes: DataFrame,
+    key: str,
+    order_by: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Tombstone-aware CDC apply (the Debezium/`APPLY CHANGES` shape,
+    extending op 20's newer-wins with deletes): the newest row per key
+    across ``current`` ∪ ``changes`` wins, and if that winner is a
+    ``delete_op`` the key disappears from the output. ``current`` rows
+    carry no op column (a compacted snapshot is upserts by construction —
+    tombstone winners were already dropped by the previous apply), so
+    snapshot-then-delta composes to the same state as replaying the full
+    changelog: compaction only ever removes rows that could never win.
+
+    One shuffle on ``key`` (the row_number window); ``order_by`` must be
+    a total order within a key (e.g. ts + a unique sequence column) or
+    the winner is nondeterministic. Output drops ``op_col``."""
+    if op_col not in changes.columns:
+        raise ValueError(f"apply_changes: changes lacks op column {op_col!r}")
+    ch = changes
+    if current is not None:
+        if op_col in current.columns:
+            raise ValueError(
+                f"apply_changes: current must not carry {op_col!r} — pass a "
+                "compacted snapshot (tombstones already applied)"
+            )
+        ch = ch.unionByName(current.withColumn(op_col, F.lit("U")))
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        ch.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn", op_col)
+    )
+
+
 class ParquetTable:
     """Versioned-directory parquet table: atomic publish via
     write-new-version-then-flip, mirroring the reference's tmp→rename

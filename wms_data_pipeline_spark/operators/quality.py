@@ -67,3 +67,46 @@ def check_expectations(
 def not_null(*cols: str) -> dict[str, Column]:
     """The reference's contract (op 8) as expectations."""
     return {f"{c}_not_null": F.col(c).isNotNull() for c in cols}
+
+
+def accepted_values(col: str, values) -> dict[str, Column]:
+    """dbt-style accepted_values test: the column must be one of
+    ``values`` (null = violation, per check_expectations coercion)."""
+    return {f"{col}_domain": F.col(col).isin(list(values))}
+
+
+def in_range(col: str, lo, hi) -> dict[str, Column]:
+    """Closed-interval range test (null = violation)."""
+    return {f"{col}_range": F.col(col).between(lo, hi)}
+
+
+def expectations_report(
+    df: DataFrame, expectations: dict[str, Column]
+) -> DataFrame:
+    """``check_expectations`` as a LAZY long-form DataFrame — (rule,
+    n_rows, n_violations), one row per expectation — for pipelines that
+    persist audit metrics instead of raising. Same one-scan property:
+    a single conditional aggregate, unpivoted with ``stack`` (rows =
+    len(expectations), never data-sized); no driver collect."""
+    if not expectations:
+        raise ValueError("expectations_report: no expectations given")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(
+                F.when(
+                    F.coalesce(cond.cast("boolean"), F.lit(False)), 0
+                ).otherwise(1)
+            )
+            .cast("long")
+            .alias(name)
+            for name, cond in expectations.items()
+        ],
+    )
+    pairs = ", ".join(f"'{n}', `{n}`" for n in expectations)
+    return agg.select(
+        F.expr(
+            f"stack({len(expectations)}, {pairs}) AS (rule, n_violations)"
+        ),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_rows"),
+    ).select("rule", "n_rows", "n_violations")

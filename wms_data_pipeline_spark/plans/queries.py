@@ -6599,3 +6599,129 @@ def txt_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pr.a", "pr.b", "c")
     agg = p.groupBy("a", "b").agg(F.sum("c").cast("bigint").alias("pair_count"))
     return rel.top_k(agg, 20, [F.col("pair_count").desc(), F.col("a"), F.col("b")])
+
+
+@query(
+    "dq_accepted_values",
+    "SELECT * FROM ("
+    "SELECT 'l_returnflag_domain' AS rule, count(*)::BIGINT AS n_rows, "
+    "count(*) FILTER (l_returnflag NOT IN ('A','N','R') "
+    "OR l_returnflag IS NULL)::BIGINT AS n_violations FROM lineitem "
+    "UNION ALL SELECT 'l_linestatus_domain', count(*)::BIGINT, "
+    "count(*) FILTER (l_linestatus NOT IN ('O','F') "
+    "OR l_linestatus IS NULL)::BIGINT FROM lineitem "
+    "UNION ALL SELECT 'l_quantity_range', count(*)::BIGINT, "
+    "count(*) FILTER (l_quantity NOT BETWEEN 1 AND 50 "
+    "OR l_quantity IS NULL)::BIGINT FROM lineitem "
+    "UNION ALL SELECT 'l_discount_range', count(*)::BIGINT, "
+    "count(*) FILTER (l_discount NOT BETWEEN 0 AND 0.1 "
+    "OR l_discount IS NULL)::BIGINT FROM lineitem "
+    "UNION ALL SELECT 'o_orderstatus_domain', count(*)::BIGINT, "
+    "count(*) FILTER (o_orderstatus NOT IN ('O','F','P') "
+    "OR o_orderstatus IS NULL)::BIGINT FROM orders "
+    "UNION ALL SELECT 'o_orderpriority_format', count(*)::BIGINT, "
+    "count(*) FILTER (NOT regexp_matches(o_orderpriority, '^[1-5]-') "
+    "OR o_orderpriority IS NULL)::BIGINT FROM orders"
+    ")",
+    doc="dbt-style accepted-values / range conformance audit "
+    "(operators/quality.py expectations_report): all checks per table "
+    "evaluate in ONE conditional aggregate (a scan per TABLE, not per "
+    "rule — at 100 TB the N-rules-one-pass property is the whole "
+    "operator), unpivoted via stack to a long-form (rule, n_rows, "
+    "n_violations) audit the run log can persist. Null coerces to "
+    "violation per SQL three-valued logic, matching check_expectations.",
+)
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        accepted_values,
+        expectations_report,
+        in_range,
+    )
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    l_rules = {
+        "l_returnflag_domain": accepted_values("l_returnflag", "ANR")[
+            "l_returnflag_domain"
+        ],
+        "l_linestatus_domain": accepted_values("l_linestatus", "OF")[
+            "l_linestatus_domain"
+        ],
+        "l_quantity_range": in_range("l_quantity", 1, 50)["l_quantity_range"],
+        "l_discount_range": in_range("l_discount", 0, 0.1)["l_discount_range"],
+    }
+    o_rules = {
+        "o_orderstatus_domain": accepted_values("o_orderstatus", "OFP")[
+            "o_orderstatus_domain"
+        ],
+        "o_orderpriority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+    }
+    return expectations_report(l, l_rules).unionByName(
+        expectations_report(o, o_rules)
+    )
+
+
+@query(
+    "wm_cdc_tombstone_state",
+    # snapshot(<=cut) + delta(>cut) apply == one newest-wins pass over the
+    # full changelog with the winner dropped when it is a delete
+    "WITH r AS (SELECT user_id, ts, event_type, event_id, "
+    "row_number() OVER (PARTITION BY user_id "
+    "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+    "SELECT user_id, ts AS last_ts, event_type AS last_type FROM r "
+    "WHERE rn = 1 AND event_type <> 'error'",
+    doc="Tombstone-aware CDC apply (operators/merge.py apply_changes — "
+    "the Debezium/APPLY CHANGES composition the reference's latest-state "
+    "upsert lacks, staging_repo.py:60-92 only upserts): the events "
+    "changelog maps 'error' to a delete op; a compacted snapshot is "
+    "built at the watermark cut (tombstone winners dropped), then the "
+    "post-cut delta applies on top — newest row per user wins, a "
+    "winning tombstone removes the user. The oracle replays the FULL "
+    "changelog in one pass, pinning the compose-equals-replay law "
+    "(compaction only drops rows that can never win). One key shuffle "
+    "per apply; delta-sized input per incremental run.",
+)
+def wm_cdc_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.merge import apply_changes
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    op = F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    hist = ev.filter(F.col("ts") <= F.lit(EVENTS_CUT)).withColumn("op", op)
+    delta = ev.filter(F.col("ts") > F.lit(EVENTS_CUT)).withColumn("op", op)
+    snap = apply_changes(None, hist, "user_id", ["ts", "event_id"])
+    state = apply_changes(snap, delta, "user_id", ["ts", "event_id"])
+    return state.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+@query(
+    "txt_cms_heavy_shingles",
+    "WITH t AS (SELECT regexp_extract_all(text, '\\S+') AS tk FROM documents), "
+    "g AS (SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] "
+    "AS shingle FROM t, unnest(range(1, len(tk) - 2)) AS u(i)) "
+    "SELECT shingle, count(*)::BIGINT AS n FROM g GROUP BY shingle "
+    "HAVING count(*) >= 3",
+    doc="Boilerplate-phrase detection as EXACT heavy hitters at sketch "
+    "cost: 4-gram shingles (multiplicity-keeping shingles_of) with "
+    "global count >= 3, found by operators/text.py cms_heavy_keys — a "
+    "count-min sketch (Cormode-Muthukrishnan, public method) whose "
+    "full-corpus aggregation is depth x width cells (map-side partials, "
+    "~16k-row shuffle at ANY corpus size), then a map-side broadcast "
+    "prefilter so only rows in all-heavy cells reach the exact-confirm "
+    "key shuffle. CMS never undercounts -> no false negatives; the "
+    "exact confirm kills collision false positives -> output equals the "
+    "oracle's plain GROUP BY. Completes the sketch family (HLL "
+    "distinct, Bloom membership, CMS frequency).",
+)
+def txt_cms_heavy_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(dd.shingles_of("text", 4, distinct=False)).alias("shingle")
+    )
+    return txt.cms_heavy_keys(sh, "shingle", threshold=3)

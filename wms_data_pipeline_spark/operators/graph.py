@@ -89,9 +89,33 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # One bounded scalar aggregate validates weights AND sizes the graph
+    # for auto-dispatch. The exact-integer contract (trunc == floor,
+    # order-free sums) assumes positive weights; a null/zero weight
+    # would otherwise DIVERGE between strategies (distributed `div`
+    # yields NULL and silently drops the contribution, local Python
+    # raises) — fail loudly in both instead.
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("w").isNull() | (F.col("w") < 1), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("bad"),
+    ).collect()[0]
+    if stats["bad"]:
+        raise ValueError(
+            f"pagerank: {stats['bad']} edge(s) with null/non-positive "
+            f"weight in {weight!r}; exact integer PageRank requires "
+            "weights >= 1 (pre-filter or reweight the edge list)"
+        )
     if strategy == "auto":
         strategy = (
-            "local" if e.count() <= MAX_LOCAL_GRAPH_EDGES else "distributed"
+            "local" if stats["n"] <= MAX_LOCAL_GRAPH_EDGES
+            else "distributed"
         )
     if strategy == "local":
         return _pagerank_local(e, nodes, iterations, damping_pct)
@@ -102,7 +126,27 @@ def pagerank(
     init = PR_SCALE // n_nodes
     teleport = ((100 - damping_pct) * init) // 100
     ranks = nodes.withColumn("rank_scaled", F.lit(init).cast("long"))
+    # Each iteration's dangling-mass collect is a SEPARATE action on the
+    # ranks plan; without materialization it would re-execute every
+    # iteration since the last checkpoint (quadratic replay inside each
+    # checkpoint_every window). Persisting ranks before the collect
+    # makes the collect populate the cache, so the contribution join
+    # reads the SAME materialization; the previous iteration's cache is
+    # released once its successor is materialized. localCheckpoint on
+    # the cadence still truncates lineage so plan size stays bounded.
+    prev_cached = None
     for it in range(iterations):
+        ranks = ranks.persist()
+        # dangling mass: rank held by nodes with no out-edges (this
+        # action materializes the persisted ranks)
+        dangling = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)))
+            .collect()[0][0]
+        )
+        if prev_cached is not None:
+            prev_cached.unpersist(False)
+        prev_cached = ranks
         contrib = (
             e.join(ranks, e.src == ranks.node)
             .join(outw, "src")
@@ -112,12 +156,6 @@ def pagerank(
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
-        )
-        # dangling mass: rank held by nodes with no out-edges
-        dangling = (
-            ranks.join(outw, ranks.node == outw.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)))
-            .collect()[0][0]
         )
         ranks = (
             nodes.join(contrib, "node", "left")
@@ -134,6 +172,9 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint()
+    ranks = ranks.localCheckpoint()
+    if prev_cached is not None:
+        prev_cached.unpersist(False)
     return ranks
 
 

@@ -87,16 +87,22 @@ def expectations_report(
     n_rows, n_violations), one row per expectation — for pipelines that
     persist audit metrics instead of raising. Same one-scan property:
     a single conditional aggregate, unpivoted with ``stack`` (rows =
-    len(expectations), never data-sized); no driver collect."""
+    len(expectations), never data-sized); no driver collect. On an
+    empty input every rule reports 0 violations over 0 rows (``sum``
+    over zero rows is NULL — coalesced here so persisted audit tables
+    never carry NULL counts)."""
     if not expectations:
         raise ValueError("expectations_report: no expectations given")
     agg = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(
-                    F.coalesce(cond.cast("boolean"), F.lit(False)), 0
-                ).otherwise(1)
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.coalesce(cond.cast("boolean"), F.lit(False)), 0
+                    ).otherwise(1)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias(name)

@@ -18,6 +18,16 @@ from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\\S+"
 
+#: ``cms_heavy_keys``: widest sketch whose per-depth (bucket, count)
+#: slice still broadcasts (2^21 cells ~ 32 MB serialized); above this
+#: the candidate-scoring joins switch to shuffle hash joins.
+BROADCAST_MAX_WIDTH = 1 << 21
+
+#: ``cms_heavy_keys``: auto-sizing cap (2^27 cells ~ 1 GB/depth as a
+#: join table). A distinct-key estimate demanding more than this means
+#: the caller must size the sketch from a heavy-mass estimate instead.
+MAX_AUTO_WIDTH = 1 << 27
+
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic. Deterministic and SQL-expressible; a production lang-ID model
 #: would ride the same mapInPandas plumbing as operators/multimodal.py.
@@ -411,9 +421,9 @@ def cms_heavy_keys(
     The 100 TB shape: a naive exact heavy-hitter pass shuffles EVERY
     distinct key (trillions of shingles); here the full-data aggregation
     is over (depth × width) sketch cells — map-side partials collapse to
-    a ~16k-row table regardless of input size — and the second pass
-    scores each raw row MAP-SIDE via ``depth`` broadcast hash joins
-    against that tiny sketch, so only rows whose sketch row-min clears
+    a width-bounded table regardless of input size — and the second pass
+    scores each raw row via ``depth`` hash joins against that sketch
+    (broadcast while it fits; see below), so only rows whose sketch row-min clears
     the threshold (a mass bounded by heavy keys + collision noise) ever
     reach the key shuffle of the exact confirm aggregation. All hashing
     is JVM-side (``xxhash64(depth_i, key)``). A saturation guard fails
@@ -421,22 +431,40 @@ def cms_heavy_keys(
     threshold — there the prefilter passes ~everything and the sketch
     is too narrow for the corpus (raise ``width``).
 
-    ``width=None`` auto-sizes to the next power of two above the input
-    row count (one cheap count aggregate), keeping MEAN cell load <= 1 —
-    the regime where only genuinely-heavy cells clear any threshold >= 2
-    (Poisson(1) tail: ~1.9% of cells at threshold 3, ~0.02^depth FP per
-    key). A fixed width saturates as the corpus grows past
+    ``width=None`` auto-sizes to the next power of two above the
+    DISTINCT-key estimate (one ``approx_count_distinct`` aggregate —
+    NOT the row count, which over-sizes by the mean multiplicity),
+    keeping MEAN distinct-keys-per-cell <= 1 — the regime where a cell
+    clears threshold >= 2 only via a genuinely-heavy key or a
+    Poisson-tail collision (~1.9% of cells at threshold 3, ~0.02^depth
+    FP per key). A fixed width saturates as the corpus grows past
     width*threshold total occurrences; pass an explicit width only with
-    a corpus-size estimate in hand. Sketch size stays depth*width cells
-    of 8 bytes — 32 MB broadcast per billion input rows, which is the
-    trade: O(n) bits of sketch for an exact answer with no full-key
-    shuffle (a skew-aware caller can shrink width by total/heavy-mass
-    ratio; uniform corpora like worst-case synthetic text genuinely
-    need load <= 1)."""
+    a corpus-size estimate in hand (skewed corpora can shrink width by
+    the heavy-mass ratio; the saturation guard makes a mis-sized
+    sketch a loud error).
+
+    Sketch transport: each depth's join slice is ``width`` (bucket,
+    count) rows — broadcast only while width <= BROADCAST_MAX_WIDTH
+    (2^21 cells ~ 32 MB serialized); wider sketches switch to shuffle
+    hash joins automatically (4 extra data shuffles, still no
+    distinct-key-sized state on any single node). Auto-sizing refuses
+    to exceed MAX_AUTO_WIDTH (2^27 cells ~ 1 GB/depth as a join table;
+    a billion DISTINCT keys would need a 2^30-cell slice = 8 GB/depth,
+    32 GB at depth 4 — never a broadcast): above that, pass ``width``
+    explicitly sized from your heavy-mass estimate."""
     ex = df.select(F.col(colname).alias("_k"))
     if width is None:
-        n_rows = ex.count()
-        width = 1 << max(12, int(n_rows).bit_length())
+        n_distinct = ex.agg(
+            F.approx_count_distinct("_k").alias("d")
+        ).collect()[0]["d"]
+        width = 1 << max(12, int(n_distinct).bit_length())
+        if width > MAX_AUTO_WIDTH:
+            raise ValueError(
+                f"cms_heavy_keys: auto width {width} (from ~{n_distinct} "
+                f"distinct keys) exceeds MAX_AUTO_WIDTH={MAX_AUTO_WIDTH}; "
+                "pass an explicit width sized from the heavy-mass ratio "
+                "(heavy corpora need far fewer cells than distinct keys)"
+            )
     buckets = [
         F.pmod(F.xxhash64(F.lit(d), F.col("_k")), F.lit(width)).alias(f"_b{d}")
         for d in range(depth)
@@ -468,7 +496,9 @@ def cms_heavy_keys(
         s_d = sketch.filter(F.col("_d") == d).select(
             F.col("_b").alias(f"_b{d}"), F.col("_c").alias(f"_c{d}")
         )
-        scored = scored.join(F.broadcast(s_d), f"_b{d}")
+        if width <= BROADCAST_MAX_WIDTH:
+            s_d = F.broadcast(s_d)
+        scored = scored.join(s_d, f"_b{d}")
     est = F.least(*[F.col(f"_c{d}") for d in range(depth)])
     return (
         scored.filter(est >= threshold)

@@ -117,13 +117,21 @@ def compact_dataset(
     prevention).
 
     Swap protocol: write to ``<path>.__compact_tmp``, verify row count
-    equality, rename old -> ``.__compact_trash``, tmp -> path, delete
-    trash. On a POSIX filesystem the renames are atomic; on object
-    stores rename is copy+delete, so production there uses a table
-    format's transactional rewrite (Delta OPTIMIZE / Iceberg rewrite)
-    — same dataflow, different commit. Readers racing the swap on plain
-    parquet may glimpse the trash window; this tool is for maintenance
-    windows, which is how plain-parquet compaction is actually run.
+    equality, rename old -> ``.__compact_trash``, tmp -> path, VERIFY
+    the swapped-in dataset (schema + row count re-read from ``path``),
+    and only then delete trash. If the second rename fails the original
+    is rolled back from trash, so no crash window leaves ``path``
+    missing; if post-swap verification fails the new data is set aside
+    and the original is restored. A hard crash (kill -9) between the
+    two renames leaves ``<path>.__compact_trash`` intact — recovery is
+    ``mv <path>.__compact_trash <path>`` (nothing is deleted until the
+    new dataset has been re-read successfully). On a POSIX filesystem
+    the renames are atomic; on object stores rename is copy+delete, so
+    production there uses a table format's transactional rewrite (Delta
+    OPTIMIZE / Iceberg rewrite) — same dataflow, different commit.
+    Readers racing the swap on plain parquet may glimpse the trash
+    window; this tool is for maintenance windows, which is how
+    plain-parquet compaction is actually run.
 
     ``sort_within_by`` optionally re-sorts rows inside each output file
     (e.g. a zorder key via ``relational.zorder_key``) so compaction
@@ -155,9 +163,36 @@ def compact_dataset(
             f"compact_dataset: rewrite row count {rows_after} != "
             f"{rows_before}; aborting before swap"
         )
+    schema_before = df.schema
     shutil.rmtree(trash, ignore_errors=True)
     os.rename(path, trash)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # roll the original back so a failed second rename never leaves
+        # the dataset path missing
+        os.rename(trash, path)
+        raise
+    # keep the trash copy until the swapped-in dataset verifies: a
+    # fresh read must see the same schema and row count
+    try:
+        swapped = spark.read.parquet(path)
+        ok = (
+            swapped.schema == schema_before
+            and swapped.count() == rows_before
+        )
+    except Exception:
+        ok = False
+    if not ok:
+        bad = path.rstrip("/") + ".__compact_bad"
+        shutil.rmtree(bad, ignore_errors=True)
+        os.rename(path, bad)
+        os.rename(trash, path)
+        raise RuntimeError(
+            "compact_dataset: post-swap verification failed (schema or "
+            f"row count mismatch on re-read); original restored, new "
+            f"data set aside at {bad}"
+        )
     shutil.rmtree(trash)
     n_after = sum(
         1

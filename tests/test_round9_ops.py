@@ -165,3 +165,135 @@ def test_expectations_report_empty_input_reports_zeroes(spark):
     for r in rep:
         assert r["n_rows"] == 0
         assert r["n_violations"] == 0
+
+
+# ------------------------------------------------------------- round-9 ops
+
+def test_triangle_stats_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    rng = random.Random(9)
+    nodes = list(range(30))
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for _ in range(120)
+            for a, b in [(rng.choice(nodes), rng.choice(nodes))]
+            if a != b
+        }
+    )
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    wedges = sum(len(adj[n]) * (len(adj[n]) - 1) // 2 for n in nodes)
+    # feed edges in random duplicated directions — canonicalization's job
+    rows = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
+    rows += rows[:20]
+    df = spark.createDataFrame(rows, "src int, dst int")
+    got = gr.triangle_stats(df).collect()[0]
+    assert got["n_edges"] == len(edges)
+    assert got["n_wedges"] == wedges
+    assert got["n_triangles"] == tri
+    assert got["clustering_x1e6"] == (
+        (3 * tri * 1_000_000) // wedges if wedges else 0
+    )
+
+
+def test_shortest_paths_local_matches_distributed_bitwise(spark):
+    import random
+
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    rng = random.Random(17)
+    edges = [
+        (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}", rng.randrange(1, 9))
+        for _ in range(60)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string, cost long")
+    src = spark.createDataFrame([("n0",), ("n5",)], "node string")
+    loc = {
+        r["node"]: r["dist_cost"]
+        for r in gr.shortest_paths(e, src, max_hops=5, strategy="local").collect()
+    }
+    dist = {
+        r["node"]: r["dist_cost"]
+        for r in gr.shortest_paths(
+            e, src, max_hops=5, strategy="distributed", checkpoint_every=2
+        ).collect()
+    }
+    assert loc == dist and loc["n0"] == 0 and loc["n5"] == 0
+
+
+def test_shortest_paths_rejects_negative_cost(spark):
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", -1)], "src string, dst string, cost long"
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="costs >= 0"):
+        gr.shortest_paths(e, src, strategy="distributed")
+
+
+def test_weighted_median_exact_and_tie_stable(spark):
+    from wms_data_pipeline_spark.operators import relational as rel
+
+    # group g: values 10(w3), 20(w1), 20(w1), 30(w1) -> total 6, median
+    # reaches half (cum 3) at value 10 -> lower weighted median = 10
+    rows = [("g", 10, 3), ("g", 20, 1), ("g", 20, 1), ("g", 30, 1),
+            ("h", 5, 1), ("h", 7, 9)]
+    df = spark.createDataFrame(rows, "grp string, v long, w long")
+    got = {
+        r["grp"]: r["w_median"]
+        for r in rel.weighted_median(df, "grp", "v", "w").collect()
+    }
+    assert got == {"g": 10, "h": 7}
+
+
+def test_grid_distance_join_matches_bruteforce(spark):
+    import random
+
+    from wms_data_pipeline_spark.operators import relational as rel
+
+    rng = random.Random(3)
+    left = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(80)]
+    right = [(j, rng.randrange(1000), rng.randrange(1000)) for j in range(40)]
+    r = 120
+    expect = sorted(
+        (li, rj, (lx - rx) ** 2 + (ly - ry) ** 2)
+        for li, lx, ly in left
+        for rj, rx, ry in right
+        if (lx - rx) ** 2 + (ly - ry) ** 2 <= r * r
+    )
+    ldf = spark.createDataFrame(left, "lid long, x long, y long")
+    rdf = spark.createDataFrame(right, "rid long, x long, y long")
+    got = sorted(
+        (row["l_lid"], row["r_rid"], row["dist2"])
+        for row in rel.grid_distance_join(ldf, rdf, radius=r).collect()
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_market_basket_scores_exact(spark):
+    from wms_data_pipeline_spark.operators import relational as rel
+
+    # 4 baskets; pair (a,b) in 2, a in 3, b in 2
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"),
+            (2, "a")]  # duplicate (2,a) must not double-count
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = rel.market_basket_pairs(df, "bk", "it", min_pair_count=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"], r["n_pairs"]) == ("a", "b", 2)
+    assert r["supp_x1e6"] == 2 * 1_000_000 // 4
+    assert r["conf_a_b_x1e6"] == 2 * 1_000_000 // 3
+    assert r["lift_x1e6"] == ((2 * 1_000_000 // 3) * 4) // 2

@@ -467,3 +467,188 @@ def skyline_nd(df: DataFrame, cols: list[str]) -> DataFrame:
     return local.coalesce(1).mapInPandas(
         _pool_batches(_local), schema=df.schema
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle census of an undirected graph, returned as ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering_x1e6) where
+    clustering_x1e6 = (3 * triangles * 1e6) div wedges — the global
+    clustering coefficient in exact scaled-integer form (same
+    cross-engine contract as ``pagerank``: integer counts, staged
+    ``div``, no FP anywhere).
+
+    Degree-ordered orientation (Schank & Wagner 2005; the Suri &
+    Vassilvitskii MapReduce formulation — public methods): each
+    undirected edge is oriented from its lower-(degree, node) endpoint
+    to the higher, which bounds every node's OUT-degree by O(sqrt(m))
+    regardless of in-degree skew — the celebrity node that breaks a
+    naive wedge join (deg^2 wedge rows for a 10M-follower hub) emits
+    no wedges at all here, because hubs sit on the receiving end of
+    their edges. Each triangle {x,y,z} in the orientation order is then
+    counted EXACTLY once as wedge (x->y, x->z) closed by oriented edge
+    y->z: the wedge join on the oriented src key produces both (y,z)
+    and (z,y) candidate closures, and precisely one direction exists
+    in the oriented edge set, so no ordering key is ever materialized.
+
+    Cost: one dedup shuffle (canonical edges), one degree aggregate,
+    the wedge self-join on the out-degree-bounded src key, and a
+    semi-join probe of the closures — the scalable triangle plan; a
+    100 TB co-occurrence graph never sees a node-squared blowup."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+        .localCheckpoint()  # reused by degrees, orientation, and closure
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        )
+        .localCheckpoint()  # reused by the wedge join and its closure probe
+    )
+    o2 = oriented.select(F.col("lo").alias("lo"), F.col("hi").alias("hi2"))
+    wedge = (
+        oriented.join(o2, "lo")
+        .filter(F.col("hi") != F.col("hi2"))
+        .select(F.col("hi").alias("y"), F.col("hi2").alias("z"))
+    )
+    closure = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    tri = wedge.join(closure, ["y", "z"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes_wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0)
+        ).cast("long").alias("n_wedges"),
+    )
+    return (
+        nodes_wedges.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.when(F.col("n_wedges") > 0, F.expr(
+                "(3 * n_triangles * 1000000) div n_wedges"
+            )).otherwise(F.lit(0)).cast("long").alias("clustering_x1e6"),
+        )
+    )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    node: str = "node",
+    checkpoint_every: int = 4,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths, bounded at
+    ``max_hops`` edges: ``max_hops`` rounds of Bellman-Ford min-plus
+    relaxation (``dist_{k+1}(v) = min(dist_k(v), min over edges (u,v)
+    of dist_k(u) + c(u,v))``). Returns (node, dist_cost) for every node
+    reachable within the hop budget; costs are validated non-null
+    >= 0 up front so the all-integer state is exact and
+    partitioning-independent (the ``pagerank``/``bfs_hops`` contract —
+    both strategies bit-identical).
+
+    Distributed: each round is one shuffle on ``src`` (dist joins
+    edges) + one min aggregate on the node key, lineage truncated every
+    ``checkpoint_every`` rounds — the web-scale path. ``"local"``
+    collects the aggregated edge list when it is broadcast-sized
+    (<= MAX_LOCAL_GRAPH_EDGES under ``"auto"``) and relaxes driver-side
+    — transition matrices and other dimension-sized graphs skip N
+    rounds of distributed scheduling."""
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"shortest_paths: unknown strategy {strategy!r}")
+    e = edges.select(
+        F.col(src).alias("_s"),
+        F.col(dst).alias("_d"),
+        F.col(cost).cast("long").alias("_c"),
+    )
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_c").isNull() | (F.col("_c") < 0), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("bad"),
+    ).collect()[0]
+    if stats["bad"]:
+        raise ValueError(
+            f"shortest_paths: {stats['bad']} edge(s) with null/negative "
+            f"cost in {cost!r}; min-plus relaxation requires costs >= 0"
+        )
+    if strategy == "auto":
+        strategy = (
+            "local" if stats["n"] <= MAX_LOCAL_GRAPH_EDGES
+            else "distributed"
+        )
+    if strategy == "local":
+        from pyspark.sql import types as T
+
+        adj: dict = {}
+        for r in e.collect():
+            adj.setdefault(r._s, []).append((r._d, int(r._c)))
+        dist = {r[0]: 0 for r in sources.select(node).distinct().collect()}
+        for _ in range(max_hops):
+            changed = False
+            nxt = dict(dist)
+            for u, d_u in dist.items():
+                for v, c in adj.get(u, ()):
+                    if d_u + c < nxt.get(v, d_u + c + 1):
+                        nxt[v] = d_u + c
+                        changed = True
+            dist = nxt
+            if not changed:
+                break
+        node_field = T.StructField(
+            node, sources.schema[node].dataType, True
+        )
+        return edges.sparkSession.createDataFrame(
+            sorted(dist.items()),
+            T.StructType(
+                [node_field, T.StructField("dist_cost", T.LongType(), False)]
+            ),
+        )
+    dist_df = sources.select(F.col(node).alias("_n")).distinct().withColumn(
+        "dist_cost", F.lit(0).cast("long")
+    )
+    for it in range(max_hops):
+        relaxed = e.join(dist_df, e._s == dist_df._n).select(
+            F.col("_d").alias("_n"),
+            (F.col("dist_cost") + F.col("_c")).alias("dist_cost"),
+        )
+        dist_df = (
+            dist_df.unionByName(relaxed)
+            .groupBy("_n")
+            .agg(F.min("dist_cost").alias("dist_cost"))
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < max_hops:
+            dist_df = dist_df.localCheckpoint()
+    return dist_df.select(F.col("_n").alias(node), "dist_cost")

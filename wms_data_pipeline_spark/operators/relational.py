@@ -131,3 +131,168 @@ def zorder_layout(df: DataFrame, cols: list, bits: int = 16) -> DataFrame:
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
+
+
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Frequent-itemset pairs with association-rule scores (Agrawal &
+    Srikant's Apriori at the pair level — the public market-basket
+    method): for every unordered item pair co-occurring in at least
+    ``min_pair_count`` baskets, returns (item_a, item_b, n_pairs,
+    supp_x1e6, conf_a_b_x1e6, lift_x1e6) where supp = P(a,b), conf =
+    P(b|a), lift = P(a,b)/(P(a)P(b)), all as EXACT scaled integers
+    (staged ``div`` — bit-identical cross-engine, the same contract as
+    txt_collocations_pmi).
+
+    Integer staging and headroom: conf = (nxy * 1e6) div nx <= 1e6
+    because nxy <= nx; lift = (conf * N) div ny stays <= 1e6 * N —
+    inside BIGINT to N ~ 9e12 baskets. The pair generation is the
+    per-basket self-join item_a < item_b AFTER a distinct — one shuffle
+    on the basket key, pair fan-out bounded by (basket size choose 2),
+    which is the real-world control: retail/doc baskets are tens of
+    items, and a pathological mega-basket should be capped upstream,
+    not silently exploded. Margins are two broadcast-sized aggregates
+    joined back by item key."""
+    bi = (
+        df.select(
+            F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+        )
+        .filter(F.col("_it").isNotNull())
+        .distinct()
+        .localCheckpoint()  # reused: pair join + both margins + N
+    )
+    n_baskets = bi.select("_bk").distinct().count()
+    rhs = bi.select(F.col("_bk").alias("_bk"), F.col("_it").alias("_it2"))
+    pairs = (
+        bi.join(rhs, "_bk")
+        .filter(F.col("_it") < F.col("_it2"))
+        .groupBy("_it", "_it2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_pair_count)
+    )
+    marg = bi.groupBy("_it").agg(F.count(F.lit(1)).alias("_m"))
+    ma = marg.select(F.col("_it"), F.col("_m").alias("nx"))
+    mb = marg.select(F.col("_it").alias("_it2"), F.col("_m").alias("ny"))
+    return (
+        pairs.join(ma, "_it")
+        .join(mb, "_it2")
+        .select(
+            F.col("_it").alias("item_a"),
+            F.col("_it2").alias("item_b"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.expr(f"(n_pairs * 1000000) div {n_baskets}")
+            .cast("long")
+            .alias("supp_x1e6"),
+            F.expr("(n_pairs * 1000000) div nx")
+            .cast("long")
+            .alias("conf_a_b_x1e6"),
+            F.expr(
+                f"(((n_pairs * 1000000) div nx) * {n_baskets}) div ny"
+            )
+            .cast("long")
+            .alias("lift_x1e6"),
+        )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact lower weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total weight (2*cum >=
+    total — integer comparison, no FP). Returns (group, w_median).
+
+    The composition is two windows over ONE partition-by-group sort:
+    a running weight sum ordered by (value, then value again for
+    determinism under ties) and the group total via an unbounded frame
+    — then the min qualifying value per group. Weighted medians are
+    the robust location estimate for skewed distributions (a
+    quantity-weighted price tells you what a typical UNIT sold for;
+    the unweighted median tells you a typical ORDER LINE) and this
+    exact form is what approx_percentile cannot give: reproducible to
+    the bit across engines and partitionings."""
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("long").alias("_v"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        .withColumn("_cum", F.sum("_w").over(w_cum))
+        .withColumn("_tot", F.sum("_w").over(w_all))
+        .filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy("_g")
+        .agg(F.min("_v").alias("w_median"))
+        .select(F.col("_g").alias(group_col), "w_median")
+    )
+
+
+def grid_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: int,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Spatial distance join on an INTEGER plane without a cross
+    product: all (left, right) pairs with squared euclidean distance
+    <= radius^2, via uniform-grid blocking (the public fixed-grid
+    spatial-join method; same blocking idea as LSH bands). Returns
+    every ``left`` column, every ``right`` column, and ``dist2``.
+
+    Each point lands in cell (x div radius, y div radius); any pair
+    within ``radius`` differs by at most one cell per axis, so the
+    LEFT side is expanded to its 3x3 neighbor cells (a 9x map-side
+    explode of the smaller/probe side by convention) and the join is a
+    pure EQUI-join on the cell key, followed by the exact integer
+    residual dx^2 + dy^2 <= r^2 — no CartesianProduct in any plan, and
+    the shuffle key (cell id) is dense-data-bounded exactly like a
+    band bucket. At 100 TB the grid join is the difference between a
+    theta-join the optimizer cannot hash and a shuffle whose cost is
+    candidate pairs, which for physical point data is ~uniform per
+    cell. Integer coords keep the residual exact (no FP distance ulps
+    cross-engine); callers with lat/lon project to integer
+    micro-degrees first."""
+    lx, ly = f"l_{x}", f"l_{y}"
+    l_cells = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("_dcx"),
+    ).select(
+        "*",
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("_dcy"),
+    ).select(
+        *[f"l_{c}" for c in left.columns],
+        (F.expr(f"{lx} div {radius}") + F.col("_dcx")).alias("_cx"),
+        (F.expr(f"{ly} div {radius}") + F.col("_dcy")).alias("_cy"),
+    )
+    r_cells = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        F.expr(f"r_{x} div {radius}").alias("_cx"),
+        F.expr(f"r_{y} div {radius}").alias("_cy"),
+    )
+    dx = F.col(f"l_{x}") - F.col(f"r_{x}")
+    dy = F.col(f"l_{y}") - F.col(f"r_{y}")
+    # integer multiply, not **: pow() routes through double
+    dist2 = (dx * dx + dy * dy).cast("long")
+    return (
+        l_cells.join(r_cells, ["_cx", "_cy"])
+        .withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= radius * radius)
+        .drop("_cx", "_cy")
+    )

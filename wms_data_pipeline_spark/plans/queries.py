@@ -6725,3 +6725,308 @@ def txt_cms_heavy_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(dd.shingles_of("text", 4, distinct=False)).alias("shingle")
     )
     return txt.cms_heavy_keys(sh, "shingle", threshold=3)
+
+
+# ---------------------------------------------------------------------------
+# round 9: graph mining, association rules, robust stats, spatial blocking
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = (
+    "WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it "
+    "FROM lineitem), "
+    "e AS (SELECT DISTINCT a.it AS a, b.it AS b FROM bi a "
+    "JOIN bi b ON a.bk = b.bk AND a.it < b.it), "
+    "deg AS (SELECT n, count(*)::BIGINT AS d FROM "
+    "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n), "
+    "o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) "
+    "THEN e.a ELSE e.b END AS lo, "
+    "CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) "
+    "THEN e.b ELSE e.a END AS hi "
+    "FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n), "
+    "w AS (SELECT o1.hi AS y, o2.hi AS z FROM o o1 "
+    "JOIN o o2 ON o1.lo = o2.lo AND o1.hi <> o2.hi), "
+    "t AS (SELECT count(*)::BIGINT AS n_triangles FROM w "
+    "WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = w.y AND o.hi = w.z)), "
+    "c AS (SELECT count(*)::BIGINT AS n_edges FROM e), "
+    "nw AS (SELECT count(*)::BIGINT AS n_nodes, "
+    "coalesce(sum((d * (d - 1)) // 2), 0)::BIGINT AS n_wedges FROM deg) "
+    "SELECT n_nodes, n_edges, n_wedges, n_triangles, "
+    "(CASE WHEN n_wedges > 0 THEN (3 * n_triangles * 1000000) // n_wedges "
+    "ELSE 0 END)::BIGINT AS clustering_x1e6 FROM nw, c, t"
+)
+
+
+@query(
+    "rel_copurchase_triangles",
+    _TRIANGLE_ORACLE,
+    headline=True,
+    doc="Exact triangle census + global clustering coefficient of the "
+    "part co-purchase graph (parts co-occurring in an order are "
+    "adjacent) via operators/graph.py triangle_stats: degree-ordered "
+    "edge orientation (Schank-Wagner / Suri-Vassilvitskii, public "
+    "methods) bounds every wedge-join key by the oriented out-degree "
+    "O(sqrt(m)), so hub items cannot quadratically explode the plan — "
+    "the property that makes triangle counting feasible on a 100 TB "
+    "co-occurrence graph. Each triangle counts exactly once (the "
+    "oriented closure edge exists in precisely one of the two wedge "
+    "directions) with no global ordering key materialized. Clustering "
+    "coefficient is exact scaled-integer (3*tri*1e6 div wedges).",
+)
+def rel_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    rhs = bi.select(F.col("bk"), F.col("it").alias("it2"))
+    edges = (
+        bi.join(rhs, "bk")
+        .filter(F.col("it") < F.col("it2"))
+        .select(F.col("it").alias("src"), F.col("it2").alias("dst"))
+        .distinct()
+    )
+    return gr.triangle_stats(edges)
+
+
+@query(
+    "rel_market_basket",
+    "WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it "
+    "FROM lineitem), "
+    "nb AS (SELECT count(DISTINCT bk) AS n FROM bi), "
+    "p AS (SELECT a.it AS item_a, b.it AS item_b, count(*)::BIGINT AS "
+    "n_pairs FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it "
+    "GROUP BY 1, 2 HAVING count(*) >= 2), "
+    "m AS (SELECT it, count(*)::BIGINT AS m FROM bi GROUP BY it) "
+    "SELECT item_a, item_b, n_pairs, "
+    "((n_pairs * 1000000) // nb.n)::BIGINT AS supp_x1e6, "
+    "((n_pairs * 1000000) // ma.m)::BIGINT AS conf_a_b_x1e6, "
+    "((((n_pairs * 1000000) // ma.m) * nb.n) // mb.m)::BIGINT AS lift_x1e6 "
+    "FROM p JOIN m ma ON p.item_a = ma.it JOIN m mb ON p.item_b = mb.it "
+    "CROSS JOIN nb",
+    doc="Association rules at the pair level (Apriori's pairs stage — "
+    "Agrawal & Srikant, public method) over order baskets: "
+    "co-purchased part pairs with support, confidence and lift as "
+    "EXACT staged-integer scores (operators/relational.py "
+    "market_basket_pairs; same div-staging contract as "
+    "txt_collocations_pmi, conf <= 1e6 by construction so lift stays "
+    "in BIGINT to ~9e12 baskets). One basket-key shuffle generates "
+    "pairs (fan-out bounded by basket size choose 2), margins join "
+    "back by item key — no all-pairs work anywhere.",
+)
+def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return rel.market_basket_pairs(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    ).select(
+        F.col("item_a"),
+        F.col("item_b"),
+        "n_pairs",
+        "supp_x1e6",
+        "conf_a_b_x1e6",
+        "lift_x1e6",
+    )
+
+
+@query(
+    "rel_weighted_median",
+    "WITH s AS (SELECT l_returnflag, "
+    "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v, "
+    "CAST(l_quantity AS BIGINT) AS w FROM lineitem), "
+    "c AS (SELECT l_returnflag, v, "
+    "sum(w) OVER (PARTITION BY l_returnflag ORDER BY v "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+    "sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM s) "
+    "SELECT l_returnflag, min(v)::BIGINT AS w_median FROM c "
+    "WHERE 2 * cum >= tot GROUP BY l_returnflag",
+    doc="Exact quantity-weighted median unit price (cents) per return "
+    "flag via operators/relational.py weighted_median: one "
+    "partition-by-group sort carries both the running weight sum and "
+    "the group total, then min value with 2*cum >= total. "
+    "Deterministic under ties because a VALUE qualifies iff its "
+    "LAST tied row qualifies, and that prefix sum is tie-order-"
+    "independent — so the exact integer comparison never depends on "
+    "partitioning. The robust location stat approx_percentile cannot "
+    "give bit-reproducibly; weighted by quantity it answers what a "
+    "typical UNIT sold for, not a typical order line.",
+)
+def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return rel.weighted_median(li, "l_returnflag", "cents", "qty").select(
+        "l_returnflag", "w_median"
+    )
+
+
+_ACF_ORACLE = (
+    "WITH d AS (SELECT date_trunc('day', ts)::DATE AS day, "
+    "count(*)::BIGINT AS x FROM events GROUP BY day), "
+    "l AS (SELECT x, lead(x, 1) OVER (ORDER BY day) AS x1, "
+    "lead(x, 2) OVER (ORDER BY day) AS x2, "
+    "lead(x, 3) OVER (ORDER BY day) AS x3 FROM d) "
+    + " UNION ALL ".join(
+        "(SELECT {k} AS lag, round("
+        "(n * sxy - sx * sy) / sqrt("
+        "(n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf "
+        "FROM (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+        "sum(x{k})::BIGINT AS sy, sum(x * x)::BIGINT AS sxx, "
+        "sum(x{k} * x{k})::BIGINT AS syy, sum(x * x{k})::BIGINT AS sxy "
+        "FROM l WHERE x{k} IS NOT NULL))".format(k=k)
+        for k in (1, 2, 3)
+    )
+)
+
+
+@query(
+    "evt_autocorrelation",
+    _ACF_ORACLE,
+    doc="Autocorrelation of the daily event-count series at lags 1-3 "
+    "(the seasonality screen run before picking an anomaly baseline — "
+    "a strong lag-7 ACF is what justifies evt_volume_anomaly_dow's "
+    "same-weekday baseline). Pearson r over (x_t, x_{t+k}) pairs with "
+    "EVERY sum accumulated in exact BIGINT (counts are integers; "
+    "n*sxy-style moments are order-free integer arithmetic), so the "
+    "only FP is the final ratio/sqrt — single correctly-rounded IEEE "
+    "ops on identical integers, deterministic cross-engine, rounded "
+    "6dp. Day-level pre-aggregation collapses the scan map-side to "
+    "~series-length rows; the three lag legs share one sorted window.",
+)
+def evt_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.orderBy("day")
+    led = daily.select(
+        "x",
+        *[F.lead("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3)],
+    ).localCheckpoint()  # tiny (days) — reused by the three lag legs
+    legs = []
+    for k in (1, 2, 3):
+        xk = F.col(f"x{k}")
+        agg = led.filter(xk.isNotNull()).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(xk).alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(xk * xk).alias("syy"),
+            F.sum(F.col("x") * xk).alias("sxy"),
+        )
+        legs.append(
+            agg.select(
+                F.lit(k).cast("int").alias("lag"),
+                F.round(
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / F.sqrt(
+                        (
+                            F.col("n") * F.col("sxx")
+                            - F.col("sx") * F.col("sx")
+                        )
+                        * (
+                            F.col("n") * F.col("syy")
+                            - F.col("sy") * F.col("sy")
+                        )
+                    ),
+                    6,
+                ).alias("acf"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+_SP_ORACLE = (
+    "WITH t AS (SELECT event_type AS src, lead(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), "
+    "e AS (SELECT src, dst, (1000000000 // count(*))::BIGINT AS c "
+    "FROM t WHERE dst IS NOT NULL GROUP BY src, dst), "
+    "d0 AS (SELECT 'click' AS node, 0::BIGINT AS dist), "
+    + " ".join(
+        f"d{k} AS (SELECT node, min(dist)::BIGINT AS dist FROM ("
+        f"SELECT node, dist FROM d{k-1} UNION ALL "
+        f"SELECT e.dst AS node, d.dist + e.c AS dist "
+        f"FROM d{k-1} d JOIN e ON d.node = e.src) GROUP BY node),"
+        for k in (1, 2, 3, 4)
+    ).rstrip(",")
+    + " SELECT node, dist AS dist_cost FROM d4"
+)
+
+
+@query(
+    "evt_shortest_path_weighted",
+    _SP_ORACLE,
+    doc="Weighted shortest path from the 'click' event type over the "
+    "session-transition graph, edge cost = 1e9 div transition_count "
+    "(frequent transitions are cheap), 4 relaxation rounds — the "
+    "likeliest-path-to-state query behind funnel diagnostics, as the "
+    "GENERIC operators/graph.py shortest_paths operator: bounded "
+    "Bellman-Ford min-plus relaxation in pure BIGINT (bfs_hops' exact "
+    "contract, now with costs), one src-key shuffle + one min "
+    "aggregate per round distributed, or the driver-local loop for "
+    "broadcast-sized graphs under auto-dispatch — bit-identical "
+    "either way. The oracle is the same recurrence unrolled as "
+    "chained CTEs.",
+)
+def evt_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.expr("1000000000 div count(1)").alias("cost"))
+    )
+    sources = spark.createDataFrame([("click",)], "node string")
+    return gr.shortest_paths(edges, sources, max_hops=4)
+
+
+@query(
+    "rel_geo_grid_join",
+    "WITH c AS (SELECT c_custkey, "
+    "(c_custkey * 48271) % 100000 AS x, "
+    "(c_custkey * 69621) % 100000 AS y FROM customer), "
+    "s AS (SELECT s_suppkey, "
+    "(s_suppkey * 48271) % 100000 AS x, "
+    "(s_suppkey * 69621) % 100000 AS y FROM supplier) "
+    "SELECT c.c_custkey, s.s_suppkey, "
+    "((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y))::BIGINT "
+    "AS dist2 FROM c JOIN s ON "
+    "(c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 4000000",
+    doc="Spatial distance join (customers within radius 2000 of a "
+    "supplier on a synthetic 100k x 100k integer plane, coordinates "
+    "derived arithmetically from the keys so both engines compute "
+    "identical points) via operators/relational.py grid_distance_join: "
+    "uniform-grid blocking — each point keyed to its radius-sized "
+    "cell, probe side exploded to the 3x3 neighborhood, pure EQUI-join "
+    "on the cell id, exact integer residual dx^2+dy^2 <= r^2. The "
+    "oracle is the naive theta join (correct but unplannable as a "
+    "hash join); the engine plan is the one that survives 100 TB: "
+    "shuffle keyed by dense-bounded cells, candidate work proportional "
+    "to true neighbor density — the LSH-band idea applied to "
+    "geometry. No FP anywhere: integer coords, integer residual.",
+)
+def rel_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 100000).alias("x"),
+        ((F.col("c_custkey") * 69621) % 100000).alias("y"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 48271) % 100000).alias("x"),
+        ((F.col("s_suppkey") * 69621) % 100000).alias("y"),
+    )
+    return rel.grid_distance_join(c, s, radius=2000).select(
+        F.col("l_c_custkey").alias("c_custkey"),
+        F.col("r_s_suppkey").alias("s_suppkey"),
+        "dist2",
+    )

@@ -1,0 +1,231 @@
+"""Round-10 regression tests for the ADVICE.md (round-9 advisor) fixes and
+the VERDICT r9 work items: grid_distance_join long-cast residual /
+radius guard / NLJ auto-dispatch, market_basket_pairs null-key and
+mega-basket guards, null-safe local-strategy sorts, distributed
+fixed-point early-exit, and per-node clustering coefficient."""
+import pytest
+from pyspark.sql import functions as F
+
+from wms_data_pipeline_spark.operators import graph as gr
+from wms_data_pipeline_spark.operators import relational as rel
+
+
+# ---------------------------------------------------- grid_distance_join
+
+def _points(spark, rows, cols=("k", "x", "y")):
+    return spark.createDataFrame(rows, list(cols))
+
+
+def test_grid_join_long_cast_survives_int32_square(spark):
+    # |delta| = 100_000 > 46340: the int32 square would wrap (ADVICE r9
+    # medium). With IntegerType inputs the pair must still be found with
+    # the exact BIGINT dist2.
+    l = _points(spark, [(1, 0, 0)]).select(
+        "k", F.col("x").cast("int").alias("x"), F.col("y").cast("int").alias("y")
+    )
+    r = _points(spark, [(2, 100_000, 0)]).select(
+        "k", F.col("x").cast("int").alias("x"), F.col("y").cast("int").alias("y")
+    )
+    got = rel.grid_distance_join(l, r, radius=100_000, strategy="grid").collect()
+    assert len(got) == 1
+    assert got[0]["dist2"] == 100_000 * 100_000
+    got_nlj = rel.grid_distance_join(l, r, radius=100_000, strategy="nlj").collect()
+    assert got_nlj[0]["dist2"] == 100_000 * 100_000
+
+
+def test_grid_join_rejects_nonpositive_radius_and_bad_strategy(spark):
+    l = _points(spark, [(1, 0, 0)])
+    with pytest.raises(ValueError, match="radius"):
+        rel.grid_distance_join(l, l, radius=0)
+    with pytest.raises(ValueError, match="radius"):
+        rel.grid_distance_join(l, l, radius=-5)
+    with pytest.raises(ValueError, match="strategy"):
+        rel.grid_distance_join(l, l, radius=10, strategy="nope")
+
+
+def test_grid_join_nlj_and_grid_pair_identical(spark):
+    import random
+
+    rng = random.Random(10)
+    lrows = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(300)]
+    rrows = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000)) for i in range(80)]
+    l, r = _points(spark, lrows), _points(spark, rrows)
+    want = {
+        (a, ax, ay, b, bx, by, (ax - bx) ** 2 + (ay - by) ** 2)
+        for a, ax, ay in lrows
+        for b, bx, by in rrows
+        if (ax - bx) ** 2 + (ay - by) ** 2 <= 150 * 150
+    }
+    for strategy in ("grid", "nlj", "auto"):
+        got = {
+            tuple(row)
+            for row in rel.grid_distance_join(l, r, radius=150, strategy=strategy).collect()
+        }
+        assert got == want, strategy
+
+
+def test_grid_join_auto_dispatch_picks_by_right_size(spark):
+    l = _points(spark, [(1, 0, 0)])
+    r = _points(spark, [(2, 3, 4)])
+    # small right side -> auto must take the broadcast NLJ plan (no 9x
+    # explode: the plan contains BroadcastNestedLoopJoin, no Generate)
+    plan = rel.grid_distance_join(l, r, radius=10, strategy="auto")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    # forced grid keeps the equi-join shape
+    plan_g = rel.grid_distance_join(l, r, radius=10, strategy="grid")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_g
+
+
+# --------------------------------------------------- market_basket_pairs
+
+def test_market_basket_ignores_null_basket_and_item(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (None, "a"), (None, "b"), (1, None)],
+        "bk int, it string",
+    )
+    got = rel.market_basket_pairs(df, "bk", "it", min_pair_count=2).collect()
+    assert len(got) == 1
+    row = got[0]
+    # n_baskets = 2 (the NULL basket must not count): supp = 2/2 = 1e6
+    assert (row["item_a"], row["item_b"], row["n_pairs"]) == ("a", "b", 2)
+    assert row["supp_x1e6"] == 1_000_000
+    # margins exclude the NULL-basket rows: nx = ny = 2 -> conf = 1e6,
+    # lift = (1e6 * 2) // 2 = 1e6
+    assert row["conf_a_b_x1e6"] == 1_000_000
+    assert row["lift_x1e6"] == 1_000_000
+
+
+def test_market_basket_mega_basket_raises(spark):
+    big = spark.range(50).select(
+        F.lit(1).alias("bk"), F.col("id").alias("it")
+    )
+    with pytest.raises(ValueError, match="max_basket_size"):
+        rel.market_basket_pairs(big, "bk", "it", max_basket_size=10)
+    # same data passes with the cap raised
+    ok = rel.market_basket_pairs(
+        big, "bk", "it", min_pair_count=1, max_basket_size=50
+    )
+    assert ok.count() == 50 * 49 // 2
+
+
+# ------------------------------------------- null-safe local strategies
+
+def test_bfs_local_and_distributed_agree_on_null_dst(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", None), ("b", "c")], "src string, dst string"
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    loc = {
+        r.node: r.hops
+        for r in gr.bfs_hops(edges, src, max_hops=3, strategy="local").collect()
+    }
+    dist = {
+        r.node: r.hops
+        for r in gr.bfs_hops(edges, src, max_hops=3, strategy="distributed").collect()
+    }
+    assert loc == dist == {"a": 0, "b": 1, None: 2, "c": 2}
+
+
+def test_shortest_paths_local_sort_null_safe(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", None, 3)], "src string, dst string, cost int"
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    loc = {
+        r.node: r.dist_cost
+        for r in gr.shortest_paths(edges, src, max_hops=3, strategy="local").collect()
+    }
+    dist = {
+        r.node: r.dist_cost
+        for r in gr.shortest_paths(
+            edges, src, max_hops=3, strategy="distributed"
+        ).collect()
+    }
+    assert loc == dist == {"a": 0, "b": 2, None: 5}
+
+
+# ------------------------------------------- distributed early-exit
+
+def test_bfs_distributed_early_exits_on_shallow_graph(spark):
+    # diameter-2 graph, hop budget 8: the signature check (count, sum)
+    # must stop the relaxation loop long before 8 rounds
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.hops
+        for r in gr.bfs_hops(
+            edges, src, max_hops=8, strategy="distributed", checkpoint_every=1
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1}
+    assert gr.LAST_ROUNDS["bfs_hops"] <= 3
+
+
+def test_shortest_paths_distributed_early_exits(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, cost int"
+    )
+    src = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r.node: r.dist_cost
+        for r in gr.shortest_paths(
+            edges, src, max_hops=8, strategy="distributed", checkpoint_every=1
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+    assert gr.LAST_ROUNDS["shortest_paths"] <= 4
+
+
+def test_bfs_early_exit_does_not_fire_prematurely(spark):
+    # a 5-chain with budget 5 and cadence 1: every round changes state,
+    # so the loop must run all 5 rounds and still be exact
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src int, dst int"
+    )
+    src = spark.createDataFrame([(0,)], "node int")
+    got = {
+        r.node: r.hops
+        for r in gr.bfs_hops(
+            edges, src, max_hops=5, strategy="distributed", checkpoint_every=1
+        ).collect()
+    }
+    assert got == {i: i for i in range(6)}
+    assert gr.LAST_ROUNDS["bfs_hops"] == 5
+
+
+# ------------------------------------------------- node_clustering
+
+def test_node_clustering_hand_computed(spark):
+    # triangle a-b-c plus pendant d off c: clustering(a)=clustering(b)=1,
+    # clustering(c)= 1/C(3,2) = 1/3, clustering(d)=0 (degree 1)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: r for r in gr.node_clustering(edges).collect()}
+    assert got["a"].degree == 2 and got["a"].n_tri == 1
+    assert got["a"].clustering_x1e6 == 1_000_000
+    assert got["b"].clustering_x1e6 == 1_000_000
+    assert got["c"].degree == 3 and got["c"].n_tri == 1
+    assert got["c"].clustering_x1e6 == 333_333
+    assert got["d"].degree == 1 and got["d"].n_tri == 0
+    assert got["d"].clustering_x1e6 == 0
+
+
+def test_node_clustering_consistent_with_global_census(spark):
+    # sum of per-node triangle counts == 3 * global triangle count, and
+    # every node of the undirected graph appears exactly once
+    import random
+
+    rng = random.Random(7)
+    edges = spark.createDataFrame(
+        [(rng.randrange(0, 30), rng.randrange(0, 30)) for _ in range(200)],
+        "src int, dst int",
+    )
+    per_node = gr.node_clustering(edges).collect()
+    census = gr.triangle_stats(edges).collect()[0]
+    assert sum(r.n_tri for r in per_node) == 3 * census.n_triangles
+    assert len(per_node) == census.n_nodes
+    assert len({r.node for r in per_node}) == census.n_nodes

@@ -40,6 +40,21 @@ MAX_SKYLINE_CANDIDATES = 2_000_000
 #: was — the scan stays distributed; only the fixed-point loop moves.
 MAX_LOCAL_GRAPH_EDGES = 1_000_000
 
+#: Rounds actually executed by the most recent fixed-point call, keyed by
+#: operator name — observability for the distributed early-exit (a test
+#: asserts a diameter-2 graph stops relaxing long before max_hops).
+LAST_ROUNDS: dict[str, int] = {}
+
+
+def _null_safe_key(kv):
+    """Sort key for driver-side (node, value) result lists that tolerates a
+    NULL node (``None`` is unorderable in Python 3): nulls sort first, which
+    is also a stable deterministic order. The distributed strategies emit
+    the null-node row too, so the local strategies must not crash on it —
+    the bit-identical contract covers nullable node columns."""
+    k = kv[0]
+    return (k is None, k)
+
 
 def pagerank(
     edges: DataFrame,
@@ -214,7 +229,7 @@ def _pagerank_local(
             for v in node_set
         }
     return spark.createDataFrame(
-        sorted(ranks.items()), out_schema
+        sorted(ranks.items(), key=_null_safe_key), out_schema
     )
 
 
@@ -363,7 +378,7 @@ def bfs_hops(
             node, sources.schema[node].dataType, True
         )
         return edges.sparkSession.createDataFrame(
-            sorted(hops.items()),
+            sorted(hops.items(), key=_null_safe_key),
             T.StructType(
                 [node_field, T.StructField("hops", T.LongType(), False)]
             ),
@@ -371,6 +386,16 @@ def bfs_hops(
     dist = sources.select(F.col(node).alias("_n")).distinct().withColumn(
         "hops", F.lit(0).cast("long")
     )
+    # Early-exit signature: (reached-node count, sum of hops). The node
+    # set only grows and each node's hop count only decreases, so the
+    # pair is unchanged across a checkpoint window IFF no node changed —
+    # i.e. the relaxation reached its fixed point and every remaining
+    # round would be a no-op shuffle. Checked only at the checkpoint
+    # cadence, on the just-materialized frame (one cheap scalar
+    # aggregate, no extra lineage replay). The local strategy already
+    # early-exits; this closes the gap for shallow graphs distributed.
+    prev_sig = None
+    rounds = max_hops
     for it in range(max_hops):
         relaxed = (
             e.join(dist, e._s == dist._n)
@@ -383,6 +408,16 @@ def bfs_hops(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < max_hops:
             dist = dist.localCheckpoint()
+            sig = tuple(
+                dist.agg(
+                    F.count(F.lit(1)), F.coalesce(F.sum("hops"), F.lit(0))
+                ).collect()[0]
+            )
+            if sig == prev_sig:
+                rounds = it + 1
+                break
+            prev_sig = sig
+    LAST_ROUNDS["bfs_hops"] = rounds
     return dist.select(F.col("_n").alias(node), "hops")
 
 
@@ -469,6 +504,76 @@ def skyline_nd(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _orient_edges(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Canonicalize + degree-order an edge list (shared by
+    ``triangle_stats`` and ``node_clustering``): returns ``(und, deg,
+    oriented)`` where ``und`` is the distinct undirected edge set
+    (a < b, self-loops dropped), ``deg`` its degree table (n, d), and
+    ``oriented`` each edge directed from its lower-(degree, node)
+    endpoint as (lo, hi, dhi) with ``dhi`` = hi's degree (the
+    orientation key carried so wedges emit in one canonical order).
+    Both ``und`` and ``oriented`` are localCheckpoint-materialized —
+    each is reused by at least two downstream plans."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+        .localCheckpoint()  # reused by degrees, orientation, and closure
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias(
+                "dhi"
+            ),
+        )
+        .localCheckpoint()  # reused by the wedge join and its closure probe
+    )
+    return und, deg, oriented
+
+
+def _ordered_wedges(oriented: DataFrame) -> DataFrame:
+    """The canonical wedge set of a degree-oriented edge list: one row
+    (lo, y, z) per unordered out-neighbor pair of ``lo``, emitted with
+    (deg_y, y) < (deg_z, z) so the closure edge y->z — whose orientation
+    agrees with this ordering by construction — matches exactly one
+    wedge row. The self-join key is ``lo``, whose out-degree the
+    orientation bounds at O(sqrt(m))."""
+    o2 = oriented.select(
+        F.col("lo").alias("lo"),
+        F.col("hi").alias("hi2"),
+        F.col("dhi").alias("dhi2"),
+    )
+    return (
+        oriented.join(o2, "lo")
+        .filter(
+            (F.col("dhi") < F.col("dhi2"))
+            | (
+                (F.col("dhi") == F.col("dhi2"))
+                & (F.col("hi") < F.col("hi2"))
+            )
+        )
+        .select("lo", F.col("hi").alias("y"), F.col("hi2").alias("z"))
+    )
+
+
 def triangle_stats(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -499,54 +604,8 @@ def triangle_stats(
     the wedge self-join on the out-degree-bounded src key, and a
     semi-join probe of the closures — the scalable triangle plan; a
     100 TB co-occurrence graph never sees a node-squared blowup."""
-    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(a.alias("a"), b.alias("b"))
-        .distinct()
-        .localCheckpoint()  # reused by degrees, orientation, and closure
-    )
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionByName(und.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
-    lo_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        und.join(da, "a")
-        .join(db, "b")
-        .select(
-            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-            # the out-endpoint's degree: the orientation key, carried so
-            # wedges can be emitted in one canonical order (see docstring)
-            F.when(lo_first, F.col("db")).otherwise(F.col("da")).alias(
-                "dhi"
-            ),
-        )
-        .localCheckpoint()  # reused by the wedge join and its closure probe
-    )
-    o2 = oriented.select(
-        F.col("lo").alias("lo"),
-        F.col("hi").alias("hi2"),
-        F.col("dhi").alias("dhi2"),
-    )
-    wedge = (
-        oriented.join(o2, "lo")
-        .filter(
-            (F.col("dhi") < F.col("dhi2"))
-            | (
-                (F.col("dhi") == F.col("dhi2"))
-                & (F.col("hi") < F.col("hi2"))
-            )
-        )
-        .select(F.col("hi").alias("y"), F.col("hi2").alias("z"))
-    )
+    und, deg, oriented = _orient_edges(edges, src, dst)
+    wedge = _ordered_wedges(oriented).select("y", "z")
     closure = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
     tri = wedge.join(closure, ["y", "z"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -569,6 +628,60 @@ def triangle_stats(
             F.when(F.col("n_wedges") > 0, F.expr(
                 "(3 * n_triangles * 1000000) div n_wedges"
             )).otherwise(F.lit(0)).cast("long").alias("clustering_x1e6"),
+        )
+    )
+
+
+def node_clustering(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count and LOCAL clustering coefficient
+    (Watts & Strogatz 1998 — public method): for every node v,
+    ``clustering(v) = triangles(v) / C(deg(v), 2)`` as the exact scaled
+    integer ``(n_tri * 1e6) div n_wedges`` (0 for degree < 2). Returns
+    (node, degree, n_tri, clustering_x1e6) for EVERY node of the
+    undirected graph — the form crawl-quality curation joins back to
+    pages (a page whose neighborhood is a near-clique is template/link-
+    farm shaped; a high-degree low-clustering page is a genuine hub).
+
+    Same degree-ordered orientation as ``triangle_stats`` (shared
+    ``_orient_edges``/``_ordered_wedges`` plan — O(sqrt(m))-bounded
+    wedge join, never deg^2 per hub), but the closure probe is an
+    INNER equi-join instead of a semi-join: each closed wedge row IS
+    one triangle (x, y, z) found exactly once, and one map-side
+    3-element explode charges it to each corner, followed by a single
+    count shuffle on the node key. No FP, no global order — the
+    ``pagerank`` exactness contract."""
+    und, deg, oriented = _orient_edges(edges, src, dst)
+    closure = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    # inner join, not semi: closure edges are distinct, so each wedge row
+    # matches at most once — no fan-out — and the survivor carries its
+    # full (lo, y, z) corner set for the per-node charge.
+    closed = _ordered_wedges(oriented).join(closure, ["y", "z"])
+    tri = (
+        closed.select(
+            F.explode(F.array(F.col("lo"), F.col("y"), F.col("z"))).alias(
+                "n"
+            )
+        )
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tri, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("d") >= 2,
+                F.expr(
+                    "(coalesce(t, 0) * 1000000) div ((d * (d - 1)) div 2)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_x1e6"),
         )
     )
 
@@ -649,7 +762,7 @@ def shortest_paths(
             node, sources.schema[node].dataType, True
         )
         return edges.sparkSession.createDataFrame(
-            sorted(dist.items()),
+            sorted(dist.items(), key=_null_safe_key),
             T.StructType(
                 [node_field, T.StructField("dist_cost", T.LongType(), False)]
             ),
@@ -657,6 +770,11 @@ def shortest_paths(
     dist_df = sources.select(F.col(node).alias("_n")).distinct().withColumn(
         "dist_cost", F.lit(0).cast("long")
     )
+    # Early-exit at the checkpoint cadence — same monotone-signature
+    # argument as ``bfs_hops``: node count only grows, per-node distance
+    # only shrinks, so (count, sum) unchanged ⟺ fixed point reached.
+    prev_sig = None
+    rounds = max_hops
     for it in range(max_hops):
         relaxed = e.join(dist_df, e._s == dist_df._n).select(
             F.col("_d").alias("_n"),
@@ -669,4 +787,15 @@ def shortest_paths(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < max_hops:
             dist_df = dist_df.localCheckpoint()
+            sig = tuple(
+                dist_df.agg(
+                    F.count(F.lit(1)),
+                    F.coalesce(F.sum("dist_cost"), F.lit(0)),
+                ).collect()[0]
+            )
+            if sig == prev_sig:
+                rounds = it + 1
+                break
+            prev_sig = sig
+    LAST_ROUNDS["shortest_paths"] = rounds
     return dist_df.select(F.col("_n").alias(node), "dist_cost")

@@ -133,11 +133,20 @@ def zorder_layout(df: DataFrame, cols: list, bits: int = 16) -> DataFrame:
     )
 
 
+#: ``market_basket_pairs`` pre-flight cap on the largest basket. The pair
+#: fan-out is C(basket_size, 2) rows from ONE task's key group; a single
+#: pathological mega-basket (a catch-all order key holding 10^6 items)
+#: would emit 5*10^11 rows. Every sibling fan-out in the engine fails
+#: loudly (MAX_SKYLINE_CANDIDATES, CMS saturation) — so does this one.
+MAX_BASKET_SIZE = 10_000
+
+
 def market_basket_pairs(
     df: DataFrame,
     basket_col: str,
     item_col: str,
     min_pair_count: int = 2,
+    max_basket_size: int = MAX_BASKET_SIZE,
 ) -> DataFrame:
     """Frequent-itemset pairs with association-rule scores (Agrawal &
     Srikant's Apriori at the pair level — the public market-basket
@@ -154,18 +163,36 @@ def market_basket_pairs(
     per-basket self-join item_a < item_b AFTER a distinct — one shuffle
     on the basket key, pair fan-out bounded by (basket size choose 2),
     which is the real-world control: retail/doc baskets are tens of
-    items, and a pathological mega-basket should be capped upstream,
-    not silently exploded. Margins are two broadcast-sized aggregates
-    joined back by item key."""
+    items. A pre-flight max-basket-size aggregate on the checkpointed
+    (basket, item) set raises loudly above ``max_basket_size`` instead
+    of silently exploding — one cheap keyed count, the same
+    fail-don't-serialize contract as MAX_SKYLINE_CANDIDATES. Rows with
+    a NULL basket key or NULL item are dropped up front: a NULL basket
+    can never form a pair (null equi-join), so counting it in the
+    margins or N would inflate every supp/conf/lift denominator.
+    Margins are two broadcast-sized aggregates joined back by item
+    key."""
     bi = (
         df.select(
             F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
         )
-        .filter(F.col("_it").isNotNull())
+        .filter(F.col("_it").isNotNull() & F.col("_bk").isNotNull())
         .distinct()
         .localCheckpoint()  # reused: pair join + both margins + N
     )
-    n_baskets = bi.select("_bk").distinct().count()
+    sizes = bi.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n")).agg(
+        F.coalesce(F.max("_n"), F.lit(0)).alias("mx"),
+        F.count(F.lit(1)).alias("n_baskets"),
+    ).collect()[0]
+    if sizes["mx"] > max_basket_size:
+        raise ValueError(
+            f"market_basket_pairs: largest basket holds {sizes['mx']} "
+            f"distinct items (> max_basket_size={max_basket_size}); the "
+            f"pair fan-out would be C({sizes['mx']},2) rows from one key "
+            "group — filter or split mega-baskets upstream, or raise "
+            "max_basket_size deliberately"
+        )
+    n_baskets = int(sizes["n_baskets"])
     rhs = bi.select(F.col("_bk").alias("_bk"), F.col("_it").alias("_it2"))
     pairs = (
         bi.join(rhs, "_bk")
@@ -241,12 +268,24 @@ def weighted_median(
     )
 
 
+#: ``grid_distance_join(strategy="auto")`` takes the broadcast
+#: nested-loop plan when the RIGHT side has at most this many rows.
+#: Measured crossover (SCALE_NOTES r9, `ab_round9_ops.py grid`): at
+#: 200k x 2k the codegen'd theta join wins (0.87 s vs 2.45 s — the 9x
+#: explode + shuffle costs more than |L|x|R| integer compares against a
+#: broadcast build); by 1M x 20k the grid is 2.2x faster and the gap
+#: widens with the size product. 8k sits inside the NLJ-wins region
+#: with margin; override per call when the left side is tiny too.
+NLJ_MAX_RIGHT_ROWS = 8_000
+
+
 def grid_distance_join(
     left: DataFrame,
     right: DataFrame,
     radius: int,
     x: str = "x",
     y: str = "y",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Spatial distance join on an INTEGER plane without a cross
     product: all (left, right) pairs with squared euclidean distance
@@ -266,7 +305,44 @@ def grid_distance_join(
     candidate pairs, which for physical point data is ~uniform per
     cell. Integer coords keep the residual exact (no FP distance ulps
     cross-engine); callers with lat/lon project to integer
-    micro-degrees first."""
+    micro-degrees first — deltas are cast to BIGINT before squaring so
+    micro-degree-sized int32 coordinates cannot wrap (|delta| > 46340
+    overflows an int32 square).
+
+    ``strategy``: ``"grid"`` always builds the cell-blocked plan — the
+    only shape that parallelizes when BOTH sides are large (the 100 TB
+    case). ``"nlj"`` broadcasts the right side and lets the optimizer
+    take the nested-loop theta join — faster when the right side is
+    broadcast-sized (the measured crossover is in NLJ_MAX_RIGHT_ROWS'
+    docstring). ``"auto"`` counts the right side once (a cheap action —
+    the side is about to be either broadcast or shuffled anyway) and
+    picks. Both paths produce identical pairs; tested."""
+    if strategy not in ("auto", "grid", "nlj"):
+        raise ValueError(f"grid_distance_join: unknown strategy {strategy!r}")
+    if radius < 1:
+        # x div 0 would yield NULL cell keys that never join — an empty
+        # result that LOOKS like "no neighbors". Fail loudly instead.
+        raise ValueError(
+            f"grid_distance_join: radius must be >= 1, got {radius}"
+        )
+    if strategy == "auto":
+        strategy = "nlj" if right.count() <= NLJ_MAX_RIGHT_ROWS else "grid"
+    # exact integer residual; deltas in BIGINT before the multiply (see
+    # docstring), integer multiply not ** (pow() routes through double)
+    dx = F.col(f"l_{x}").cast("long") - F.col(f"r_{x}").cast("long")
+    dy = F.col(f"l_{y}").cast("long") - F.col(f"r_{y}").cast("long")
+    dist2 = (dx * dx + dy * dy).cast("long")
+    if strategy == "nlj":
+        l_ren = left.select(
+            *[F.col(c).alias(f"l_{c}") for c in left.columns]
+        )
+        r_ren = right.select(
+            *[F.col(c).alias(f"r_{c}") for c in right.columns]
+        )
+        return (
+            l_ren.join(F.broadcast(r_ren), dist2 <= radius * radius)
+            .withColumn("dist2", dist2)
+        )
     lx, ly = f"l_{x}", f"l_{y}"
     l_cells = left.select(
         *[F.col(c).alias(f"l_{c}") for c in left.columns],
@@ -286,10 +362,6 @@ def grid_distance_join(
         F.expr(f"r_{x} div {radius}").alias("_cx"),
         F.expr(f"r_{y} div {radius}").alias("_cy"),
     )
-    dx = F.col(f"l_{x}") - F.col(f"r_{x}")
-    dy = F.col(f"l_{y}") - F.col(f"r_{y}")
-    # integer multiply, not **: pow() routes through double
-    dist2 = (dx * dx + dy * dy).cast("long")
     return (
         l_cells.join(r_cells, ["_cx", "_cy"])
         .withColumn("dist2", dist2)

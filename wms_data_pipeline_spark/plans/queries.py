@@ -6790,7 +6790,8 @@ def rel_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_market_basket",
     "WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it "
-    "FROM lineitem), "
+    "FROM lineitem "
+    "WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL), "
     "nb AS (SELECT count(DISTINCT bk) AS n FROM bi), "
     "p AS (SELECT a.it AS item_a, b.it AS item_b, count(*)::BIGINT AS "
     "n_pairs FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it "
@@ -6861,12 +6862,19 @@ def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ACF lags: 1-3 screen short-range structure; 7 is the weekday period —
+#: the reading that justifies evt_volume_anomaly_dow's same-weekday
+#: baseline (VERDICT r9 #6).
+ACF_LAGS = (1, 2, 3, 7)
+
 _ACF_ORACLE = (
     "WITH d AS (SELECT date_trunc('day', ts)::DATE AS day, "
     "count(*)::BIGINT AS x FROM events GROUP BY day), "
-    "l AS (SELECT x, lead(x, 1) OVER (ORDER BY day) AS x1, "
-    "lead(x, 2) OVER (ORDER BY day) AS x2, "
-    "lead(x, 3) OVER (ORDER BY day) AS x3 FROM d) "
+    "l AS (SELECT x, "
+    + ", ".join(
+        f"lead(x, {k}) OVER (ORDER BY day) AS x{k}" for k in ACF_LAGS
+    )
+    + " FROM d) "
     + " UNION ALL ".join(
         "(SELECT {k} AS lag, round("
         "(n * sxy - sx * sy) / sqrt("
@@ -6875,7 +6883,7 @@ _ACF_ORACLE = (
         "sum(x{k})::BIGINT AS sy, sum(x * x)::BIGINT AS sxx, "
         "sum(x{k} * x{k})::BIGINT AS syy, sum(x * x{k})::BIGINT AS sxy "
         "FROM l WHERE x{k} IS NOT NULL))".format(k=k)
-        for k in (1, 2, 3)
+        for k in ACF_LAGS
     )
 )
 
@@ -6884,9 +6892,10 @@ _ACF_ORACLE = (
     "evt_autocorrelation",
     _ACF_ORACLE,
     doc="Autocorrelation of the daily event-count series at lags 1-3 "
-    "(the seasonality screen run before picking an anomaly baseline — "
-    "a strong lag-7 ACF is what justifies evt_volume_anomaly_dow's "
-    "same-weekday baseline). Pearson r over (x_t, x_{t+k}) pairs with "
+    "and 7 (the seasonality screen run before picking an anomaly "
+    "baseline — the lag-7 reading is the one that justifies "
+    "evt_volume_anomaly_dow's same-weekday baseline, so it is "
+    "measured, not assumed). Pearson r over (x_t, x_{t+k}) pairs with "
     "EVERY sum accumulated in exact BIGINT (counts are integers; "
     "n*sxy-style moments are order-free integer arithmetic), so the "
     "only FP is the final ratio/sqrt — single correctly-rounded IEEE "
@@ -6903,10 +6912,10 @@ def evt_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day")
     led = daily.select(
         "x",
-        *[F.lead("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3)],
-    ).localCheckpoint()  # tiny (days) — reused by the three lag legs
+        *[F.lead("x", k).over(w).alias(f"x{k}") for k in ACF_LAGS],
+    ).localCheckpoint()  # tiny (days) — reused by the lag legs
     legs = []
-    for k in (1, 2, 3):
+    for k in ACF_LAGS:
         xk = F.col(f"x{k}")
         agg = led.filter(xk.isNotNull()).agg(
             F.count(F.lit(1)).alias("n"),
@@ -7029,4 +7038,71 @@ def rel_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_c_custkey").alias("c_custkey"),
         F.col("r_s_suppkey").alias("s_suppkey"),
         "dist2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 10: per-node graph structure
+# ---------------------------------------------------------------------------
+
+_NODE_CLUSTERING_ORACLE = (
+    "WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it "
+    "FROM lineitem), "
+    "e AS (SELECT DISTINCT a.it AS a, b.it AS b FROM bi a "
+    "JOIN bi b ON a.bk = b.bk AND a.it < b.it), "
+    "deg AS (SELECT n, count(*)::BIGINT AS d FROM "
+    "(SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n), "
+    "o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) "
+    "THEN e.a ELSE e.b END AS lo, "
+    "CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) "
+    "THEN e.b ELSE e.a END AS hi "
+    "FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n), "
+    "w AS (SELECT o1.lo AS x, o1.hi AS y, o2.hi AS z FROM o o1 "
+    "JOIN o o2 ON o1.lo = o2.lo AND o1.hi <> o2.hi), "
+    "t3 AS (SELECT w.x, w.y, w.z FROM w "
+    "JOIN o ON o.lo = w.y AND o.hi = w.z), "
+    "tc AS (SELECT n, count(*)::BIGINT AS t FROM "
+    "(SELECT unnest([x, y, z]) AS n FROM t3) GROUP BY n) "
+    "SELECT deg.n AS node, deg.d::BIGINT AS degree, "
+    "coalesce(tc.t, 0)::BIGINT AS n_tri, "
+    "(CASE WHEN deg.d >= 2 THEN (coalesce(tc.t, 0) * 1000000) "
+    "// ((deg.d * (deg.d - 1)) // 2) ELSE 0 END)::BIGINT "
+    "AS clustering_x1e6 "
+    "FROM deg LEFT JOIN tc ON deg.n = tc.n"
+)
+
+
+@query(
+    "rel_node_clustering",
+    _NODE_CLUSTERING_ORACLE,
+    doc="Per-node triangle count + LOCAL clustering coefficient "
+    "(Watts-Strogatz, public method) of the part co-purchase graph via "
+    "operators/graph.py node_clustering: the SAME degree-ordered "
+    "orientation and O(sqrt(m))-bounded wedge join as "
+    "rel_copurchase_triangles' global census (shared _orient_edges/"
+    "_ordered_wedges plan), but the closure probe is an inner "
+    "equi-join whose survivors each ARE one triangle, charged to all "
+    "three corners by a map-side explode and one count shuffle on the "
+    "node key. clustering(v) = (triangles(v) * 1e6) div C(deg v, 2), "
+    "exact staged integers — the per-page neighborhood-cliqueness "
+    "signal crawl-quality curation joins back to pages (near-clique "
+    "neighborhoods are template/link-farm shaped; high-degree "
+    "low-clustering nodes are genuine hubs). The oracle emits wedges "
+    "in both directions and lets the oriented closure edge pick "
+    "exactly one — same count, naive form.",
+)
+def rel_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    rhs = bi.select(F.col("bk"), F.col("it").alias("it2"))
+    edges = (
+        bi.join(rhs, "bk")
+        .filter(F.col("it") < F.col("it2"))
+        .select(F.col("it").alias("src"), F.col("it2").alias("dst"))
+        .distinct()
+    )
+    return gr.node_clustering(edges).select(
+        "node", "degree", "n_tri", "clustering_x1e6"
     )

@@ -1,0 +1,175 @@
+"""Round-10 A/B measurements (VERDICT r9 #4):
+
+- ``wedges``  : the triangle census' wedge generation as the self-JOIN on
+  the oriented src key (current plan, 2 exchanges at the join) vs the
+  node-iterator formulation (Suri & Vassilvitskii's "node iterator++",
+  public method): ONE shuffle aggregates each lo's out-neighbors into a
+  (dhi, hi)-sorted array, then wedges are generated MAP-SIDE by a double
+  posexplode (i < j). Candidate count is identical (C(outdeg, 2) per lo,
+  outdeg bounded O(sqrt m) by the orientation); the difference is one
+  exchange of the oriented edge list and the join machinery.
+  (The repartition("lo")-before-localCheckpoint trick elides both wedge
+  exchanges with AQE off, but AQE — the engine default — replans from the
+  logical plan and does not trust LogicalRDD partitioning, so it buys
+  nothing in practice; measured, see SCALE_NOTES r10.)
+- ``scaling`` : census wall at 1x/2x/4x the sf0.1 co-purchase edge count
+  on a synthetic graph with matched degree shape — confirms the wedge
+  stage grows as sum(outdeg^2), not worse.
+
+Usage: python tools/ab_round10_ops.py [wedges|scaling|all]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark():
+    return (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+def _copurchase_edges(spark, sf_dir="/root/testdata/sf0.1"):
+    from wms_data_pipeline_spark.schemas import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    rhs = bi.select(F.col("bk"), F.col("it").alias("it2"))
+    return (
+        bi.join(rhs, "bk")
+        .filter(F.col("it") < F.col("it2"))
+        .select(F.col("it").alias("src"), F.col("it2").alias("dst"))
+        .distinct()
+    )
+
+
+def _census_with_wedges(oriented, wedge_fn):
+    wedge = wedge_fn(oriented).select("y", "z")
+    closure = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    return (
+        wedge.join(closure, ["y", "z"], "left_semi")
+        .agg(F.count(F.lit(1)))
+        .collect()[0][0]
+    )
+
+
+def _wedges_join(oriented):
+    """The pre-round-10 wedge plan: self-join of the oriented edge list
+    on lo, ordered by the (dhi, hi) comparison — kept inline here as the
+    A/B baseline after graph.py adopted the explode formulation."""
+    o2 = oriented.select(
+        F.col("lo").alias("lo"),
+        F.col("hi").alias("hi2"),
+        F.col("dhi").alias("dhi2"),
+    )
+    return (
+        oriented.join(o2, "lo")
+        .filter(
+            (F.col("dhi") < F.col("dhi2"))
+            | ((F.col("dhi") == F.col("dhi2")) & (F.col("hi") < F.col("hi2")))
+        )
+        .select("lo", F.col("hi").alias("y"), F.col("hi2").alias("z"))
+    )
+
+
+def _wedges_explode(oriented):
+    from wms_data_pipeline_spark.operators.graph import _ordered_wedges
+
+    return _ordered_wedges(oriented)
+
+
+def leg_wedges(spark):
+    from wms_data_pipeline_spark.operators.graph import _orient_edges
+
+    edges = _copurchase_edges(spark)
+    _und, _deg, oriented = _orient_edges(edges, "src", "dst")
+    n_or = oriented.count()
+    results = {}
+    for label, fn in (("join", _wedges_join), ("explode", _wedges_explode)):
+        # warmup then median-ish best-of-3 on the wedge+closure stage only
+        walls = []
+        tri = None
+        for _ in range(3):
+            t0 = time.time()
+            tri = _census_with_wedges(oriented, fn)
+            walls.append(time.time() - t0)
+        results[label] = (sorted(walls)[1], tri)
+        print(
+            f"AB wedges[{label}]: census {tri:,} triangles, "
+            f"wedge+closure stage median {sorted(walls)[1]:.2f}s "
+            f"(reps {[f'{w:.2f}' for w in walls]})"
+        )
+    (tj, nj), (te, ne) = results["join"], results["explode"]
+    assert nj == ne, f"variant mismatch: {nj} vs {ne}"
+    print(
+        f"AB wedges: oriented edges {n_or:,}; join {tj:.2f}s vs "
+        f"explode {te:.2f}s -> explode is {tj / te:.2f}x"
+    )
+
+
+def leg_scaling(spark):
+    """Synthetic graphs with the co-purchase DEGREE SHAPE held fixed
+    (item space scales with basket count), sized 1x/2x/4x the sf0.1
+    co-purchase graph's ~1.2M edges: with the shape fixed, sum(outdeg^2)
+    grows ~linearly, so census wall growing ~linearly CONFIRMS the wedge
+    stage is sum(outdeg^2)-bound — super-linear wall growth would mean a
+    hidden worse-than-candidate-count cost."""
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    for mult in (1, 2, 4):
+        n_baskets = 60_000 * mult
+        bi = spark.range(n_baskets * 7).select(
+            (F.col("id") % n_baskets).alias("bk"),
+            (F.abs(F.xxhash64("id")) % (30_000 * mult)).alias("it"),
+        ).distinct()
+        rhs = bi.select("bk", F.col("it").alias("it2"))
+        edges = (
+            bi.join(rhs, "bk")
+            .filter(F.col("it") < F.col("it2"))
+            .select(F.col("it").alias("src"), F.col("it2").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        m = edges.count()
+        _und, _deg, oriented = gr._orient_edges(edges, "src", "dst")
+        wedge_work = (
+            oriented.groupBy("lo")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .agg(F.sum(F.expr("od * od")))
+            .collect()[0][0]
+        )
+        t0 = time.time()
+        row = gr.triangle_stats(edges).collect()[0]
+        dt = time.time() - t0
+        print(
+            f"AB scaling x{mult}: edges {m:,}, sum(outdeg^2) "
+            f"{wedge_work:,}, census {row['n_triangles']:,} triangles "
+            f"in {dt:.2f}s"
+        )
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    if which in ("wedges", "all"):
+        leg_wedges(spark)
+    if which in ("scaling", "all"):
+        leg_scaling(spark)
+
+
+if __name__ == "__main__":
+    main()

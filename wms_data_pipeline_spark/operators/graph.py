@@ -554,23 +554,29 @@ def _ordered_wedges(oriented: DataFrame) -> DataFrame:
     (lo, y, z) per unordered out-neighbor pair of ``lo``, emitted with
     (deg_y, y) < (deg_z, z) so the closure edge y->z — whose orientation
     agrees with this ordering by construction — matches exactly one
-    wedge row. The self-join key is ``lo``, whose out-degree the
-    orientation bounds at O(sqrt(m))."""
-    o2 = oriented.select(
-        F.col("lo").alias("lo"),
-        F.col("hi").alias("hi2"),
-        F.col("dhi").alias("dhi2"),
+    wedge row.
+
+    Node-iterator formulation (Suri & Vassilvitskii 2011's "node
+    iterator++", public method): ONE shuffle aggregates each lo's
+    out-neighbors into a (dhi, hi)-sorted struct array — bounded
+    O(sqrt(m)) elements by the orientation — then the C(outdeg, 2)
+    wedge pairs are generated MAP-SIDE by a double posexplode with
+    i < j (array order IS the canonical order, so no comparison
+    filter). Replaces the previous self-join on lo, which shuffled the
+    oriented edge list twice at the join (AQE replans from the logical
+    plan and does not trust a checkpointed frame's partitioning, so
+    pre-repartitioning could not elide them — measured, SCALE_NOTES
+    r10); candidate count is identical, measured 1.2x faster at sf0.1
+    and one full exchange of the edge list cheaper at scale."""
+    nbrs = oriented.groupBy("lo").agg(
+        F.array_sort(F.collect_list(F.struct("dhi", "hi"))).alias("ns")
     )
     return (
-        oriented.join(o2, "lo")
-        .filter(
-            (F.col("dhi") < F.col("dhi2"))
-            | (
-                (F.col("dhi") == F.col("dhi2"))
-                & (F.col("hi") < F.col("hi2"))
-            )
-        )
-        .select("lo", F.col("hi").alias("y"), F.col("hi2").alias("z"))
+        nbrs.select("lo", "ns", F.posexplode("ns").alias("i", "s1"))
+        .select("lo", "ns", "i", F.col("s1.hi").alias("y"))
+        .select("lo", "i", "y", F.posexplode("ns").alias("j", "s2"))
+        .filter(F.col("j") > F.col("i"))
+        .select("lo", "y", F.col("s2.hi").alias("z"))
     )
 
 

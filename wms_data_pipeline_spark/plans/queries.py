@@ -7016,12 +7016,17 @@ def evt_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identical points) via operators/relational.py grid_distance_join: "
     "uniform-grid blocking — each point keyed to its radius-sized "
     "cell, probe side exploded to the 3x3 neighborhood, pure EQUI-join "
-    "on the cell id, exact integer residual dx^2+dy^2 <= r^2. The "
-    "oracle is the naive theta join (correct but unplannable as a "
-    "hash join); the engine plan is the one that survives 100 TB: "
-    "shuffle keyed by dense-bounded cells, candidate work proportional "
-    "to true neighbor density — the LSH-band idea applied to "
-    "geometry. No FP anywhere: integer coords, integer residual.",
+    "on the cell id, exact integer residual dx^2+dy^2 <= r^2 (deltas "
+    "cast to BIGINT before squaring — int32 coords cannot wrap). "
+    "strategy='auto' (round 10) takes the broadcast nested-loop theta "
+    "join instead when the right side is under the measured crossover "
+    "(NLJ_MAX_RIGHT_ROWS; r9 A/B: 200k x 2k NLJ 2.8x faster, 2M x 50k "
+    "grid 12.2x) — at THIS sf the supplier side is broadcast-sized so "
+    "the NLJ runs; both paths are pair-identical (tested). The oracle "
+    "is the naive theta join; the grid plan is the one that survives "
+    "100 TB when NEITHER side broadcasts: shuffle keyed by "
+    "dense-bounded cells, candidate work proportional to true neighbor "
+    "density — the LSH-band idea applied to geometry.",
 )
 def rel_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(

@@ -45,6 +45,18 @@ MAX_LOCAL_GRAPH_EDGES = 1_000_000
 #: asserts a diameter-2 graph stops relaxing long before max_hops).
 LAST_ROUNDS: dict[str, int] = {}
 
+#: The triangle census/clustering closure probe builds a hash relation from
+#: the ORIENTED edge list. At or below this many edges the relation is
+#: plan-time ``F.broadcast``-hinted: AQE already converts the runtime plan
+#: to a broadcast hash join, but only AFTER the O(sum outdeg^2) wedge side
+#: has paid its planned shuffle WRITE — the hint removes that exchange from
+#: the plan entirely (measured: the single biggest line item of the census,
+#: SCALE_NOTES r10). Above the threshold (two BIGINTs per row, ~16 B —
+#: 8M edges ~ 128 MB hashed relation) the shuffled join is kept: on a
+#: 100 TB co-occurrence graph the closure side no longer fits an executor
+#: broadcast and the wedge shuffle is the correct plan.
+BROADCAST_CLOSURE_MAX_EDGES = 8_000_000
+
 
 def _null_safe_key(kv):
     """Sort key for driver-side (node, value) result lists that tolerates a
@@ -549,6 +561,19 @@ def _orient_edges(
     return und, deg, oriented
 
 
+def _closure_side(oriented: DataFrame) -> DataFrame:
+    """The closure probe's build side: the oriented edge list renamed to
+    the wedge's (y, z) endpoints, plan-time broadcast-hinted when the
+    edge count is at or below ``BROADCAST_CLOSURE_MAX_EDGES`` (the count
+    is one cheap action on the already-localCheckpoint-materialized
+    frame). See the threshold's docstring for the why; above it the
+    shuffled join is the plan that survives 100 TB."""
+    closure = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    if oriented.count() <= BROADCAST_CLOSURE_MAX_EDGES:
+        return F.broadcast(closure)
+    return closure
+
+
 def _ordered_wedges(oriented: DataFrame) -> DataFrame:
     """The canonical wedge set of a degree-oriented edge list: one row
     (lo, y, z) per unordered out-neighbor pair of ``lo``, emitted with
@@ -612,7 +637,7 @@ def triangle_stats(
     100 TB co-occurrence graph never sees a node-squared blowup."""
     und, deg, oriented = _orient_edges(edges, src, dst)
     wedge = _ordered_wedges(oriented).select("y", "z")
-    closure = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    closure = _closure_side(oriented)
     tri = wedge.join(closure, ["y", "z"], "left_semi").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -659,7 +684,7 @@ def node_clustering(
     count shuffle on the node key. No FP, no global order — the
     ``pagerank`` exactness contract."""
     und, deg, oriented = _orient_edges(edges, src, dst)
-    closure = oriented.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    closure = _closure_side(oriented)
     # inner join, not semi: closure edges are distinct, so each wedge row
     # matches at most once — no fan-out — and the survivor carries its
     # full (lo, y, z) corner set for the per-node charge.

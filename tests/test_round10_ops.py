@@ -229,3 +229,98 @@ def test_node_clustering_consistent_with_global_census(spark):
     assert sum(r.n_tri for r in per_node) == 3 * census.n_triangles
     assert len(per_node) == census.n_nodes
     assert len({r.node for r in per_node}) == census.n_nodes
+
+
+# ------------------------------------------------- interval_overlap_join
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(
+        [(k, f"2024-01-01 {h1:02d}:00:00.000001", f"2024-01-01 {h2:02d}:30:00") for k, h1, h2 in rows],
+        ["k", "s", "e"],
+    ).select(
+        "k",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+
+
+def test_interval_overlap_strategies_pair_identical(spark):
+    import random
+
+    rng = random.Random(11)
+    lrows = [(i, *sorted((rng.randrange(0, 20), rng.randrange(0, 20)))) for i in range(60)]
+    rrows = [(100 + i, *sorted((rng.randrange(0, 20), rng.randrange(0, 20)))) for i in range(25)]
+    l, r = _intervals(spark, lrows), _intervals(spark, rrows)
+    got = {}
+    for strategy in ("bin", "nlj", "auto"):
+        rows = rel.interval_overlap_join(l, r, strategy=strategy).collect()
+        got[strategy] = sorted(
+            (x["l_k"], x["r_k"], x["overlap_us"]) for x in rows
+        )
+    assert got["bin"] == got["nlj"] == got["auto"]
+    # spot-check against the naive predicate driver-side
+    lmap = {k: (s, e) for k, s, e in lrows}
+    rmap = {k: (s, e) for k, s, e in rrows}
+    want = sorted(
+        (lk, rk)
+        for lk, (ls, le) in lmap.items()
+        for rk, (rs, re_) in rmap.items()
+        # closed intervals built by _intervals: [h1:00:00.000001, h2:30:00]
+        if ls <= re_ and rs <= le
+    )
+    assert [(a, b) for a, b, _ in got["bin"]] == want
+    # overlap_us is exact micros: least(ends) - greatest(starts)
+    for lk, rk, ov in got["bin"]:
+        ls, le = lmap[lk]
+        rs, re_ = rmap[rk]
+        start_us = max(ls * 3_600_000_000 + 1, rs * 3_600_000_000 + 1)
+        end_us = min(le * 3_600_000_000 + 1_800_000_000, re_ * 3_600_000_000 + 1_800_000_000)
+        assert ov == end_us - start_us
+
+
+def test_interval_overlap_drops_null_and_inverted(spark):
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", "2024-01-01 01:00:00"),  # inverted
+         (2, None, "2024-01-01 01:00:00"),                   # null start
+         (3, "2024-01-01 01:00:00", None)],                  # null end
+        ["k", "s", "e"],
+    ).select("k", F.col("s").cast("timestamp").alias("start_ts"),
+             F.col("e").cast("timestamp").alias("end_ts"))
+    r = _intervals(spark, [(9, 0, 23)])
+    for strategy in ("bin", "nlj"):
+        assert rel.interval_overlap_join(l, r, strategy=strategy).count() == 0
+
+
+def test_interval_overlap_validation_and_span_guard(spark):
+    l = _intervals(spark, [(1, 0, 1)])
+    with pytest.raises(ValueError, match="bin_width_sec"):
+        rel.interval_overlap_join(l, l, bin_width_sec=0)
+    with pytest.raises(ValueError, match="strategy"):
+        rel.interval_overlap_join(l, l, strategy="nope")
+    # a 23.5-hour interval at 1-second bins spans ~84600 bins > the cap;
+    # the in-plan guard must fail loudly, not explode 84k rows silently
+    wide = _intervals(spark, [(1, 0, 23)])
+    with pytest.raises(Exception, match="interval_overlap_join"):
+        rel.interval_overlap_join(wide, wide, bin_width_sec=1, strategy="bin").count()
+
+
+# ------------------------------------------------------ classifier_score
+
+def test_classifier_score_neutral_on_empty_and_keep_consistent(spark):
+    from wms_data_pipeline_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "alpha beta gamma"), (4, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in txt.classifier_score(docs).collect()}
+    for d in (1, 2):
+        assert rows[d]["n_tokens"] == 0
+        assert rows[d]["wsum"] == 0
+        assert rows[d]["quality_score"] == 0.5
+        assert not rows[d]["keep"]
+    # identical text -> identical score (deterministic), keep == score>=thr
+    assert rows[3]["quality_score"] == rows[4]["quality_score"]
+    for d in (3, 4):
+        assert rows[d]["keep"] == (rows[d]["quality_score"] >= 0.55)
+        assert rows[d]["n_tokens"] == 3

@@ -368,3 +368,121 @@ def grid_distance_join(
         .filter(F.col("dist2") <= radius * radius)
         .drop("_cx", "_cy")
     )
+
+
+#: ``interval_overlap_join`` refuses intervals spanning more than this many
+#: bins (enforced in-plan via a conditional ``raise_error`` — no extra
+#: action). A single interval exploding into millions of bin rows is the
+#: range-join analogue of the mega-basket fan-out ``market_basket_pairs``
+#: guards against: fail loudly, let the caller widen ``bin_width_sec``.
+MAX_BINS_PER_INTERVAL = 1_000
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bin_width_sec: int = 3600,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Interval x interval OVERLAP join without a cross product: all
+    (left, right) pairs of CLOSED time intervals [start, end] that
+    intersect (``l.start <= r.end AND r.start <= l.end``), plus the
+    exact intersection length ``overlap_us`` (microseconds, BIGINT —
+    epoch-micros arithmetic, no FP). Both inputs carry ``start``/``end``
+    timestamp columns of the given names; every left column comes back
+    ``l_``-prefixed, every right column ``r_``-prefixed (the
+    ``grid_distance_join`` convention).
+
+    The companion to ``rel_range_join_binned``'s point-in-interval
+    rewrite, for the case where BOTH sides are intervals (sessions vs
+    campaign windows, outage windows vs SLA windows): each side maps to
+    the ``bin_width_sec``-wide epoch bins it spans (``sequence`` +
+    ``explode`` — the span is bounded by MAX_BINS_PER_INTERVAL with an
+    in-plan loud error), two intervals overlap only if they share a
+    bin, so the join is a pure EQUI-join on the bin key. A pair sharing
+    k bins would surface k times; instead of a distinct, each pair is
+    emitted ONLY from the first bin both spans share — which for
+    overlapping ranges is exactly ``greatest(l_first_bin,
+    r_first_bin)`` — the standard dedup-free binned range-join trick
+    (what Databricks' RANGE_JOIN hint does under the hood; public
+    method). Work scales with pairs-per-bin, never |L| x |R|; hot bins
+    are the skew knob (shrink the bin to rebalance).
+
+    Rows with a NULL endpoint (can never satisfy the predicate) or an
+    inverted interval (``end < start`` — the empty set under closed
+    semantics) are dropped on both sides before binning.
+
+    ``strategy``: ``"bin"`` always builds the binned plan (the shape
+    that survives when both sides are large); ``"nlj"`` broadcasts the
+    right side and takes the nested-loop theta join (wins when the
+    right side is broadcast-sized — same measured crossover family as
+    ``grid_distance_join``, see NLJ_MAX_RIGHT_ROWS); ``"auto"`` counts
+    the right side once and picks. Both paths produce identical pairs
+    (tested)."""
+    if strategy not in ("auto", "bin", "nlj"):
+        raise ValueError(f"interval_overlap_join: unknown strategy {strategy!r}")
+    if bin_width_sec < 1:
+        raise ValueError(
+            f"interval_overlap_join: bin_width_sec must be >= 1, got {bin_width_sec}"
+        )
+    if strategy == "auto":
+        strategy = "nlj" if right.count() <= NLJ_MAX_RIGHT_ROWS else "bin"
+
+    def _clean(df: DataFrame) -> DataFrame:
+        return df.filter(
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (F.col(end) >= F.col(start))
+        )
+
+    l_ren = _clean(left).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns]
+    )
+    r_ren = _clean(right).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    ls, le = f"l_{start}", f"l_{end}"
+    rs, re_ = f"r_{start}", f"r_{end}"
+    pred = (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+    overlap_us = (
+        F.least(F.unix_micros(F.col(le)), F.unix_micros(F.col(re_)))
+        - F.greatest(F.unix_micros(F.col(ls)), F.unix_micros(F.col(rs)))
+    ).cast("long")
+    if strategy == "nlj":
+        return (
+            l_ren.join(F.broadcast(r_ren), pred)
+            .withColumn("overlap_us", overlap_us)
+        )
+    w_us = bin_width_sec * 1_000_000
+
+    def _binned(df: DataFrame, s: str, e: str, first_bin: str) -> DataFrame:
+        sb = F.expr(f"unix_micros({s}) div {w_us}")
+        eb = F.expr(f"unix_micros({e}) div {w_us}")
+        span = eb - sb + 1
+        guarded = F.when(
+            span > MAX_BINS_PER_INTERVAL,
+            F.raise_error(
+                F.format_string(
+                    "interval_overlap_join: an interval spans %s bins "
+                    + f"(cap {MAX_BINS_PER_INTERVAL}); widen bin_width_sec",
+                    span.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(sb)
+        return df.withColumn(first_bin, guarded).withColumn(
+            "_bin", F.explode(F.sequence(F.col(first_bin), eb))
+        )
+
+    lb = _binned(l_ren, ls, le, "_lfb")
+    rb = _binned(r_ren, rs, re_, "_rfb")
+    return (
+        lb.join(rb, "_bin")
+        .filter(pred)
+        # dedup-free: a pair sharing k bins is emitted only from the first
+        # shared bin, which for intersecting ranges is greatest(first bins)
+        .filter(F.col("_bin") == F.greatest(F.col("_lfb"), F.col("_rfb")))
+        .withColumn("overlap_us", overlap_us)
+        .drop("_bin", "_lfb", "_rfb")
+    )

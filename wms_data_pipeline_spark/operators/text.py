@@ -590,3 +590,58 @@ def bpe_train(
         merges, "rank long, left string, right string, merged string, pair_count long"
     )
     return merges_df, words
+
+
+def classifier_score(
+    df: DataFrame,
+    colname: str = "text",
+    scale: float = 4.0,
+    keep_threshold: float = 0.55,
+) -> DataFrame:
+    """Hashed linear text-classifier INFERENCE as a map-side fold — the
+    fasttext-style quality filter shape (hash each token into a weight
+    table, average the weights, squash through a sigmoid) that public
+    LLM-corpus curation uses as its learned quality gate (a
+    linear-model classifier over bag-of-words features; public method).
+
+    The engine contribution is the execution shape, not the weights:
+    per-token weight lookup + mean + sigmoid run entirely inside ONE
+    whole-stage-codegen projection (``aggregate`` HOF over the token
+    array — zero shuffles, zero Python), which is how classifier
+    inference must run over a 100 TB corpus. Weights here are derived
+    from the cross-engine ``hex64`` hash (``w(t) = (hex64(t) % 1001 -
+    500) / 1000`` — deterministic, oracle-reproducible); a production
+    deployment swaps the derivation for a broadcast weight-map lookup
+    (``F.element_at`` against a map literal / broadcast join) in the
+    same fold.
+
+    Exactness: the fold accumulates the INTEGER weight sum (order-
+    independent, exact in any engine), divides once into the logit
+    ``wsum / (250 * n_tokens)`` (= mean weight in [-0.5, 0.5] times
+    ``scale``=4), then rounds the sigmoid to 6 decimals — the only FP
+    steps are the final division/exp, on bit-identical integer inputs.
+
+    Returns the input plus ``n_tokens`` (INT), ``wsum`` (BIGINT),
+    ``quality_score`` (sigmoid, rounded to 6), and ``keep``
+    (score >= keep_threshold). Empty/whitespace-only documents score a
+    neutral 0.5 (zero logit)."""
+    toks = tokens_of(colname)
+    wsum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + (hex64(t) % 1001 - 500),
+    )
+    n = F.size(toks)
+    denom = 1000.0 / scale  # 250 at the default scale
+    logit = F.when(n > 0, F.col("wsum") / (n * F.lit(denom))).otherwise(
+        F.lit(0.0)
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("wsum", wsum)
+        .withColumn("quality_score", score)
+        .withColumn("keep", F.col("quality_score") >= F.lit(keep_threshold))
+    )

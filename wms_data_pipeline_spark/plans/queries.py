@@ -7111,3 +7111,96 @@ def rel_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.node_clustering(edges).select(
         "node", "degree", "n_tri", "clustering_x1e6"
     )
+
+
+@query(
+    "txt_quality_classifier",
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks "
+    "FROM documents), "
+    "s AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens, "
+    "CAST(coalesce(list_sum(list_transform(toks, "
+    "x -> ('0x'||substr(md5(x),1,15))::BIGINT % 1001 - 500)), 0) AS BIGINT) "
+    "AS wsum FROM t), "
+    "q AS (SELECT doc_id, n_tokens, wsum, "
+    "round(1.0/(1.0 + exp(-(CASE WHEN n_tokens > 0 "
+    "THEN wsum/(250.0*n_tokens) ELSE 0.0 END))), 6) AS quality_score FROM s) "
+    "SELECT doc_id, n_tokens, wsum, quality_score, "
+    "quality_score >= 0.55 AS keep FROM q",
+    doc="Hashed linear classifier inference (the fasttext-style learned "
+    "quality gate of public LLM-corpus curation) via operators/text.py "
+    "classifier_score: per-token weight lookup + mean + sigmoid fused "
+    "into ONE codegen projection — an aggregate-HOF fold over the "
+    "token array, zero shuffles, zero Python. Weights derive from the "
+    "cross-engine hex64 hash so the oracle reproduces them; a trained "
+    "model swaps in a broadcast weight map in the same fold. The "
+    "integer weight-sum accumulates exactly (order-independent), the "
+    "only FP is the final logit/sigmoid on bit-identical inputs, "
+    "rounded to 6.",
+)
+def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return txt.classifier_score(docs).select(
+        "doc_id", "n_tokens", "wsum", "quality_score", "keep"
+    )
+
+
+@query(
+    "rel_interval_overlap_join",
+    "WITH camp AS (SELECT event_id AS campaign_id, ts AS start_ts, "
+    "ts + INTERVAL 12 HOUR AS end_ts FROM events WHERE event_type = 'purchase' "
+    "ORDER BY value DESC, event_id LIMIT 20), "
+    "g AS (SELECT user_id, event_id, ts, CASE WHEN ts - lag(ts) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE "
+    "THEN 1 ELSE 0 END AS ns FROM events), "
+    "s AS (SELECT user_id, ts, sum(ns) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+    "iv AS (SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS end_ts "
+    "FROM s GROUP BY 1, 2) "
+    "SELECT c.campaign_id, count(*)::BIGINT AS n_sessions, "
+    "count(DISTINCT v.user_id)::BIGINT AS n_users, "
+    "CAST(sum(least(epoch_us(v.end_ts), epoch_us(c.end_ts)) - "
+    "greatest(epoch_us(v.start_ts), epoch_us(c.start_ts))) AS BIGINT) "
+    "AS total_overlap_us "
+    "FROM camp c JOIN iv v ON v.start_ts <= c.end_ts AND c.start_ts <= v.end_ts "
+    "GROUP BY c.campaign_id",
+    doc="Interval x interval OVERLAP join (user sessions vs the top-20 "
+    "purchase-anchored 12-hour campaign windows) via "
+    "operators/relational.py interval_overlap_join: the companion to "
+    "rel_range_join_binned's point-in-interval rewrite for the case "
+    "where BOTH sides are intervals. Each side maps to the hour bins "
+    "it spans, overlap requires a shared bin, so the join is a pure "
+    "equi-join on the bin key; a pair sharing k bins is emitted only "
+    "from greatest(first-bin-l, first-bin-r) — the dedup-free binned "
+    "range-join trick. Intersection lengths are exact epoch-micros "
+    "BIGINTs. strategy='auto': at THIS sf the 20-campaign side is "
+    "broadcast-sized so the nested-loop theta join runs; at large "
+    "interval cardinality both sides bin and shuffle on the dense "
+    "bounded bin key — the 100 TB plan. The oracle is DuckDB's native "
+    "IEJoin on the raw inequalities.",
+)
+def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    camp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(20)
+        .select(
+            F.col("event_id").alias("campaign_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("end_ts"),
+        )
+    )
+    sess_iv = (
+        rel.sessionize(ev, key="user_id", ts_col="ts", gap="30 minutes")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+        .select("user_id", "start_ts", "end_ts")
+    )
+    pairs = rel.interval_overlap_join(
+        sess_iv, camp, start="start_ts", end="end_ts", strategy="auto"
+    )
+    return pairs.groupBy(F.col("r_campaign_id").alias("campaign_id")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("l_user_id").alias("n_users"),
+        F.sum("overlap_us").cast("long").alias("total_overlap_us"),
+    )

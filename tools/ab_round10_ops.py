@@ -16,7 +16,7 @@
   on a synthetic graph with matched degree shape — confirms the wedge
   stage grows as sum(outdeg^2), not worse.
 
-Usage: python tools/ab_round10_ops.py [wedges|scaling|all]
+Usage: python tools/ab_round10_ops.py [wedges|scaling|classifier|all]
 """
 
 from __future__ import annotations
@@ -161,6 +161,152 @@ def leg_scaling(spark):
         )
 
 
+
+
+def leg_classifier(spark):
+    """Classifier inference: the aggregate-HOF codegen fold
+    (operators/text.py classifier_score) vs the SAME arithmetic as an
+    Arrow-batched pandas UDF — quantifies what keeping model inference
+    JVM-side is worth. Both legs compute identical (wsum, n_tokens,
+    score) over the sf0.1 documents tiled 8x (~40k docs is too small to
+    separate the legs from session noise; tiling the text column keeps
+    token distribution realistic)."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from wms_data_pipeline_spark.operators import text as txt
+    from wms_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    tiles = spark.range(8).select(F.col("id").alias("tile"))
+    big = (
+        docs.crossJoin(F.broadcast(tiles))
+        .select((F.col("doc_id") * 8 + F.col("tile")).alias("doc_id"), "text")
+        .localCheckpoint()
+    )
+    n = big.count()
+
+    def _wsum_series(texts):
+        import hashlib
+
+        def one(t):
+            s = 0
+            for tok in (t or "").split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                s += h % 1001 - 500
+            return s
+
+        return texts.map(one)
+
+    # explicit Series->Series eval type: the module-level
+    # `from __future__ import annotations` stringifies type hints, which
+    # Spark's hint-based inference rejects
+    wsum_udf = pandas_udf(_wsum_series, "long", PandasUDFType.SCALAR)
+
+    def codegen():
+        return txt.classifier_score(big).agg(
+            F.sum("wsum"), F.sum("quality_score")
+        ).collect()
+
+    def arrow_udf():
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        nt = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks))
+        wsum = wsum_udf(F.col("text"))
+        score = F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -F.when(nt > 0, wsum / (nt * F.lit(250.0))).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+            ),
+            6,
+        )
+        return big.select(wsum.alias("wsum"), score.alias("q")).agg(
+            F.sum("wsum"), F.sum("q")
+        ).collect()
+
+    # --- vocabulary-weight legs: the DEPLOYED shape (a trained model's
+    # weight table) — weights live in a 10k-token vocab; unseen tokens
+    # weigh 0. Compared as (c) explode + broadcast-join + re-agg (the
+    # all-JVM distributed form) vs (d) Arrow UDF with a driver dict.
+    toks_col = F.split(F.trim(F.col("text")), r"\s+")
+    vocab = (
+        big.select(F.explode(toks_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(10_000)
+        .select("tok", (txt.hex64(F.col("tok")) % 1001 - 500).alias("w"))
+        .localCheckpoint()
+    )
+    wmap = {r["tok"]: r["w"] for r in vocab.collect()}
+
+    def vocab_join():
+        per_tok = big.select(
+            "doc_id", F.explode(toks_col).alias("tok"), F.size(toks_col).alias("nt")
+        )
+        scored = (
+            per_tok.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("doc_id", "nt")
+            .agg(F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("wsum"))
+            .select(
+                "wsum",
+                F.round(
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.exp(-(F.col("wsum") / (F.col("nt") * F.lit(250.0))))),
+                    6,
+                ).alias("q"),
+            )
+        )
+        return scored.agg(F.sum("wsum"), F.sum("q")).collect()
+
+    def _wsum_dict_series(texts):
+        def one(t):
+            s = 0
+            for tok in (t or "").split():
+                s += wmap.get(tok, 0)
+            return s
+
+        return texts.map(one)
+
+    wsum_dict_udf = pandas_udf(_wsum_dict_series, "long", PandasUDFType.SCALAR)
+
+    def vocab_udf():
+        nt = F.when(F.trim(F.col("text")) == "", 0).otherwise(F.size(toks_col))
+        wsum = wsum_dict_udf(F.col("text"))
+        score = F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-F.when(nt > 0, wsum / (nt * F.lit(250.0))).otherwise(F.lit(0.0)))),
+            6,
+        )
+        return big.select(wsum.alias("wsum"), score.alias("q")).agg(
+            F.sum("wsum"), F.sum("q")
+        ).collect()
+
+    for label, fn in (("codegen-fold", codegen), ("pandas-udf", arrow_udf),
+                      ("vocab-bcast-join", vocab_join), ("vocab-udf-dict", vocab_udf)):
+        fn()  # warmup
+        walls = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fn()
+            walls.append(time.time() - t0)
+        walls.sort()
+        print(
+            f"classifier {label}: {n} docs, median {walls[1]:.2f}s "
+            f"({n/walls[1]/1000:.0f}k docs/s), reps={[round(w,2) for w in walls]}, "
+            f"checksum={tuple(out[0])}"
+        )
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -169,6 +315,8 @@ def main():
         leg_wedges(spark)
     if which in ("scaling", "all"):
         leg_scaling(spark)
+    if which in ("classifier", "all"):
+        leg_classifier(spark)
 
 
 if __name__ == "__main__":

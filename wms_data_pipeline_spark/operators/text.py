@@ -607,13 +607,20 @@ def classifier_score(
     The engine contribution is the execution shape, not the weights:
     per-token weight lookup + mean + sigmoid run entirely inside ONE
     whole-stage-codegen projection (``aggregate`` HOF over the token
-    array — zero shuffles, zero Python), which is how classifier
-    inference must run over a 100 TB corpus. Weights here are derived
+    array — zero shuffles, zero Python). Weights here are derived
     from the cross-engine ``hex64`` hash (``w(t) = (hex64(t) % 1001 -
-    500) / 1000`` — deterministic, oracle-reproducible); a production
-    deployment swaps the derivation for a broadcast weight-map lookup
-    (``F.element_at`` against a map literal / broadcast join) in the
-    same fold.
+    500) / 1000`` — deterministic, oracle-reproducible).
+
+    Deployment guidance (measured — `ab_round10_ops.py classifier`,
+    SCALE_NOTES r10): with a TRAINED weight table the fastest shape by
+    3x is an Arrow pandas UDF holding the vocab dict in the task
+    closure (zero shuffles, C-speed lookups, ~46k docs/s on 32 local
+    cores); the explode + broadcast-join + re-agg form is 20x slower
+    (it materializes a per-token row stream and pays a shuffle), and
+    this md5-derived fold itself is crypto-hash-bound rather than
+    transfer-bound. Keep the hash-derived fold where the weights must
+    be engine-reproducible; switch to the dict UDF once real weights
+    exist and fit executor memory.
 
     Exactness: the fold accumulates the INTEGER weight sum (order-
     independent, exact in any engine), divides once into the logit

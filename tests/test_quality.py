@@ -40,3 +40,26 @@ def test_single_pass(spark):
     exp = {f"e{i}": F.col("v") >= i for i in range(10)}
     res = check_expectations(df, exp, raise_on_failure=False)
     assert sum(res.violations.values()) == 8  # v=1 fails e2..e9
+
+
+def test_iqr_outliers_exact_quartiles_and_fences(spark):
+    from wms_data_pipeline_spark.operators.quality import iqr_outliers
+
+    # group a: values 1..8 plus a far outlier 100.
+    # n=9; q1 = min v with 4*cum >= 9  -> cum>=2.25 -> v=3
+    #      q3 = min v with 4*cum >= 27 -> cum>=6.75 -> v=7
+    # IQR=4, fences [3-6, 7+6] = [-3, 13] -> only 100 is out
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]]
+    # group b: constant values -> IQR 0, fences collapse to the point;
+    # nothing is an outlier
+    rows += [("b", 5)] * 4
+    # nulls are excluded entirely
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in iqr_outliers(df, "g", "v").collect()}
+    assert got["a"]["n"] == 9
+    assert got["a"]["q1"] == 3 and got["a"]["q3"] == 7
+    assert got["a"]["n_outliers"] == 1
+    assert got["b"]["n"] == 4
+    assert got["b"]["q1"] == 5 and got["b"]["q3"] == 5
+    assert got["b"]["n_outliers"] == 0

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -116,3 +116,69 @@ def expectations_report(
         ),
         F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_rows"),
     ).select("rule", "n_rows", "n_violations")
+
+
+def iqr_outliers(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact distributed IQR (Tukey-fence) outlier screen per group over
+    an INTEGER value column: (group, n, q1, q3, n_outliers) where
+    q1/q3 are the exact lower discrete quartiles (the smallest value
+    whose cumulative count reaches 1/4 resp. 3/4 of the group — the
+    ``weighted_median`` rank rule at the quarter points, integer
+    comparisons only) and an outlier is a value outside
+    [q1 - 1.5*IQR, q3 + 1.5*IQR]. The half-steps never materialize:
+    the fences are compared as ``2*v < 5*q1 - 3*q3`` /
+    ``2*v > 5*q3 - 3*q1`` — pure BIGINT, no FP anywhere, bit-identical
+    on any engine/partitioning (what approx_percentile-based screens
+    cannot promise). Complements the MAD screen
+    (evt_robust_anomaly_mad) with the boxplot-standard fence.
+
+    Cost: one (group, value) count aggregate, one window pass over the
+    DISTINCT values per group (never the raw rows), and one broadcast
+    join of the per-group fences back onto the value counts. NULL
+    values are excluded (they are a completeness defect, not an
+    outlier — ``null_profile`` counts them)."""
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_v")
+    )
+    c = v.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = c.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
+        "_n", F.sum("_c").over(w_all)
+    )
+    # q/out descend from the same lineage as c — alias the group key at
+    # each level so the self-referencing joins stay unambiguous
+    q = ranked.groupBy("_g").agg(
+        F.max("_n").alias("n"),
+        F.min(F.when(F.col("_cum") * 4 >= F.col("_n"), F.col("_v"))).alias("q1"),
+        F.min(F.when(F.col("_cum") * 4 >= F.col("_n") * 3, F.col("_v"))).alias("q3"),
+    ).select(F.col("_g").alias("_qg"), "n", "q1", "q3")
+    out = (
+        c.join(F.broadcast(q), F.col("_g") == F.col("_qg"))
+        .filter(
+            (F.col("_v") * 2 < F.col("q1") * 5 - F.col("q3") * 3)
+            | (F.col("_v") * 2 > F.col("q3") * 5 - F.col("q1") * 3)
+        )
+        .groupBy(F.col("_g").alias("_og"))
+        .agg(F.sum("_c").alias("n_outliers"))
+    )
+    return (
+        q.join(out, F.col("_qg") == F.col("_og"), "left")
+        .select(
+            F.col("_qg").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            F.col("q1").cast("long").alias("q1"),
+            F.col("q3").cast("long").alias("q3"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias(
+                "n_outliers"
+            ),
+        )
+    )

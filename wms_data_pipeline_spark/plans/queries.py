@@ -7204,3 +7204,112 @@ def rel_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_user_id").alias("n_users"),
         F.sum("overlap_us").cast("long").alias("total_overlap_us"),
     )
+
+
+@query(
+    "dq_outlier_iqr",
+    "WITH v AS (SELECT event_type AS g, CAST(floor(value * 100) AS BIGINT) "
+    "AS v FROM events WHERE value IS NOT NULL), "
+    "c AS (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2), "
+    "w AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v "
+    "ROWS UNBOUNDED PRECEDING) AS cum, sum(c) OVER (PARTITION BY g) AS n "
+    "FROM c), "
+    "q AS (SELECT g, max(n) AS n, "
+    "min(CASE WHEN 4*cum >= n THEN v END) AS q1, "
+    "min(CASE WHEN 4*cum >= 3*n THEN v END) AS q3 FROM w GROUP BY g), "
+    "o AS (SELECT c.g, sum(c.c) AS n_outliers FROM c JOIN q ON c.g = q.g "
+    "WHERE 2*c.v < 5*q.q1 - 3*q.q3 OR 2*c.v > 5*q.q3 - 3*q.q1 GROUP BY c.g) "
+    "SELECT q.g AS event_type, q.n::BIGINT AS n, q.q1::BIGINT AS q1, "
+    "q.q3::BIGINT AS q3, coalesce(o.n_outliers, 0)::BIGINT AS n_outliers "
+    "FROM q LEFT JOIN o ON q.g = o.g",
+    doc="Exact distributed IQR (Tukey boxplot fence) outlier screen per "
+    "event type via operators/quality.py iqr_outliers: exact lower "
+    "discrete quartiles by the weighted_median rank rule at the "
+    "quarter points (integer cents, integer comparisons), fences "
+    "compared as 2v < 5*q1 - 3*q3 without ever materializing the 1.5x "
+    "half-step — no FP anywhere, bit-identical under any partitioning "
+    "(the property approx_percentile screens cannot give). The window "
+    "pass runs over DISTINCT (group, value) counts, never raw rows; "
+    "fences broadcast back. Complements evt_robust_anomaly_mad's MAD "
+    "screen with the boxplot-standard fence.",
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import iqr_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).filter(F.col("cents").isNotNull())
+    return iqr_outliers(ev, "event_type", "cents")
+
+
+@query(
+    "dq_freshness",
+    "WITH g AS (SELECT event_type, count(*)::BIGINT AS n_events, "
+    "max(ts) AS latest_ts FROM events GROUP BY event_type), "
+    "m AS (SELECT max(latest_ts) AS global_latest FROM g) "
+    "SELECT g.event_type, g.n_events, g.latest_ts, "
+    "((epoch_us(m.global_latest) - epoch_us(g.latest_ts)) // 60000000)"
+    "::BIGINT AS staleness_min FROM g CROSS JOIN m",
+    doc="Per-source freshness audit (the dbt source-freshness check, "
+    "distributed): one aggregate computes each event type's latest "
+    "arrival, the global high-water mark broadcasts back, and the "
+    "staleness is exact integer minutes in epoch-micros space. The "
+    "feed whose staleness_min grows while siblings stay near zero is "
+    "the stalled extractor — the monitoring twin of the control "
+    "plane's watermark table.",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("latest_ts"),
+    )
+    m = g.agg(F.max("latest_ts").alias("global_latest"))
+    return g.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        "n_events",
+        "latest_ts",
+        (
+            (F.unix_micros("global_latest") - F.unix_micros("latest_ts"))
+            / F.lit(60_000_000)
+        )
+        .cast("long")
+        .alias("staleness_min"),
+    )
+
+
+@query(
+    "dq_temporal_consistency",
+    "WITH j AS (SELECT l.l_shipdate, o.o_orderdate FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+    "SELECT * FROM ("
+    "SELECT 'ship_before_order' AS rule, count(*)::BIGINT AS n_rows, "
+    "count(*) FILTER (NOT (l_shipdate >= o_orderdate) "
+    "OR l_shipdate IS NULL OR o_orderdate IS NULL)::BIGINT AS n_violations "
+    "FROM j "
+    "UNION ALL SELECT 'ship_within_180d', count(*)::BIGINT, "
+    "count(*) FILTER (NOT (l_shipdate <= o_orderdate + INTERVAL 180 DAY) "
+    "OR l_shipdate IS NULL OR o_orderdate IS NULL)::BIGINT FROM j)",
+    doc="CROSS-TABLE temporal-consistency audit: lineitems joined to "
+    "their orders, then the constraint family (never shipped before "
+    "ordered; shipped within the 180-day SLA) evaluates in ONE "
+    "conditional aggregate over the joined stream "
+    "(operators/quality.py expectations_report — N rules, one pass, "
+    "long-form audit rows). dq_referential_integrity checks the KEYS "
+    "line up; this checks the TIMELINE does — the two defects a "
+    "landing-zone merge can introduce independently. Null timestamps "
+    "coerce to violation per three-valued logic.",
+)
+def dq_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import expectations_report
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    rules = {
+        "ship_before_order": F.col("l_shipdate") >= F.col("o_orderdate"),
+        "ship_within_180d": F.col("l_shipdate")
+        <= F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
+    }
+    return expectations_report(j, rules)

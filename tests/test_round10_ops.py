@@ -324,3 +324,74 @@ def test_classifier_score_neutral_on_empty_and_keep_consistent(spark):
     for d in (3, 4):
         assert rows[d]["keep"] == (rows[d]["quality_score"] >= 0.55)
         assert rows[d]["n_tokens"] == 3
+
+
+# ------------------------------------------------ PNG variants, color JPEG
+
+def test_png_grayscale_and_palette_roundtrip():
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    w, h = 9, 7
+    gray = bytes(rng.randrange(256) for _ in range(w * h))
+    d = mm.decode_image_real(mm.encode_png(w, h, gray, colortype=0))
+    assert d["raster"] == gray and d["channels"] == 1
+
+    pal = bytes(rng.randrange(256) for _ in range(3 * 16))
+    idx = bytes(rng.randrange(16) for _ in range(w * h))
+    d = mm.decode_image_real(mm.encode_png(w, h, idx, colortype=3, palette=pal))
+    assert d["channels"] == 3
+    assert d["raster"] == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+
+    # encoder guards: bad palette length, out-of-range index, palette
+    # passed for a non-palette colortype
+    with pytest.raises(ValueError, match="palette"):
+        mm.encode_png(w, h, idx, colortype=3, palette=pal[:5])
+    with pytest.raises(ValueError, match="out of palette range"):
+        mm.encode_png(w, h, bytes([20]) * w * h, colortype=3, palette=pal)
+    with pytest.raises(ValueError, match="palette only valid"):
+        mm.encode_png(w, h, gray, colortype=0, palette=pal)
+
+
+def test_jpeg_color_gray_content_bit_exact_all_samplings():
+    import numpy as np
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    for sub in ((1, 1), (2, 1), (1, 2), (2, 2)):
+        for w, h in ((16, 16), (9, 7)):
+            v = (w * 31 + h * 7 + sub[0] * 3 + sub[1]) % 256
+            rgb = bytes([v]) * (3 * w * h)
+            d = mm.decode_image_real(
+                mm.encode_jpeg_color(w, h, rgb, subsampling=sub)
+            )
+            assert d["channels"] == 3 and (d["width"], d["height"]) == (w, h)
+            got = np.frombuffer(d["raster"], np.uint8)
+            assert (got == v).all(), (sub, w, h)
+
+
+def test_jpeg_color_lossy_bounded_and_guards():
+    import numpy as np
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    w = h = 16
+    rgb = bytearray()
+    for y in range(h):
+        for x in range(w):
+            rgb += bytes(((x // 8) * 200 + 20, (y // 8) * 180 + 30, 120))
+    for sub in ((1, 1), (2, 2)):
+        d = mm.decode_image_real(
+            mm.encode_jpeg_color(w, h, bytes(rgb), subsampling=sub)
+        )
+        got = np.frombuffer(d["raster"], np.uint8).astype(int)
+        err = np.abs(got - np.frombuffer(bytes(rgb), np.uint8).astype(int)).max()
+        # blocky content aligned to the 8x8/chroma grid: conversion
+        # rounding only
+        assert err <= 2, (sub, err)
+    with pytest.raises(ValueError, match="subsampling"):
+        mm.encode_jpeg_color(w, h, bytes(rgb), subsampling=(3, 1))
+    with pytest.raises(ValueError, match="RGB bytes"):
+        mm.encode_jpeg_color(w, h, bytes(rgb)[:-1])

@@ -268,28 +268,44 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(
-    width: int, height: int, pixels: bytes, filter_of=None
+    width: int, height: int, pixels: bytes, filter_of=None,
+    colortype: int = 2, palette: bytes | None = None,
 ) -> bytes:
-    """PNG encoder (8-bit truecolor RGB) with REAL DEFLATE compression via
-    stdlib zlib — the second codec-bearing format after GIF/LZW, and a
-    mainstream one: signature, IHDR/IDAT/IEND chunks with genuine CRC32s,
-    per-scanline filters (``filter_of(y)`` chooses 0-4; default cycles
-    y % 5 so Sub/Up/Average/Paeth are all exercised), zlib-compressed
-    filtered scanlines. The decoder must parse chunks, verify CRCs,
-    inflate, and UNDO the filter chain byte-sequentially to recover the
-    raster."""
+    """PNG encoder with REAL DEFLATE compression via stdlib zlib — the
+    second codec-bearing format after GIF/LZW, and a mainstream one:
+    signature, IHDR/IDAT/IEND chunks with genuine CRC32s, per-scanline
+    filters (``filter_of(y)`` chooses 0-4; default cycles y % 5 so
+    Sub/Up/Average/Paeth are all exercised), zlib-compressed filtered
+    scanlines. ``colortype``: 2 = 8-bit truecolor RGB (default,
+    ``pixels`` is 3*w*h RGB bytes), 0 = 8-bit grayscale (w*h bytes),
+    3 = 8-bit palette-indexed (w*h index bytes + a ``palette`` of RGB
+    triplets emitted as a PLTE chunk). The decoder must parse chunks,
+    verify CRCs, inflate, UNDO the filter chain byte-sequentially, and
+    for palette images map indices through PLTE."""
     import struct
     import zlib
 
-    if len(pixels) != 3 * width * height:
+    if colortype not in (0, 2, 3):
+        raise ValueError(f"encode_png: unsupported colortype {colortype}")
+    bpp = 3 if colortype == 2 else 1
+    if len(pixels) != bpp * width * height:
         raise ValueError(
-            f"PNG {width}x{height} needs {3 * width * height} pixel bytes, "
+            f"PNG {width}x{height} needs {bpp * width * height} pixel bytes, "
             f"got {len(pixels)}"
         )
+    if colortype == 3:
+        if not palette or len(palette) % 3 or len(palette) > 768:
+            raise ValueError(
+                "palette PNG needs an RGB-triplet palette of <= 256 entries"
+            )
+        n_entries = len(palette) // 3
+        if any(p >= n_entries for p in pixels):
+            raise ValueError("palette PNG pixel index out of palette range")
+    elif palette is not None:
+        raise ValueError("palette only valid with colortype=3")
     if filter_of is None:
         filter_of = lambda y: y % 5  # noqa: E731
-    bpp = 3
-    stride = 3 * width
+    stride = bpp * width
     raw = memoryview(pixels)
     out_lines = bytearray()
     prior = bytes(stride)
@@ -336,11 +352,13 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
     idat = zlib.compress(bytes(out_lines), 6)
+    plte = chunk(b"PLTE", bytes(palette)) if colortype == 3 else b""
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
@@ -348,12 +366,14 @@ def encode_png(
 
 def _decode_png(content: bytes) -> dict:
     """PNG parse + inflate + filter undo (stdlib zlib, no image library):
-    chunk walk with CRC32 verification, IHDR validation (8-bit truecolor,
-    no interlace), concatenated-IDAT zlib inflate, and the byte-
-    sequential unfilter pass (None/Sub/Up/Average/Paeth). Raises
-    ValueError on truncation/CRC/filter corruption — the quarantine
-    contract; NotImplementedError for PNG variants (palette, 16-bit,
-    interlaced) a codec library would cover."""
+    chunk walk with CRC32 verification, IHDR validation (8-bit
+    truecolor, grayscale, or palette-indexed; no interlace),
+    concatenated-IDAT zlib inflate, the byte-sequential unfilter pass
+    (None/Sub/Up/Average/Paeth), and for palette images the PLTE
+    index→RGB expansion. Raises ValueError on truncation/CRC/filter/
+    palette corruption — the quarantine contract; NotImplementedError
+    for PNG variants (16-bit, alpha, interlaced) a codec library would
+    cover."""
     import struct
     import zlib
 
@@ -361,6 +381,8 @@ def _decode_png(content: bytes) -> dict:
         raise ValueError("bad PNG signature")
     pos = 8
     width = height = None
+    colortype = 2
+    plte = None
     idat = bytearray()
     while pos < len(content):
         if pos + 8 > len(content):
@@ -378,25 +400,34 @@ def _decode_png(content: bytes) -> dict:
             width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype_i != 2:
+            if depth != 8 or ctype_i not in (0, 2, 3):
                 raise NotImplementedError(
-                    f"only 8-bit truecolor PNG supported (depth={depth}, "
-                    f"colortype={ctype_i})"
+                    f"only 8-bit truecolor/grayscale/palette PNG supported "
+                    f"(depth={depth}, colortype={ctype_i})"
                 )
             if interlace:
                 raise NotImplementedError("interlaced PNG not supported")
+            colortype = ctype_i
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data or len(data) > 768:
+                raise ValueError(f"bad PLTE length {len(data)}")
+            plte = data
+        elif ctype == b"tRNS":
+            raise NotImplementedError("PNG transparency (tRNS) not supported")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("PNG contains no IHDR")
+    if colortype == 3 and plte is None:
+        raise ValueError("palette PNG contains no PLTE chunk")
     try:
         lines = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    bpp = 3
-    stride = 3 * width
+    bpp = 3 if colortype == 2 else 1
+    stride = bpp * width
     if len(lines) != (stride + 1) * height:
         raise ValueError(
             f"PNG scanline data is {len(lines)} bytes, "
@@ -432,13 +463,26 @@ def _decode_png(content: bytes) -> dict:
             raise ValueError(f"unknown PNG filter {ft} on row {y}")
         raster += line
         prior = bytes(line)
+    if colortype == 3:
+        # PLTE index -> RGB expansion; an index past the palette is file
+        # corruption, not a variant — quarantine it
+        n_entries = len(plte) // 3
+        rgb = bytearray(3 * width * height)
+        for i, idx in enumerate(raster):
+            if idx >= n_entries:
+                raise ValueError(
+                    f"PNG palette index {idx} out of range ({n_entries} entries)"
+                )
+            rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
+        raster = rgb
+    channels = 1 if colortype == 0 else 3
     return {
         "format": "image/png",
         "width": width,
         "height": height,
         "maxval": 255,
-        "pixel_bytes": 3 * width * height,
-        "channels": 3,
+        "pixel_bytes": channels * width * height,
+        "channels": channels,
         "raster_offset": -1,
         "raster": bytes(raster),
     }
@@ -782,14 +826,12 @@ def netpbm_array(content: bytes):
     meta = decode_image_real(content)
     off = meta["raster_offset"]
     h, w, ch = meta["height"], meta["width"], meta["channels"]
-    if meta["format"] == "image/png":
-        # raster is the INFLATED + unfiltered bytes, already logical RGB
+    if meta["format"] in ("image/png", "image/jpeg"):
+        # raster is already DECODED to logical layout (PNG: inflated +
+        # unfiltered + palette-expanded; JPEG: Huffman + IDCT + color
+        # transform); channels says whether it is gray or RGB
         arr = np.frombuffer(meta["raster"], dtype=np.uint8)
-        return arr.reshape(h, w, 3), meta
-    if meta["format"] == "image/jpeg":
-        # raster is the Huffman-decoded + IDCT'd grayscale plane
-        arr = np.frombuffer(meta["raster"], dtype=np.uint8)
-        return arr.reshape(h, w, 1), meta
+        return arr.reshape(h, w, ch), meta
     if meta["format"] == "image/gif":
         # palette-mapped: LZW-decompressed indices -> RGB via the color table
         pal = np.frombuffer(meta["palette"], dtype=np.uint8).reshape(256, 3)
@@ -1282,12 +1324,185 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    rgb: bytes,
+    qtable_y=None,
+    qtable_c=None,
+    subsampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Baseline sequential JPEG encoder, 3-component YCbCr with chroma
+    subsampling — the form real-world JPEGs actually take: JFIF RGB ->
+    YCbCr transform, box-filter chroma downsample by the (h, v) luma
+    sampling factors ((2, 2) = 4:2:0, (2, 1) = 4:2:2, (1, 2) = 4:4:0,
+    (1, 1) = 4:4:4), interleaved per-MCU block emission in SOF order
+    with per-component DC predictors, 8x8 orthonormal DCT, quantization
+    (separate luma/chroma tables, default all-ones for the exact-oracle
+    test corpus), zigzag, Huffman coding with the Annex K luminance
+    tables declared for all components (spec-legal — tables are
+    whatever DHT declares), 0xFF stuffing. Gray pixels (R=G=B) map to
+    Cb=Cr=128 exactly and survive the constant-block path bit-exactly —
+    the property the oracle-paired color query relies on."""
+    import struct
+
+    import numpy as np
+
+    yh, yv = subsampling
+    if yh not in (1, 2) or yv not in (1, 2):
+        raise ValueError(f"unsupported subsampling {subsampling}")
+    if len(rgb) != 3 * width * height:
+        raise ValueError(
+            f"JPEG {width}x{height} needs {3 * width * height} RGB bytes, "
+            f"got {len(rgb)}"
+        )
+
+    def _q(t):
+        q = (
+            np.ones((8, 8), dtype=np.int64)
+            if t is None
+            else np.asarray(t, dtype=np.int64).reshape(8, 8)
+        )
+        if (q < 1).any() or (q > 255).any():
+            raise ValueError("JPEG quant table entries must be in 1..255")
+        return q
+
+    qy, qc = _q(qtable_y), _q(qtable_c)
+    px = (
+        np.frombuffer(rgb, np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    luma = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    # pad to the MCU multiple by edge replication, then box-average the
+    # chroma planes down by the luma sampling factors
+    H = -(-height // (8 * yv)) * 8 * yv
+    W = -(-width // (8 * yh)) * 8 * yh
+    pad = ((0, H - height), (0, W - width))
+    luma = np.pad(luma, pad, mode="edge") - 128.0
+    cb = np.pad(cb, pad, mode="edge")
+    cr = np.pad(cr, pad, mode="edge")
+    if (yh, yv) != (1, 1):
+        cb = np.round(
+            cb.reshape(H // yv, yv, W // yh, yh).mean(axis=(1, 3))
+        )
+        cr = np.round(
+            cr.reshape(H // yv, yv, W // yh, yh).mean(axis=(1, 3))
+        )
+    cb -= 128.0
+    cr -= 128.0
+
+    C = _dct_matrix()
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    scan = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def put(val: int, n: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << n) | (val & ((1 << n) - 1))
+        bitcnt += n
+        while bitcnt >= 8:
+            byte = (bitbuf >> (bitcnt - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+            bitcnt -= 8
+        bitbuf &= (1 << bitcnt) - 1
+
+    def put_magnitude(v: int) -> int:
+        s = abs(v).bit_length()
+        if s:
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+        return s
+
+    def encode_block(block, q, pred):
+        coef = np.round((C @ block @ C.T) / q).astype(np.int64)
+        zz = coef.reshape(-1)[list(_JPEG_ZIGZAG)]
+        diff = int(zz[0]) - pred
+        ln, code = dc_codes[abs(diff).bit_length()]
+        put(code, ln)
+        put_magnitude(diff)
+        run = 0
+        nz = np.flatnonzero(zz[1:])
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                put(code, ln)
+                run -= 16
+            ln, code = ac_codes[(run << 4) | abs(v).bit_length()]
+            put(code, ln)
+            put_magnitude(v)
+            run = 0
+        if last < 63:
+            ln, code = ac_codes[0x00]
+            put(code, ln)
+        return int(zz[0])
+
+    preds = [0, 0, 0]
+    for my in range(H // (8 * yv)):
+        for mx in range(W // (8 * yh)):
+            for vv in range(yv):
+                for hh in range(yh):
+                    y0, x0 = (my * yv + vv) * 8, (mx * yh + hh) * 8
+                    preds[0] = encode_block(
+                        luma[y0 : y0 + 8, x0 : x0 + 8], qy, preds[0]
+                    )
+            for ci, plane in ((1, cb), (2, cr)):
+                preds[ci] = encode_block(
+                    plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                    qc,
+                    preds[ci],
+                )
+    if bitcnt:
+        put(0xFF, 8 - bitcnt)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in ((0, qy), (1, qc)):
+        zz_q = q.reshape(-1)[list(_JPEG_ZIGZAG)]
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in zz_q
+        )
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * 3, 8, height, width, 3
+    ) + bytes((1, (yh << 4) | yv, 0, 2, 0x11, 1, 3, 0x11, 1))
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_AC_VALS), 0x10)
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    out += b"\xff\xda" + struct.pack(
+        ">HB", 6 + 2 * 3, 3
+    ) + bytes((1, 0x00, 2, 0x00, 3, 0x00)) + bytes((0, 63, 0))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _decode_jpeg(content: bytes) -> dict:
     """Baseline JPEG decoder — the real codec half: marker parse, DQT/DHT
     table builds, bit-level canonical-Huffman entropy decode with 0xFF00
     unstuffing, differential-DC extend, zigzag undo, dequantize, 8x8 IDCT,
-    level shift, edge-pad crop. Grayscale baseline only; progressive
-    (SOF2), multi-component (color), subsampling, and restart intervals
+    level shift, edge-pad crop. Grayscale AND interleaved 3-component
+    YCbCr baseline, including chroma subsampling (4:4:4/4:2:2/4:4:0/
+    4:2:0 — per-MCU component blocks in SOF order, per-component DC
+    predictors, replication chroma upsample, JFIF YCbCr->RGB transform).
+    Progressive (SOF2), restart intervals, and non-interleaved scans
     raise NotImplementedError loudly (the reference's decode contract —
     SURVEY §2.3 multimodal row). Bit-serial Huffman is inherently
     sequential per image; parallelism comes from the Arrow batch axis
@@ -1302,7 +1517,7 @@ def _decode_jpeg(content: bytes) -> dict:
     qtables: dict[int, np.ndarray] = {}
     hufftabs: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_tq = 0
+    components: list | None = None
     scan_start = None
     while pos < len(content):
         if content[pos] != 0xFF:
@@ -1335,13 +1550,28 @@ def _decode_jpeg(content: bytes) -> dict:
             prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    f"{ncomp}-component JPEG (only grayscale baseline here)"
+                    f"{ncomp}-component JPEG (grayscale or YCbCr here)"
                 )
-            _cid, sampling, comp_tq = seg[6], seg[7], seg[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG")
+            components = []  # (cid, h, v, tq) in SOF order
+            for k in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * k : 9 + 3 * k]
+                components.append((cid, sampling >> 4, sampling & 15, tq))
+            if ncomp == 1:
+                if (components[0][1], components[0][2]) != (1, 1):
+                    raise NotImplementedError("subsampled grayscale JPEG")
+            else:
+                yh, yv = components[0][1], components[0][2]
+                if yh not in (1, 2) or yv not in (1, 2) or any(
+                    (c[1], c[2]) != (1, 1) for c in components[1:]
+                ):
+                    # 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 (chroma always 1x1)
+                    # are the forms real encoders emit
+                    raise NotImplementedError(
+                        "unsupported JPEG sampling "
+                        + str([(c[1], c[2]) for c in components])
+                    )
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1364,9 +1594,12 @@ def _decode_jpeg(content: bytes) -> dict:
             raise NotImplementedError("JPEG restart intervals")
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component JPEG scan")
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 15
+            scan_tabs = {}  # cid -> (dc table id, ac table id)
+            for k in range(ns):
+                scan_tabs[seg[1 + 2 * k]] = (
+                    seg[2 + 2 * k] >> 4,
+                    seg[2 + 2 * k] & 15,
+                )
             scan_start = pos
             break
         elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
@@ -1375,13 +1608,21 @@ def _decode_jpeg(content: bytes) -> dict:
             raise ValueError(f"unexpected JPEG marker 0x{marker:02x}")
     if scan_start is None or width is None:
         raise ValueError("JPEG contains no SOS/SOF segment")
-    if comp_tq not in qtables:
-        raise ValueError(f"JPEG quant table {comp_tq} not defined")
-    for key in ((0, dc_id), (1, ac_id)):
-        if key not in hufftabs:
-            raise ValueError(f"JPEG Huffman table {key} not defined")
-    q = qtables[comp_tq]
-    dc_tab, ac_tab = hufftabs[(0, dc_id)], hufftabs[(1, ac_id)]
+    if ns != len(components):
+        raise NotImplementedError("non-interleaved (multi-scan) JPEG")
+    plan = []  # (h, v, qtable, dc_tab, ac_tab) per SOF component
+    for cid, h_s, v_s, tq in components:
+        if cid not in scan_tabs:
+            raise ValueError(f"JPEG scan omits component {cid}")
+        if tq not in qtables:
+            raise ValueError(f"JPEG quant table {tq} not defined")
+        dc_id, ac_id = scan_tabs[cid]
+        for key in ((0, dc_id), (1, ac_id)):
+            if key not in hufftabs:
+                raise ValueError(f"JPEG Huffman table {key} not defined")
+        plan.append(
+            (h_s, v_s, qtables[tq], hufftabs[(0, dc_id)], hufftabs[(1, ac_id)])
+        )
 
     # unstuff the entropy-coded segment up to EOI
     data = bytearray()
@@ -1433,44 +1674,100 @@ def _decode_jpeg(content: bytes) -> dict:
         return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
     C = _dct_matrix()
-    H, W = -(-height // 8) * 8, -(-width // 8) * 8
-    raster = np.empty((H, W), np.uint8)
-    prev_dc = 0
-    for by in range(H // 8):
-        for bx in range(W // 8):
-            zz = np.zeros(64, np.int64)
-            s = decode_sym(dc_tab)
-            prev_dc += extend(read_bits(s), s) if s else 0
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = decode_sym(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 15
-                if k > 63 or size == 0:
-                    raise ValueError("corrupt JPEG AC run-length")
-                zz[k] = extend(read_bits(size), size)
-                k += 1
-            coef = np.empty(64, np.int64)
-            coef[list(_JPEG_ZIGZAG)] = zz
-            block = C.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ C
-            raster[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
-                np.round(block + 128.0), 0, 255
-            ).astype(np.uint8)
+
+    def decode_block(dc_tab, ac_tab, q, pred):
+        """One 8x8 block: DC-diff + AC run-length Huffman decode, zigzag
+        undo, dequantize, IDCT. Returns (spatial block, new DC pred);
+        the +128 level shift is the caller's."""
+        zz = np.zeros(64, np.int64)
+        s = decode_sym(dc_tab)
+        pred += extend(read_bits(s), s) if s else 0
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            sym = decode_sym(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 15
+            if k > 63 or size == 0:
+                raise ValueError("corrupt JPEG AC run-length")
+            zz[k] = extend(read_bits(size), size)
+            k += 1
+        coef = np.empty(64, np.int64)
+        coef[list(_JPEG_ZIGZAG)] = zz
+        return C.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ C, pred
+
+    if len(plan) == 1:  # grayscale: block raster order, no MCU structure
+        h_s, v_s, q, dc_tab, ac_tab = plan[0]
+        H, W = -(-height // 8) * 8, -(-width // 8) * 8
+        raster = np.empty((H, W), np.uint8)
+        pred = 0
+        for by in range(H // 8):
+            for bx in range(W // 8):
+                block, pred = decode_block(dc_tab, ac_tab, q, pred)
+                raster[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
+                    np.round(block + 128.0), 0, 255
+                ).astype(np.uint8)
+        return {
+            "format": "image/jpeg",
+            "width": width,
+            "height": height,
+            "maxval": 255,
+            "pixel_bytes": width * height,
+            "channels": 1,
+            "raster_offset": -1,  # raster is DECODED, not sliced
+            "raster": raster[:height, :width].tobytes(),
+        }
+
+    # interleaved YCbCr: per-MCU component blocks in SOF order (T.81
+    # A.2.3), per-component DC predictors, chroma upsampled to the luma
+    # grid by pixel replication (the JFIF box-filter inverse), then the
+    # JFIF YCbCr -> RGB transform with per-channel rounding and clamp
+    hmax = max(p[0] for p in plan)
+    vmax = max(p[1] for p in plan)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * v_s * 8, mcux * h_s * 8), np.float64)
+        for h_s, v_s, _q, _d, _a in plan
+    ]
+    preds = [0] * len(plan)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (h_s, v_s, q, dct, act) in enumerate(plan):
+                for vv in range(v_s):
+                    for hh in range(h_s):
+                        block, preds[ci] = decode_block(dct, act, q, preds[ci])
+                        y0 = (my * v_s + vv) * 8
+                        x0 = (mx * h_s + hh) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    luma = planes[0][:height, :width] + 128.0
+    chroma = []
+    for ci in (1, 2):
+        h_s, v_s = plan[ci][0], plan[ci][1]
+        p = np.repeat(
+            np.repeat(planes[ci], vmax // v_s, axis=0), hmax // h_s, axis=1
+        )
+        chroma.append(p[:height, :width])  # centered at 0 (level shift folds
+        # into the color transform: Cb-128 IS the plane value)
+    cb, cr = chroma
+    r = np.clip(np.round(luma + 1.402 * cr), 0, 255)
+    g = np.clip(np.round(luma - 0.344136 * cb - 0.714136 * cr), 0, 255)
+    b = np.clip(np.round(luma + 1.772 * cb), 0, 255)
+    raster = np.stack([r, g, b], axis=-1).astype(np.uint8)
     return {
         "format": "image/jpeg",
         "width": width,
         "height": height,
         "maxval": 255,
-        "pixel_bytes": width * height,
-        "channels": 1,
-        "raster_offset": -1,  # raster is DECODED, not sliced
-        "raster": raster[:height, :width].tobytes(),
+        "pixel_bytes": 3 * width * height,
+        "channels": 3,
+        "raster_offset": -1,
+        "raster": raster.tobytes(),
     }
 
 
@@ -1498,6 +1795,38 @@ def with_jpeg_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 for x in range(w)
             )
             out.append(encode_jpeg(w, h, gray))
+        return pd.Series(out)
+
+    return df.withColumn("content", _blob(F.col(id_col)))
+
+
+def with_jpeg_color_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Test adapter: a REAL 4:2:0 color JPEG per row (width =
+    (id%2+1)*16, height = 16 — MCU multiples at 2x2 sampling). Pixels
+    are GRAY (R=G=B), constant per 8x8 luma block b at value
+    ((id + 17*b)*53) % 256: gray maps to Cb=Cr=128 exactly, the 2x2
+    chroma box-average of a constant-128 plane is 128 exactly, constant
+    blocks are DC-only and reconstruct bit-exactly under the all-ones
+    quant tables, and round(v*(0.299+0.587+0.114)) == v for every v in
+    0..255 (verified) — so the full color pipeline (RGB->YCbCr,
+    subsample, interleaved MCU Huffman, upsample, YCbCr->RGB) is
+    BIT-EXACT on this corpus and channel means stay arithmetic on the
+    id, hence oracle-expressible."""
+
+    @pandas_udf("binary")
+    def _blob(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = (i % 2 + 1) * 16, 16
+            bw = w // 8
+            rgb = bytes(
+                c
+                for y in range(h)
+                for x in range(w)
+                for c in [((i + 17 * ((y // 8) * bw + x // 8)) * 53) % 256] * 3
+            )
+            out.append(encode_jpeg_color(w, h, rgb, subsampling=(2, 2)))
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))

@@ -7313,3 +7313,35 @@ def dq_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("o_orderdate") + F.expr("INTERVAL 180 DAYS"),
     }
     return expectations_report(j, rules)
+
+
+@query(
+    "mm_jpeg_color_features",
+    # with_jpeg_color_content: 4:2:0 color JPEG, gray constant 8x8 luma
+    # blocks of value ((doc_id + 17*b)*53) % 256 — bit-exact through the
+    # full color pipeline (see the adapter docstring), so the channel
+    # means are arithmetic on doc_id and identical across r/g/b.
+    "WITH d AS (SELECT doc_id, (doc_id % 2 + 1) * 16 AS w, 16 AS h "
+    "FROM documents), "
+    "g AS (SELECT range AS b FROM range(0, 8)) "
+    "SELECT doc_id, w AS width, h AS height, "
+    "round(sum(((doc_id + 17 * b) * 53) % 256) * 64 / (w * h), 6) AS mean_r, "
+    "round(sum(((doc_id + 17 * b) * 53) % 256) * 64 / (w * h), 6) AS mean_g, "
+    "round(sum(((doc_id + 17 * b) * 53) % 256) * 64 / (w * h), 6) AS mean_b "
+    "FROM d JOIN g ON g.b < (w // 8) * (h // 8) GROUP BY doc_id, w, h",
+    doc="REAL 4:2:0 COLOR JPEG decode + features — the form real-world "
+    "JPEGs actually take: interleaved YCbCr MCUs (per-MCU component "
+    "blocks in SOF order, per-component DC predictors), chroma "
+    "subsampled 2x2 by the encoder's box filter and replicated back by "
+    "the decoder, JFIF color transforms both ways — all hand-rolled on "
+    "numpy/struct (operators/multimodal.py encode_jpeg_color / "
+    "_decode_jpeg). The test corpus is gray constant-block content, "
+    "which is BIT-EXACT through the whole color pipeline (gray pins "
+    "Cb=Cr=128 through subsampling; constant blocks are DC-only; "
+    "round(v*(.299+.587+.114))==v for all v — verified), so the means "
+    "stay oracle-arithmetic; lossy color behavior is covered by "
+    "bounded-error tests in test_round10_ops.",
+)
+def mm_jpeg_color_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return mm.image_features(mm.with_jpeg_color_content(docs))

@@ -395,3 +395,27 @@ def test_jpeg_color_lossy_bounded_and_guards():
         mm.encode_jpeg_color(w, h, bytes(rgb), subsampling=(3, 1))
     with pytest.raises(ValueError, match="RGB bytes"):
         mm.encode_jpeg_color(w, h, bytes(rgb)[:-1])
+
+
+def test_gif_interlace_roundtrip_all_heights():
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(9)
+    w = 13
+    pal = bytes(rng.randrange(256) for _ in range(768))
+    for h in (1, 2, 3, 4, 7, 8, 11, 16):
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        plain = mm.decode_image_real(mm.encode_gif(w, h, idx, pal))
+        inter = mm.decode_image_real(
+            mm.encode_gif(w, h, idx, pal, interlace=True)
+        )
+        assert plain["indices"] == idx
+        assert inter["indices"] == idx, f"deinterlace mismatch at h={h}"
+    # interlacing actually changes the stored stream (not a no-op flag)
+    idx = bytes(range(256)) * ((w * 16) // 256 + 1)
+    idx = idx[: w * 16]
+    assert mm.encode_gif(w, 16, idx, pal) != mm.encode_gif(
+        w, 16, idx, pal, interlace=True
+    )

@@ -219,14 +219,28 @@ def _lzw_decompress_gif(data: bytes, min_code_size: int = 8) -> bytes:
             code_size += 1
 
 
+def _gif_interlace_order(height: int) -> list[int]:
+    """GIF89a appendix E interlace row order: pass 1 = rows 0,8,16…,
+    pass 2 = 4,12…, pass 3 = 2,6,10…, pass 4 = odd rows. Returns the
+    logical row index for each STORED row, in storage order."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def encode_gif(
-    width: int, height: int, indices: bytes, palette: bytes
+    width: int, height: int, indices: bytes, palette: bytes,
+    interlace: bool = False,
 ) -> bytes:
     """GIF87a encoder with REAL LZW compression — unlike netpbm/BMP/WAV
     (layout-only formats) the raster here is genuinely compressed, so
     decoding exercises an actual codec with zero image libraries.
     ``indices`` are 8-bit palette indices (row-major, top-down);
-    ``palette`` is the 256-entry RGB global color table (768 bytes)."""
+    ``palette`` is the 256-entry RGB global color table (768 bytes).
+    ``interlace`` stores rows in the four-pass GIF interlace order (the
+    progressive-rendering layout of real web GIFs) — the decoder must
+    undo it."""
     import struct
 
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
@@ -244,8 +258,15 @@ def encode_gif(
     # logical screen descriptor: global table, 8 bits/channel, 256 entries
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
     out += palette
-    out += b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)  # no interlace
+    out += b"," + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
     out.append(8)  # LZW minimum code size
+    if interlace:
+        indices = b"".join(
+            indices[r * width : (r + 1) * width]
+            for r in _gif_interlace_order(height)
+        )
     comp = _lzw_compress_gif(indices, 8)
     for i in range(0, len(comp), 255):
         chunk = comp[i : i + 255]
@@ -536,8 +557,7 @@ def decode_image_real(content: bytes) -> dict:
                 raise ValueError("truncated GIF image descriptor")
             left, top, width, height, iflags = struct.unpack_from("<HHHHB", content, pos)
             pos += 9
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
+            interlaced = bool(iflags & 0x40)
             if iflags & 0x80:  # local color table overrides
                 lct_len = 3 * (2 << (iflags & 0x07))
                 palette = content[pos : pos + lct_len]
@@ -555,6 +575,17 @@ def decode_image_real(content: bytes) -> dict:
                 pos += n + 1
             pos += 1  # block terminator
             indices = _lzw_decompress_gif(bytes(data), min_code)
+            if interlaced and len(indices) >= width * height:
+                # stored rows are in four-pass order; scatter them back
+                # to logical top-down order
+                rows = [b""] * height
+                for stored, logical in enumerate(
+                    _gif_interlace_order(height)
+                ):
+                    rows[logical] = indices[
+                        stored * width : (stored + 1) * width
+                    ]
+                indices = b"".join(rows)
             break
         if width is None:
             raise ValueError("GIF contains no image descriptor")

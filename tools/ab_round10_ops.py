@@ -16,7 +16,7 @@
   on a synthetic graph with matched degree shape — confirms the wedge
   stage grows as sum(outdeg^2), not worse.
 
-Usage: python tools/ab_round10_ops.py [wedges|scaling|classifier|all]
+Usage: python tools/ab_round10_ops.py [wedges|scaling|classifier|interval|all]
 """
 
 from __future__ import annotations
@@ -307,6 +307,65 @@ def leg_classifier(spark):
         )
 
 
+
+
+def leg_interval(spark):
+    """interval_overlap_join: binned-equi-join plan vs broadcast NLJ theta
+    join across right-side cardinalities — locates the auto-dispatch
+    crossover the operator's strategy="auto" threshold encodes. Left side
+    fixed at 500k session-shaped intervals (~35 min long, 30-day span);
+    right side campaign-shaped 12h windows. Pair counts asserted equal."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import relational as rel
+
+    def intervals(n, dur_min, label):
+        # deterministic spread over 30 days starting 2024-01-01
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias(f"{label}_id"),
+                F.timestamp_micros(
+                    F.lit(1704067200000000)
+                    + (F.col("id") * 7919) % (30 * 86400) * 1000000
+                ).alias("start_ts"),
+            )
+            .withColumn(
+                "end_ts",
+                F.timestamp_micros(
+                    F.unix_micros("start_ts") + dur_min * 60 * 1000000
+                ),
+            )
+            .localCheckpoint()
+        )
+
+    left = intervals(500_000, 35, "s")
+    for m in (1_000, 5_000, 20_000):
+        right = intervals(m, 12 * 60, "c")
+        walls = {}
+        counts = {}
+        for strategy in ("bin", "nlj"):
+            fn = lambda: rel.interval_overlap_join(
+                left, right, strategy=strategy
+            ).count()
+            counts[strategy] = fn()  # warmup + count check
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                fn()
+                ts.append(time.time() - t0)
+            ts.sort()
+            walls[strategy] = ts[1]
+        assert counts["bin"] == counts["nlj"], (m, counts)
+        print(
+            f"interval 500k x {m}: pairs={counts['bin']:,} "
+            f"bin={walls['bin']:.2f}s nlj={walls['nlj']:.2f}s "
+            f"ratio nlj/bin={walls['nlj']/walls['bin']:.2f}"
+        )
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -317,6 +376,8 @@ def main():
         leg_scaling(spark)
     if which in ("classifier", "all"):
         leg_classifier(spark)
+    if which in ("interval", "all"):
+        leg_interval(spark)
 
 
 if __name__ == "__main__":

@@ -377,6 +377,16 @@ def grid_distance_join(
 #: guards against: fail loudly, let the caller widen ``bin_width_sec``.
 MAX_BINS_PER_INTERVAL = 1_000
 
+#: ``interval_overlap_join(strategy="auto")`` broadcasts the right side at
+#: or below this many rows. Measured crossover (`ab_round10_ops.py
+#: interval`, 500k session-shaped left intervals): at 500k x 1k the NLJ
+#: wins (0.39 s vs 0.50 s — no explode, no shuffle); by 500k x 5k the
+#: binned plan is 1.6x faster and 3.3x at 20k — LOWER than the grid
+#: join's 8k crossover because each broadcast right row is probed against
+#: every left row with TWO timestamp compares and interval fan-out grows
+#: pair density faster than the grid's cell residual.
+INTERVAL_NLJ_MAX_RIGHT_ROWS = 2_000
+
 
 def interval_overlap_join(
     left: DataFrame,
@@ -417,9 +427,9 @@ def interval_overlap_join(
     ``strategy``: ``"bin"`` always builds the binned plan (the shape
     that survives when both sides are large); ``"nlj"`` broadcasts the
     right side and takes the nested-loop theta join (wins when the
-    right side is broadcast-sized — same measured crossover family as
-    ``grid_distance_join``, see NLJ_MAX_RIGHT_ROWS); ``"auto"`` counts
-    the right side once and picks. Both paths produce identical pairs
+    right side is small — measured crossover in
+    INTERVAL_NLJ_MAX_RIGHT_ROWS' docstring); ``"auto"`` counts the
+    right side once and picks. Both paths produce identical pairs
     (tested)."""
     if strategy not in ("auto", "bin", "nlj"):
         raise ValueError(f"interval_overlap_join: unknown strategy {strategy!r}")
@@ -428,7 +438,9 @@ def interval_overlap_join(
             f"interval_overlap_join: bin_width_sec must be >= 1, got {bin_width_sec}"
         )
     if strategy == "auto":
-        strategy = "nlj" if right.count() <= NLJ_MAX_RIGHT_ROWS else "bin"
+        strategy = (
+            "nlj" if right.count() <= INTERVAL_NLJ_MAX_RIGHT_ROWS else "bin"
+        )
 
     def _clean(df: DataFrame) -> DataFrame:
         return df.filter(

@@ -419,3 +419,56 @@ def test_gif_interlace_roundtrip_all_heights():
     assert mm.encode_gif(w, 16, idx, pal) != mm.encode_gif(
         w, 16, idx, pal, interlace=True
     )
+
+
+def test_png_alpha_variants_strip_alpha():
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(2)
+    w, h = 9, 7
+    rgba = bytes(rng.randrange(256) for _ in range(4 * w * h))
+    d = mm.decode_image_real(mm.encode_png(w, h, rgba, colortype=6))
+    assert d["channels"] == 3
+    assert d["raster"] == bytes(
+        b for i in range(0, len(rgba), 4) for b in rgba[i : i + 3]
+    )
+    ga = bytes(rng.randrange(256) for _ in range(2 * w * h))
+    d = mm.decode_image_real(mm.encode_png(w, h, ga, colortype=4))
+    assert d["channels"] == 1 and d["raster"] == ga[0::2]
+
+
+def test_jpeg_restart_intervals_roundtrip_and_guards():
+    import numpy as np
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    w, h = 32, 16
+    bw = w // 8
+    rgb = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in [((3 + 17 * ((y // 8) * bw + x // 8)) * 53) % 256] * 3
+    )
+    for ri in (1, 2, 3):
+        d = mm.decode_image_real(
+            mm.encode_jpeg_color(w, h, rgb, subsampling=(2, 2), restart_interval=ri)
+        )
+        assert d["raster"] == rgb, f"restart_interval={ri} not exact"
+    # restart markers must be transparent: same decode with and without
+    import random
+
+    rng = random.Random(3)
+    noise = bytes(rng.randrange(256) for _ in range(3 * 32 * 32))
+    a = mm.decode_image_real(mm.encode_jpeg_color(32, 32, noise))["raster"]
+    b = mm.decode_image_real(
+        mm.encode_jpeg_color(32, 32, noise, restart_interval=2)
+    )["raster"]
+    assert a == b
+    # an RST marker with the DRI segment stripped is corruption
+    blob = mm.encode_jpeg_color(32, 32, noise, restart_interval=2)
+    i = blob.index(b"\xff\xdd")
+    with pytest.raises(ValueError, match="RST marker without"):
+        mm.decode_image_real(blob[:i] + blob[i + 6 :])

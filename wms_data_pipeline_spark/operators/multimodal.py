@@ -300,15 +300,17 @@ def encode_png(
     scanlines. ``colortype``: 2 = 8-bit truecolor RGB (default,
     ``pixels`` is 3*w*h RGB bytes), 0 = 8-bit grayscale (w*h bytes),
     3 = 8-bit palette-indexed (w*h index bytes + a ``palette`` of RGB
-    triplets emitted as a PLTE chunk). The decoder must parse chunks,
-    verify CRCs, inflate, UNDO the filter chain byte-sequentially, and
-    for palette images map indices through PLTE."""
+    triplets emitted as a PLTE chunk), 4 = gray+alpha (2*w*h), 6 =
+    RGBA (4*w*h). The decoder must parse chunks, verify CRCs, inflate,
+    UNDO the filter chain byte-sequentially, map palette indices
+    through PLTE, and strip interleaved alpha (the feature contract is
+    color statistics, not compositing)."""
     import struct
     import zlib
 
-    if colortype not in (0, 2, 3):
+    if colortype not in (0, 2, 3, 4, 6):
         raise ValueError(f"encode_png: unsupported colortype {colortype}")
-    bpp = 3 if colortype == 2 else 1
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
     if len(pixels) != bpp * width * height:
         raise ValueError(
             f"PNG {width}x{height} needs {bpp * width * height} pixel bytes, "
@@ -421,9 +423,9 @@ def _decode_png(content: bytes) -> dict:
             width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype_i not in (0, 2, 3):
+            if depth != 8 or ctype_i not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
-                    f"only 8-bit truecolor/grayscale/palette PNG supported "
+                    f"only 8-bit PNG colortypes 0/2/3/4/6 supported "
                     f"(depth={depth}, colortype={ctype_i})"
                 )
             if interlace:
@@ -447,7 +449,7 @@ def _decode_png(content: bytes) -> dict:
         lines = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    bpp = 3 if colortype == 2 else 1
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
     stride = bpp * width
     if len(lines) != (stride + 1) * height:
         raise ValueError(
@@ -496,7 +498,16 @@ def _decode_png(content: bytes) -> dict:
                 )
             rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
         raster = rgb
-    channels = 1 if colortype == 0 else 3
+    elif colortype in (4, 6):
+        # strip the interleaved alpha channel: the feature contract is
+        # color statistics, not compositing (documented drop, not silent)
+        keep = bpp - 1
+        raster = bytes(
+            b
+            for i in range(0, len(raster), bpp)
+            for b in raster[i : i + keep]
+        )
+    channels = 1 if colortype in (0, 4) else 3
     return {
         "format": "image/png",
         "width": width,
@@ -1362,6 +1373,7 @@ def encode_jpeg_color(
     qtable_y=None,
     qtable_c=None,
     subsampling: tuple[int, int] = (2, 2),
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG encoder, 3-component YCbCr with chroma
     subsampling — the form real-world JPEGs actually take: JFIF RGB ->
@@ -1372,9 +1384,12 @@ def encode_jpeg_color(
     (separate luma/chroma tables, default all-ones for the exact-oracle
     test corpus), zigzag, Huffman coding with the Annex K luminance
     tables declared for all components (spec-legal — tables are
-    whatever DHT declares), 0xFF stuffing. Gray pixels (R=G=B) map to
-    Cb=Cr=128 exactly and survive the constant-block path bit-exactly —
-    the property the oracle-paired color query relies on."""
+    whatever DHT declares), 0xFF stuffing. ``restart_interval`` > 0
+    emits a DRI segment and byte-aligned RST0-7 markers every that many
+    MCUs with DC predictors reset — the error-resilience feature most
+    camera/scanner JPEGs carry. Gray pixels (R=G=B) map to Cb=Cr=128
+    exactly and survive the constant-block path bit-exactly — the
+    property the oracle-paired color query relies on."""
     import struct
 
     import numpy as np
@@ -1479,6 +1494,8 @@ def encode_jpeg_color(
         return int(zz[0])
 
     preds = [0, 0, 0]
+    n_mcu = (H // (8 * yv)) * (W // (8 * yh))
+    mcu = 0
     for my in range(H // (8 * yv)):
         for mx in range(W // (8 * yh)):
             for vv in range(yv):
@@ -1493,6 +1510,18 @@ def encode_jpeg_color(
                     qc,
                     preds[ci],
                 )
+            mcu += 1
+            if (
+                restart_interval
+                and mcu % restart_interval == 0
+                and mcu < n_mcu
+            ):
+                if bitcnt:
+                    put(0xFF, 8 - bitcnt)  # byte-align, 1-padded
+                scan += bytes(
+                    (0xFF, 0xD0 + (mcu // restart_interval - 1) % 8)
+                )
+                preds = [0, 0, 0]
     if bitcnt:
         put(0xFF, 8 - bitcnt)
 
@@ -1517,6 +1546,8 @@ def encode_jpeg_color(
         + bytes(_JPEG_AC_BITS)
         + bytes(_JPEG_AC_VALS)
     )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(
         ">HB", 6 + 2 * 3, 3
     ) + bytes((1, 0x00, 2, 0x00, 3, 0x00)) + bytes((0, 63, 0))
@@ -1549,6 +1580,7 @@ def _decode_jpeg(content: bytes) -> dict:
     hufftabs: dict[tuple[int, int], dict] = {}
     width = height = None
     components: list | None = None
+    rst_interval = 0
     scan_start = None
     while pos < len(content):
         if content[pos] != 0xFF:
@@ -1621,8 +1653,8 @@ def _decode_jpeg(content: bytes) -> dict:
                 }
                 hufftabs[(tc, th)] = inv
                 i += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDD:  # DRI: restart every Ri MCUs
+            rst_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan_tabs = {}  # cid -> (dc table id, ac table id)
@@ -1655,25 +1687,39 @@ def _decode_jpeg(content: bytes) -> dict:
             (h_s, v_s, qtables[tq], hufftabs[(0, dc_id)], hufftabs[(1, ac_id)])
         )
 
-    # unstuff the entropy-coded segment up to EOI
-    data = bytearray()
+    # unstuff the entropy-coded data up to EOI, splitting into restart
+    # segments at RSTn markers (each is byte-aligned; the marker cycle
+    # n = segment index mod 8 is verified — T.81 E.1.2)
+    segments = [bytearray()]
     i = scan_start
     while i < len(content):
         b = content[i]
         if b == 0xFF:
             nxt = content[i + 1] if i + 1 < len(content) else None
             if nxt == 0x00:
-                data.append(0xFF)
+                segments[-1].append(0xFF)
                 i += 2
                 continue
             if nxt == 0xD9:
                 break
+            if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                if not rst_interval:
+                    raise ValueError("JPEG RST marker without a DRI segment")
+                if nxt - 0xD0 != (len(segments) - 1) % 8:
+                    raise ValueError(
+                        f"JPEG restart marker out of sequence (0xff{nxt:02x})"
+                    )
+                segments.append(bytearray())
+                i += 2
+                continue
             raise ValueError(f"unexpected marker 0xff{nxt:02x} in JPEG scan")
-        data.append(b)
+        segments[-1].append(b)
         i += 1
     else:
         raise ValueError("truncated JPEG scan (no EOI)")
 
+    seg_idx = 0
+    data = segments[0]
     bitpos = 0
     nbits_total = 8 * len(data)
 
@@ -1684,6 +1730,17 @@ def _decode_jpeg(content: bytes) -> dict:
         b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
         bitpos += 1
         return b
+
+    def next_restart_segment() -> None:
+        """Advance to the next RST-delimited entropy segment (byte-aligned
+        by construction) — the caller resets the DC predictors."""
+        nonlocal seg_idx, data, bitpos, nbits_total
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("JPEG scan ran out of restart segments")
+        data = segments[seg_idx]
+        bitpos = 0
+        nbits_total = 8 * len(data)
 
     def read_bits(n: int) -> int:
         v = 0
@@ -1732,17 +1789,23 @@ def _decode_jpeg(content: bytes) -> dict:
         coef[list(_JPEG_ZIGZAG)] = zz
         return C.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ C, pred
 
-    if len(plan) == 1:  # grayscale: block raster order, no MCU structure
+    if len(plan) == 1:  # grayscale: block raster order (MCU = one block)
         h_s, v_s, q, dc_tab, ac_tab = plan[0]
         H, W = -(-height // 8) * 8, -(-width // 8) * 8
+        n_mcu = (H // 8) * (W // 8)
         raster = np.empty((H, W), np.uint8)
         pred = 0
+        mcu = 0
         for by in range(H // 8):
             for bx in range(W // 8):
                 block, pred = decode_block(dc_tab, ac_tab, q, pred)
                 raster[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = np.clip(
                     np.round(block + 128.0), 0, 255
                 ).astype(np.uint8)
+                mcu += 1
+                if rst_interval and mcu % rst_interval == 0 and mcu < n_mcu:
+                    next_restart_segment()
+                    pred = 0
         return {
             "format": "image/jpeg",
             "width": width,
@@ -1767,6 +1830,7 @@ def _decode_jpeg(content: bytes) -> dict:
         for h_s, v_s, _q, _d, _a in plan
     ]
     preds = [0] * len(plan)
+    mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (h_s, v_s, q, dct, act) in enumerate(plan):
@@ -1776,6 +1840,10 @@ def _decode_jpeg(content: bytes) -> dict:
                         y0 = (my * v_s + vv) * 8
                         x0 = (mx * h_s + hh) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+            if rst_interval and mcu % rst_interval == 0 and mcu < mcux * mcuy:
+                next_restart_segment()
+                preds = [0] * len(plan)
     luma = planes[0][:height, :width] + 128.0
     chroma = []
     for ci in (1, 2):

@@ -472,3 +472,33 @@ def test_jpeg_restart_intervals_roundtrip_and_guards():
     i = blob.index(b"\xff\xdd")
     with pytest.raises(ValueError, match="RST marker without"):
         mm.decode_image_real(blob[:i] + blob[i + 6 :])
+
+
+def test_wav_mulaw_and_8bit_pcm():
+    import numpy as np
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(1)
+    s = rng.integers(-32124, 32124, 5000).astype(np.int16)
+    # G.711 mu-law: lossy 2:1 companding; quantization error bounded by
+    # half the top segment step, and companding is idempotent on the
+    # expanded lattice
+    mu = mm.mulaw_encode(s)
+    arr, meta = mm.wav_samples(mm.encode_wav(8000, mu, bits=8, audio_format=7))
+    assert meta["audio_format"] == 7 and meta["n_samples"] == 5000
+    assert np.abs(arr.astype(int) - s.astype(int)).max() <= 1024
+    assert mm.mulaw_encode(arr) == mu
+    # 8-bit unsigned PCM widens to int16
+    b8 = bytes(((s[:100].astype(int) >> 8) + 128).astype(np.uint8))
+    arr, meta = mm.wav_samples(mm.encode_wav(8000, b8, bits=8))
+    assert meta["bits"] == 8
+    assert np.abs(arr.astype(int) - s[:100].astype(int)).max() < 256
+    # stereo 16-bit interleave: n_samples counts frames, array is flat
+    inter = s[:200].astype("<i2").tobytes()
+    arr, meta = mm.wav_samples(
+        mm.encode_wav(16000, inter, bits=16, channels=2)
+    )
+    assert meta["channels"] == 2 and meta["n_samples"] == 100 and len(arr) == 200
+    with pytest.raises(ValueError, match="unsupported WAV encoding"):
+        mm.decode_audio_real(mm.encode_wav(8000, b"\0" * 8, bits=24))

@@ -330,12 +330,14 @@ def test_gif_interlace_and_garbage_raise():
     from wms_data_pipeline_spark.operators import multimodal as mm
 
     palette = bytes(768)
+    # interlace is SUPPORTED since round 10 (four-pass deinterlace;
+    # roundtrip pinned in test_round10_ops) — flipping the flag on a
+    # non-interlaced stream must still decode, just row-scrambled, and
+    # for a constant image identically
     blob = bytearray(mm.encode_gif(2, 2, bytes(4), palette))
-    # image descriptor flags byte sits after 6 + 7 + 768 + 1 + 8 = 789
     idesc = blob.index(b",", 6)
     blob[idesc + 9] |= 0x40  # interlace flag
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        mm.decode_image_real(bytes(blob))
+    assert mm.decode_image_real(bytes(blob))["indices"] == bytes(4)
     with pytest.raises(ValueError, match="truncated GIF header"):
         mm.decode_image_real(b"GIF87a\x01")
 

@@ -1055,15 +1055,59 @@ def encode_wav_pcm16(sample_rate: int, samples: "list[int] | bytes") -> bytes:
     )
 
 
-def decode_audio_real(content: bytes) -> dict:
-    """REAL audio decode for the codec-free WAV/PCM container: RIFF header
-    walk (fmt + data chunks, arbitrary chunk order, odd-size padding per
-    spec), PCM-format and bit-depth validation — no audio library.
-    Compressed formats (MP3/AAC/…) raise; a torchaudio/pyav decoder would
-    slot into the same contract.
+def encode_wav(
+    sample_rate: int, data: bytes, bits: int = 16,
+    audio_format: int = 1, channels: int = 1,
+) -> bytes:
+    """General RIFF/WAVE encoder: raw sample ``data`` with the given
+    ``bits``/``audio_format``/``channels`` declared in the fmt chunk —
+    used to author 8-bit PCM and G.711 µ-law fixtures the decoder must
+    handle (format 7 is the telephony companding every call-center data
+    lake carries)."""
+    import struct
 
-    Returns ``{format, channels, sample_rate, bits, n_samples,
-    data_offset}``; raises ``ValueError`` on malformed/truncated files."""
+    block_align = max(1, channels * bits // 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, audio_format, channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def mulaw_encode(samples) -> bytes:
+    """G.711 µ-law companding of int16 samples (ITU-T G.711, the standard
+    lossy 2:1 telephony format — public method): bias 0x84, 8 segments,
+    4-bit mantissa, ones-complement output."""
+    out = bytearray()
+    for s in samples:
+        s = int(s)
+        sign = 0x80 if s < 0 else 0
+        mag = min((-s if s < 0 else s) + 0x84, 0x7FFF)
+        exp = mag.bit_length() - 8  # segment: top set bit above the bias
+        mant = (mag >> (exp + 3)) & 0x0F
+        out.append(~(sign | (exp << 4) | mant) & 0xFF)
+    return bytes(out)
+
+
+def decode_audio_real(content: bytes) -> dict:
+    """REAL audio decode for the codec-free WAV container: RIFF header
+    walk (fmt + data chunks, arbitrary chunk order, odd-size padding per
+    spec), format and bit-depth validation — no audio library. Accepts
+    16-bit and 8-bit (unsigned) PCM and 8-bit G.711 µ-law (format 7);
+    compressed formats (MP3/AAC/…) raise; a torchaudio/pyav decoder
+    would slot into the same contract.
+
+    Returns ``{format, channels, sample_rate, bits, audio_format,
+    n_samples, data_offset}``; raises ``ValueError`` on
+    malformed/truncated files."""
     import struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -1086,10 +1130,11 @@ def decode_audio_real(content: bytes) -> dict:
     if fmt is None or data_off is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, sample_rate, _byte_rate, _block, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"unsupported WAV format code {audio_format} (PCM only)")
-    if bits != 16:
-        raise ValueError(f"unsupported bit depth {bits} (16-bit PCM only)")
+    if (audio_format, bits) not in ((1, 16), (1, 8), (7, 8)):
+        raise ValueError(
+            f"unsupported WAV encoding (format={audio_format}, bits={bits}): "
+            "16/8-bit PCM and 8-bit mu-law only"
+        )
     if data_off + data_len > len(content):
         raise ValueError("truncated data chunk")
     return {
@@ -1097,20 +1142,55 @@ def decode_audio_real(content: bytes) -> dict:
         "channels": channels,
         "sample_rate": sample_rate,
         "bits": bits,
-        "n_samples": data_len // (channels * 2),
+        "audio_format": audio_format,
+        "n_samples": data_len // (channels * bits // 8),
         "data_offset": data_off,
     }
 
 
+#: µ-law byte -> int16 expansion table (G.711 inverse), built once: the
+#: decoder's hot path is a table lookup over the sample array, not per-
+#: sample arithmetic.
+_MULAW_TABLE = None
+
+
+def _mulaw_table():
+    global _MULAW_TABLE
+    if _MULAW_TABLE is None:
+        import numpy as np
+
+        t = np.empty(256, dtype=np.int16)
+        for b in range(256):
+            u = ~b & 0xFF
+            sign, exp, mant = u & 0x80, (u >> 4) & 7, u & 0x0F
+            mag = (((mant << 3) + 0x84) << exp) - 0x84
+            t[b] = -mag if sign else mag
+        _MULAW_TABLE = t
+    return _MULAW_TABLE
+
+
 def wav_samples(content: bytes):
     """Decode a WAV blob to an int16 numpy sample array (mono or
-    interleaved) — real sample access for feature extraction."""
+    interleaved) — real sample access for feature extraction. 8-bit PCM
+    (unsigned, zero at 128) is widened to int16 as ``(b - 128) << 8``;
+    µ-law expands through the G.711 inverse table — every supported
+    encoding lands in the SAME int16 space so downstream stats are
+    encoding-agnostic."""
     import numpy as np
 
     meta = decode_audio_real(content)
     off = meta["data_offset"]
+    nb = meta["bits"] // 8
     n = meta["n_samples"] * meta["channels"]
-    arr = np.frombuffer(content[off : off + 2 * n], dtype="<i2")
+    raw = content[off : off + nb * n]
+    if meta["audio_format"] == 7:
+        arr = _mulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    elif meta["bits"] == 8:
+        arr = (
+            (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+        )
+    else:
+        arr = np.frombuffer(raw, dtype="<i2")
     return arr, meta
 
 

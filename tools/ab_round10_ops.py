@@ -16,7 +16,7 @@
   on a synthetic graph with matched degree shape — confirms the wedge
   stage grows as sum(outdeg^2), not worse.
 
-Usage: python tools/ab_round10_ops.py [wedges|scaling|classifier|interval|all]
+Usage: python tools/ab_round10_ops.py [wedges|scaling|classifier|interval|edges|all]
 """
 
 from __future__ import annotations
@@ -366,6 +366,59 @@ def leg_interval(spark):
         )
 
 
+
+
+def leg_edges(spark):
+    """Co-purchase EDGE GENERATION: the historical basket self-join
+    (distinct(bi) -> join on bk -> it<it2 -> distinct, 4 exchanges) vs
+    the node-iterator form applied one level earlier (groupBy bk
+    collect_set directly on the scan -> sorted array -> double
+    posexplode i<j -> distinct, 2 exchanges). Same trick that won the
+    wedge stage (SCALE_NOTES r10); edge sets asserted identical."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.schemas import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem").select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).localCheckpoint()
+
+    def joinform():
+        bi = li.distinct()
+        rhs = bi.select(F.col("bk"), F.col("it").alias("it2"))
+        return (
+            bi.join(rhs, "bk")
+            .filter(F.col("it") < F.col("it2"))
+            .select(F.col("it").alias("src"), F.col("it2").alias("dst"))
+            .distinct()
+        )
+
+    def explodeform():
+        baskets = li.groupBy("bk").agg(
+            F.array_sort(F.collect_set("it")).alias("its")
+        )
+        return (
+            baskets.select("its", F.posexplode("its").alias("i", "src"))
+            .select("src", "i", F.posexplode("its").alias("j", "dst"))
+            .filter(F.col("j") > F.col("i"))
+            .select("src", "dst")
+            .distinct()
+        )
+
+    n1, n2 = joinform().count(), explodeform().count()
+    assert n1 == n2, (n1, n2)
+    for label, fn in (("self-join", joinform), ("collect-explode", explodeform)):
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            fn().count()
+            ts.append(time.time() - t0)
+        ts.sort()
+        print(f"edges {label}: {n1:,} edges, median {ts[1]:.2f}s reps={[round(t,2) for t in ts]}")
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -378,6 +431,8 @@ def main():
         leg_classifier(spark)
     if which in ("interval", "all"):
         leg_interval(spark)
+    if which in ("edges", "all"):
+        leg_edges(spark)
 
 
 if __name__ == "__main__":

@@ -6756,6 +6756,36 @@ _TRIANGLE_ORACLE = (
 )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase edge list (parts sharing an order are
+    adjacent), built the node-iterator way (same trick that won the
+    census wedge stage — SCALE_NOTES r10): ONE groupBy aggregates each
+    basket's distinct items into a sorted array straight off the scan
+    (collect_set dedups in the aggregate, so no pre-distinct pass), the
+    C(size, 2) pairs emit MAP-SIDE via a double posexplode with i < j,
+    then one distinct. Two exchanges total vs the basket self-join's
+    four (distinct + two at the join + distinct); measured equal edge
+    sets and ~10% faster at sf0.1, with the removed exchanges the real
+    win at scale. Null basket/item keys are filtered up front — the
+    self-join form dropped them implicitly and a null GROUP would
+    otherwise pair its items."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (
+        li.filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("its"))
+    )
+    return (
+        baskets.select("its", F.posexplode("its").alias("i", "src"))
+        .select("src", "i", F.posexplode("its").alias("j", "dst"))
+        .filter(F.col("j") > F.col("i"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
 @query(
     "rel_copurchase_triangles",
     _TRIANGLE_ORACLE,
@@ -6773,18 +6803,7 @@ _TRIANGLE_ORACLE = (
     "coefficient is exact scaled-integer (3*tri*1e6 div wedges).",
 )
 def rel_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    bi = li.select(
-        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
-    ).distinct()
-    rhs = bi.select(F.col("bk"), F.col("it").alias("it2"))
-    edges = (
-        bi.join(rhs, "bk")
-        .filter(F.col("it") < F.col("it2"))
-        .select(F.col("it").alias("src"), F.col("it2").alias("dst"))
-        .distinct()
-    )
-    return gr.triangle_stats(edges)
+    return gr.triangle_stats(_copurchase_edges(spark, sf_dir))
 
 
 @query(
@@ -7097,18 +7116,7 @@ _NODE_CLUSTERING_ORACLE = (
     "exactly one — same count, naive form.",
 )
 def rel_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    bi = li.select(
-        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
-    ).distinct()
-    rhs = bi.select(F.col("bk"), F.col("it").alias("it2"))
-    edges = (
-        bi.join(rhs, "bk")
-        .filter(F.col("it") < F.col("it2"))
-        .select(F.col("it").alias("src"), F.col("it2").alias("dst"))
-        .distinct()
-    )
-    return gr.node_clustering(edges).select(
+    return gr.node_clustering(_copurchase_edges(spark, sf_dir)).select(
         "node", "degree", "n_tri", "clustering_x1e6"
     )
 

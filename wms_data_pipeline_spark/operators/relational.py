@@ -159,29 +159,35 @@ def market_basket_pairs(
 
     Integer staging and headroom: conf = (nxy * 1e6) div nx <= 1e6
     because nxy <= nx; lift = (conf * N) div ny stays <= 1e6 * N —
-    inside BIGINT to N ~ 9e12 baskets. The pair generation is the
-    per-basket self-join item_a < item_b AFTER a distinct — one shuffle
-    on the basket key, pair fan-out bounded by (basket size choose 2),
-    which is the real-world control: retail/doc baskets are tens of
-    items. A pre-flight max-basket-size aggregate on the checkpointed
-    (basket, item) set raises loudly above ``max_basket_size`` instead
-    of silently exploding — one cheap keyed count, the same
+    inside BIGINT to N ~ 9e12 baskets. Pair generation is the
+    node-iterator form (the same formulation that won the triangle
+    census' wedge stage and edge build — SCALE_NOTES r10): ONE groupBy
+    aggregates each basket's distinct items into a sorted array
+    straight off the scan (``collect_set`` dedups inside the aggregate,
+    so no separate distinct pass) and the C(size, 2) ordered pairs emit
+    MAP-SIDE via a double posexplode with i < j — replacing the basket
+    self-join's two extra exchanges. Fan-out stays bounded by (basket
+    size choose 2), which is the real-world control: retail/doc baskets
+    are tens of items. A pre-flight max-basket-size aggregate on the
+    checkpointed basket arrays raises loudly above ``max_basket_size``
+    instead of silently exploding — one cheap aggregate, the same
     fail-don't-serialize contract as MAX_SKYLINE_CANDIDATES. Rows with
     a NULL basket key or NULL item are dropped up front: a NULL basket
-    can never form a pair (null equi-join), so counting it in the
-    margins or N would inflate every supp/conf/lift denominator.
-    Margins are two broadcast-sized aggregates joined back by item
+    can never form a pair, so counting it in the margins or N would
+    inflate every supp/conf/lift denominator. Margins come from a
+    single-explode aggregate of the same arrays, joined back by item
     key."""
-    bi = (
+    baskets = (
         df.select(
             F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
         )
         .filter(F.col("_it").isNotNull() & F.col("_bk").isNotNull())
-        .distinct()
-        .localCheckpoint()  # reused: pair join + both margins + N
+        .groupBy("_bk")
+        .agg(F.array_sort(F.collect_set("_it")).alias("_its"))
+        .localCheckpoint()  # reused: guard + pairs + margins + N
     )
-    sizes = bi.groupBy("_bk").agg(F.count(F.lit(1)).alias("_n")).agg(
-        F.coalesce(F.max("_n"), F.lit(0)).alias("mx"),
+    sizes = baskets.agg(
+        F.coalesce(F.max(F.size("_its")), F.lit(0)).alias("mx"),
         F.count(F.lit(1)).alias("n_baskets"),
     ).collect()[0]
     if sizes["mx"] > max_basket_size:
@@ -193,15 +199,19 @@ def market_basket_pairs(
             "max_basket_size deliberately"
         )
     n_baskets = int(sizes["n_baskets"])
-    rhs = bi.select(F.col("_bk").alias("_bk"), F.col("_it").alias("_it2"))
     pairs = (
-        bi.join(rhs, "_bk")
-        .filter(F.col("_it") < F.col("_it2"))
+        baskets.select("_its", F.posexplode("_its").alias("_i", "_it"))
+        .select("_it", "_i", F.posexplode("_its").alias("_j", "_it2"))
+        .filter(F.col("_j") > F.col("_i"))
         .groupBy("_it", "_it2")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .filter(F.col("n_pairs") >= min_pair_count)
     )
-    marg = bi.groupBy("_it").agg(F.count(F.lit(1)).alias("_m"))
+    marg = (
+        baskets.select(F.explode("_its").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
     ma = marg.select(F.col("_it"), F.col("_m").alias("nx"))
     mb = marg.select(F.col("_it").alias("_it2"), F.col("_m").alias("ny"))
     return (

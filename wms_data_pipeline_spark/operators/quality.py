@@ -134,11 +134,14 @@ def iqr_outliers(
     cannot promise). Complements the MAD screen
     (evt_robust_anomaly_mad) with the boxplot-standard fence.
 
-    Cost: one (group, value) count aggregate, one window pass over the
-    DISTINCT values per group (never the raw rows), and one broadcast
-    join of the per-group fences back onto the value counts. NULL
-    values are excluded (they are a completeness defect, not an
-    outlier — ``null_profile`` counts them)."""
+    Cost: one (group, value) count aggregate, then ONE partition-by-group
+    exchange carries everything else — the running-count window, the
+    fence computation (``min(CASE …) OVER (PARTITION BY g)`` on the same
+    partitioning — no join, no second subtree), and the final per-group
+    reduce, which reuses the partitioning with no further exchange. Two
+    exchanges total, both over DISTINCT values per group, never raw
+    rows. NULL values are excluded (they are a completeness defect, not
+    an outlier — ``null_profile`` counts them)."""
     v = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_v")
     )
@@ -154,31 +157,27 @@ def iqr_outliers(
     ranked = c.withColumn("_cum", F.sum("_c").over(w_cum)).withColumn(
         "_n", F.sum("_c").over(w_all)
     )
-    # q/out descend from the same lineage as c — alias the group key at
-    # each level so the self-referencing joins stay unambiguous
-    q = ranked.groupBy("_g").agg(
-        F.max("_n").alias("n"),
-        F.min(F.when(F.col("_cum") * 4 >= F.col("_n"), F.col("_v"))).alias("q1"),
-        F.min(F.when(F.col("_cum") * 4 >= F.col("_n") * 3, F.col("_v"))).alias("q3"),
-    ).select(F.col("_g").alias("_qg"), "n", "q1", "q3")
-    out = (
-        c.join(F.broadcast(q), F.col("_g") == F.col("_qg"))
-        .filter(
-            (F.col("_v") * 2 < F.col("q1") * 5 - F.col("q3") * 3)
-            | (F.col("_v") * 2 > F.col("q3") * 5 - F.col("q1") * 3)
-        )
-        .groupBy(F.col("_g").alias("_og"))
-        .agg(F.sum("_c").alias("n_outliers"))
+    fenced = ranked.withColumn(
+        "_q1",
+        F.min(
+            F.when(F.col("_cum") * 4 >= F.col("_n"), F.col("_v"))
+        ).over(w_all),
+    ).withColumn(
+        "_q3",
+        F.min(
+            F.when(F.col("_cum") * 4 >= F.col("_n") * 3, F.col("_v"))
+        ).over(w_all),
     )
-    return (
-        q.join(out, F.col("_qg") == F.col("_og"), "left")
-        .select(
-            F.col("_qg").alias(group_col),
-            F.col("n").cast("long").alias("n"),
-            F.col("q1").cast("long").alias("q1"),
-            F.col("q3").cast("long").alias("q3"),
-            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("long").alias(
-                "n_outliers"
-            ),
-        )
+    outside = (F.col("_v") * 2 < F.col("_q1") * 5 - F.col("_q3") * 3) | (
+        F.col("_v") * 2 > F.col("_q3") * 5 - F.col("_q1") * 3
     )
+    return fenced.groupBy("_g").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max("_q1").cast("long").alias("q1"),
+        F.max("_q3").cast("long").alias("q3"),
+        F.coalesce(
+            F.sum(F.when(outside, F.col("_c")).otherwise(F.lit(0))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    ).withColumnRenamed("_g", group_col)

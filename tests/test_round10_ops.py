@@ -502,3 +502,86 @@ def test_wav_mulaw_and_8bit_pcm():
     assert meta["channels"] == 2 and meta["n_samples"] == 100 and len(arr) == 200
     with pytest.raises(ValueError, match="unsupported WAV encoding"):
         mm.decode_audio_real(mm.encode_wav(8000, b"\0" * 8, bits=24))
+
+
+# --------------------------------------------------- progressive JPEG
+
+def _qt_example():
+    return [16,11,10,16,24,40,51,61,12,12,14,19,26,58,60,55,
+            14,13,16,24,40,57,69,56,14,17,22,29,51,87,80,62,
+            18,22,37,56,68,109,103,77,24,35,55,64,81,104,113,92,
+            49,64,78,87,103,121,120,101,72,92,95,98,112,100,103,99]
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """Progressive re-encoding of the SAME quantized coefficients must
+    decode bit-identically to the baseline file — pins the entire
+    spectral-selection + successive-approximation entropy layer (DC
+    diffs at Al=1, DC raw-bit refinement, AC first scans with EOBn
+    runs, AC refinement with correction bits inside ZRL spans and
+    riding pending EOB runs)."""
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(13)
+    for w, h in ((8, 8), (9, 7), (24, 17)):
+        gray = bytes(rng.randrange(256) for _ in range(w * h))
+        base = mm.decode_image_real(mm.encode_jpeg(w, h, gray))["raster"]
+        prog = mm.decode_image_real(
+            mm.encode_jpeg_progressive(w, h, gray, channels=1)
+        )["raster"]
+        assert prog == base, f"gray {w}x{h}"
+    for sub in ((1, 1), (2, 2), (2, 1), (1, 2)):
+        rgb = bytes(rng.randrange(256) for _ in range(3 * 16 * 16))
+        base = mm.decode_image_real(
+            mm.encode_jpeg_color(16, 16, rgb, subsampling=sub)
+        )["raster"]
+        prog = mm.decode_image_real(
+            mm.encode_jpeg_progressive(16, 16, rgb, subsampling=sub)
+        )["raster"]
+        assert prog == base, f"color {sub}"
+
+
+def test_progressive_jpeg_lossy_tables_and_splits():
+    import random
+
+    import numpy as np
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(14)
+    qt = _qt_example()
+    # realistic tables -> dense EOB runs, incl. cross-block runs on
+    # smooth content
+    img = np.add.outer(np.arange(32) * 2, np.arange(32) * 3).astype(np.uint8)
+    rgb = np.stack([img] * 3, -1).tobytes()
+    base = mm.decode_image_real(
+        mm.encode_jpeg_color(32, 32, rgb, qtable_y=qt, qtable_c=qt,
+                             subsampling=(2, 2))
+    )["raster"]
+    prog = mm.decode_image_real(
+        mm.encode_jpeg_progressive(32, 32, rgb, qtable_y=qt, qtable_c=qt,
+                                   subsampling=(2, 2))
+    )["raster"]
+    assert prog == base
+    # spectral split boundary cases
+    for split in (1, 20, 63):
+        gray = bytes(rng.randrange(256) for _ in range(16 * 16))
+        base = mm.decode_image_real(mm.encode_jpeg(16, 16, gray))["raster"]
+        prog = mm.decode_image_real(
+            mm.encode_jpeg_progressive(16, 16, gray, channels=1, split=split)
+        )["raster"]
+        assert prog == base, split
+
+
+def test_progressive_jpeg_guards():
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="channels"):
+        mm.encode_jpeg_progressive(8, 8, bytes(64), channels=2)
+    with pytest.raises(ValueError, match="split"):
+        mm.encode_jpeg_progressive(8, 8, bytes(192), split=0)
+    with pytest.raises(ValueError, match="subsampled"):
+        mm.encode_jpeg_progressive(8, 8, bytes(64), channels=1,
+                                   subsampling=(2, 2))

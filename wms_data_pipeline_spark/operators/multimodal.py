@@ -1643,12 +1643,15 @@ def _decode_jpeg(content: bytes) -> dict:
     level shift, edge-pad crop. Grayscale AND interleaved 3-component
     YCbCr baseline, including chroma subsampling (4:4:4/4:2:2/4:4:0/
     4:2:0 — per-MCU component blocks in SOF order, per-component DC
-    predictors, replication chroma upsample, JFIF YCbCr->RGB transform).
-    Progressive (SOF2), restart intervals, and non-interleaved scans
-    raise NotImplementedError loudly (the reference's decode contract —
-    SURVEY §2.3 multimodal row). Bit-serial Huffman is inherently
-    sequential per image; parallelism comes from the Arrow batch axis
-    (many images per task), same as the GIF/PNG codecs here."""
+    predictors, replication chroma upsample, JFIF YCbCr->RGB transform),
+    DRI/RSTn restart intervals, and PROGRESSIVE (SOF2 — spectral
+    selection + successive approximation, see
+    ``_decode_jpeg_progressive``). Remaining coding processes (lossless,
+    arithmetic, hierarchical) raise NotImplementedError loudly (the
+    reference's decode contract — SURVEY §2.3 multimodal row).
+    Bit-serial Huffman is inherently sequential per image; parallelism
+    comes from the Arrow batch axis (many images per task), same as the
+    GIF/PNG codecs here."""
     import struct
 
     import numpy as np
@@ -1661,6 +1664,7 @@ def _decode_jpeg(content: bytes) -> dict:
     width = height = None
     components: list | None = None
     rst_interval = 0
+    progressive = False
     scan_start = None
     while pos < len(content):
         if content[pos] != 0xFF:
@@ -1689,7 +1693,8 @@ def _decode_jpeg(content: bytes) -> dict:
                 t[list(_JPEG_ZIGZAG)] = zz
                 qtables[tq] = t.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -1715,10 +1720,10 @@ def _decode_jpeg(content: bytes) -> dict:
                         "unsupported JPEG sampling "
                         + str([(c[1], c[2]) for c in components])
                     )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x})"
+                f"unsupported JPEG coding process (SOF marker 0x{marker:02x})"
             )
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
@@ -1736,6 +1741,15 @@ def _decode_jpeg(content: bytes) -> dict:
         elif marker == 0xDD:  # DRI: restart every Ri MCUs
             rst_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
+            if progressive:
+                if rst_interval:
+                    raise NotImplementedError(
+                        "progressive JPEG with restart intervals"
+                    )
+                return _decode_jpeg_progressive(
+                    content, seg, pos, components, qtables, hufftabs,
+                    width, height,
+                )
             ns = seg[0]
             scan_tabs = {}  # cid -> (dc table id, ac table id)
             for k in range(ns):
@@ -1924,10 +1938,20 @@ def _decode_jpeg(content: bytes) -> dict:
             if rst_interval and mcu % rst_interval == 0 and mcu < mcux * mcuy:
                 next_restart_segment()
                 preds = [0] * len(plan)
+    return _jpeg_color_output(planes, [(p[0], p[1]) for p in plan],
+                              width, height, hmax, vmax)
+
+
+def _jpeg_color_output(planes, samplings, width, height, hmax, vmax) -> dict:
+    """Shared YCbCr -> RGB output stage (baseline and progressive paths):
+    chroma replication upsample to the luma grid, JFIF inverse transform
+    with per-channel rounding and clamp, crop to the true size."""
+    import numpy as np
+
     luma = planes[0][:height, :width] + 128.0
     chroma = []
     for ci in (1, 2):
-        h_s, v_s = plan[ci][0], plan[ci][1]
+        h_s, v_s = samplings[ci]
         p = np.repeat(
             np.repeat(planes[ci], vmax // v_s, axis=0), hmax // h_s, axis=1
         )
@@ -1948,6 +1972,668 @@ def _decode_jpeg(content: bytes) -> dict:
         "raster_offset": -1,
         "raster": raster.tobytes(),
     }
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    qtable_y=None,
+    qtable_c=None,
+    subsampling: tuple[int, int] = (1, 1),
+    split: int = 6,
+) -> bytes:
+    """Progressive JPEG encoder (T.81 Annex G, public spec) exercising
+    BOTH progression axes the way real encoders do: successive
+    approximation (every scan pair runs at Al=1 then refines the low
+    bit at Al=0 — DC refinements are raw bits, AC refinements carry
+    newly-significant ±1 placements plus correction bits buffered into
+    pending EOB runs) and spectral selection (the AC band splits at
+    ``split``). Same quantized coefficients as the baseline encoders,
+    only the entropy layout differs — so the decoded image must equal
+    the decoded BASELINE encoding bit-for-bit, which is the roundtrip
+    property the tests pin. ``channels``: 1 = grayscale, 3 = RGB
+    (JFIF YCbCr + box-filter chroma subsample, like
+    ``encode_jpeg_color``)."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError(f"encode_jpeg_progressive: channels must be 1 or 3")
+    yh, yv = subsampling
+    if yh not in (1, 2) or yv not in (1, 2):
+        raise ValueError(f"unsupported subsampling {subsampling}")
+    if channels == 1 and (yh, yv) != (1, 1):
+        raise ValueError("grayscale cannot be subsampled")
+    if len(pixels) != channels * width * height:
+        raise ValueError(
+            f"JPEG {width}x{height} needs {channels * width * height} bytes, "
+            f"got {len(pixels)}"
+        )
+    if not 1 <= split <= 63:
+        raise ValueError("split must be in 1..63")
+
+    def _q(t):
+        q = (
+            np.ones((8, 8), dtype=np.int64)
+            if t is None
+            else np.asarray(t, dtype=np.int64).reshape(8, 8)
+        )
+        if (q < 1).any() or (q > 255).any():
+            raise ValueError("JPEG quant table entries must be in 1..255")
+        return q
+
+    qy, qc = _q(qtable_y), _q(qtable_c)
+    H = -(-height // (8 * yv)) * 8 * yv
+    W = -(-width // (8 * yh)) * 8 * yh
+    pad = ((0, H - height), (0, W - width))
+    if channels == 1:
+        luma = np.pad(
+            np.frombuffer(pixels, np.uint8)
+            .reshape(height, width)
+            .astype(np.float64),
+            pad,
+            mode="edge",
+        ) - 128.0
+        comp_planes = [(luma, qy, 1, 1)]
+    else:
+        px = (
+            np.frombuffer(pixels, np.uint8)
+            .reshape(height, width, 3)
+            .astype(np.float64)
+        )
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        luma = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        luma = np.pad(luma, pad, mode="edge") - 128.0
+        cb = np.pad(cb, pad, mode="edge")
+        cr = np.pad(cr, pad, mode="edge")
+        if (yh, yv) != (1, 1):
+            cb = np.round(cb.reshape(H // yv, yv, W // yh, yh).mean(axis=(1, 3)))
+            cr = np.round(cr.reshape(H // yv, yv, W // yh, yh).mean(axis=(1, 3)))
+        comp_planes = [
+            (luma, qy, yh, yv),
+            (cb - 128.0, qc, 1, 1),
+            (cr - 128.0, qc, 1, 1),
+        ]
+    hmax, vmax = (yh, yv) if channels == 3 else (1, 1)
+    mcux, mcuy = W // (8 * hmax), H // (8 * vmax)
+
+    # quantized ZIGZAG coefficient grids per component (the same values
+    # the baseline encoders would emit)
+    C = _dct_matrix()
+    zig = list(_JPEG_ZIGZAG)
+    comps = []  # (coeff grid (gh, gw, 64), gh, gw, bh, bw, h, v)
+    for plane, q, h_s, v_s in comp_planes:
+        gh, gw = mcuy * v_s, mcux * h_s
+        ch = -(-height * v_s // vmax)
+        cw = -(-width * h_s // hmax)
+        bh, bw = -(-ch // 8), -(-cw // 8)
+        cf = np.zeros((gh, gw, 64), np.int64)
+        for by in range(gh):
+            for bx in range(gw):
+                block = plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+                coef = np.round((C @ block @ C.T) / q).astype(np.int64)
+                cf[by, bx] = coef.reshape(-1)[zig]
+        comps.append((cf, gh, gw, bh, bw, h_s, v_s))
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    # progressive AC scans need the EOBn symbols (0x10..0xE0, SSSS=0)
+    # that the BASELINE Annex K table deliberately omits — declare our
+    # own table: every symbol at 8 bits (176/256 Kraft — legal, simple;
+    # compression is not what these fixtures are for)
+    prog_ac_vals = _JPEG_AC_VALS + tuple(r << 4 for r in range(1, 15))
+    prog_ac_bits = (0,) * 7 + (len(prog_ac_vals),) + (0,) * 8
+    ac_codes = _jpeg_huff_codes(prog_ac_bits, prog_ac_vals)
+    scans = bytearray()
+
+    def run_scan(scomp_ids, ss, se, ah, al, body) -> None:
+        """Emit one SOS header + an entropy body built by ``body(put,
+        put_sym)``; closes with a 1-padded byte flush."""
+        nonlocal scans
+        buf = bytearray()
+        state = {"bits": 0, "n": 0}
+
+        def put(val: int, n: int) -> None:
+            state["bits"] = (state["bits"] << n) | (val & ((1 << n) - 1))
+            state["n"] += n
+            while state["n"] >= 8:
+                byte = (state["bits"] >> (state["n"] - 8)) & 0xFF
+                buf.append(byte)
+                if byte == 0xFF:
+                    buf.append(0x00)
+                state["n"] -= 8
+            state["bits"] &= (1 << state["n"]) - 1
+
+        def put_sym(codes, sym: int) -> None:
+            ln, code = codes[sym]
+            put(code, ln)
+
+        body(put, put_sym)
+        if state["n"]:
+            put(0xFF, 8 - state["n"])
+        hdr = bytes([len(scomp_ids)]) + b"".join(
+            bytes((cid, 0x00)) for cid in scomp_ids
+        ) + bytes((ss, se, (ah << 4) | al))
+        scans += b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr + buf
+
+    AL = 1  # one successive-approximation level
+
+    # ---- DC first scan (interleaved across all components), Al=1
+    def dc_first(put, put_sym):
+        preds = [0] * len(comps)
+        def one(si, by, bx):
+            v = int(comps[si][0][by, bx, 0]) >> AL  # arithmetic shift (T.81)
+            diff = v - preds[si]
+            preds[si] = v
+            s = abs(diff).bit_length()
+            put_sym(dc_codes, s)
+            if s:
+                put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for si, (_cf, _gh, _gw, _bh, _bw, h_s, v_s) in enumerate(comps):
+                    for vv in range(v_s):
+                        for hh in range(h_s):
+                            one(si, my * v_s + vv, mx * h_s + hh)
+
+    run_scan(list(range(1, len(comps) + 1)), 0, 0, 0, AL, dc_first)
+
+    # ---- DC refinement: one raw bit per block, same interleave
+    def dc_refine(put, put_sym):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for si, (cf, _gh, _gw, _bh, _bw, h_s, v_s) in enumerate(comps):
+                    for vv in range(v_s):
+                        for hh in range(h_s):
+                            put(int(cf[my * v_s + vv, mx * h_s + hh, 0]) & 1, 1)
+
+    run_scan(list(range(1, len(comps) + 1)), 0, 0, 1, 0, dc_refine)
+
+    # ---- AC scans per component: two spectral bands, first then refine
+    def ac_first(cf, bh, bw, ss, se):
+        def body(put, put_sym):
+            eobrun = 0
+            eobrun_bits = []
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    put_sym(ac_codes, r << 4)
+                    if r:
+                        put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = cf[by, bx]
+                    t = [
+                        (1 if blk[k] > 0 else -1) * (abs(int(blk[k])) >> AL)
+                        for k in range(ss, se + 1)
+                    ]
+                    last = max(
+                        (i for i, v in enumerate(t) if v), default=-1
+                    )
+                    if last < 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    r = 0
+                    for v in t[: last + 1]:
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            put_sym(ac_codes, 0xF0)
+                            r -= 16
+                        s = abs(v).bit_length()
+                        put_sym(ac_codes, (r << 4) | s)
+                        put(v if v >= 0 else v + (1 << s) - 1, s)
+                        r = 0
+                    if last < se - ss:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+
+        return body
+
+    def ac_refine(cf, bh, bw, ss, se):
+        """Mirror the decoder traversal EXACTLY (T.81 G.1.2.3): the run
+        count burns zero-history slots only, correction bits for
+        nonzero-history slots interleave in traversal order — including
+        inside ZRL spans — and a block's tail corrections ride the
+        pending EOB run, flushed with the EOBn symbol."""
+
+        def body(put, put_sym):
+            eobrun = 0
+            be_bits: list[int] = []
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    put_sym(ac_codes, r << 4)
+                    if r:
+                        put(eobrun - (1 << r), r)
+                    for bit in be_bits:
+                        put(bit, 1)
+                    be_bits.clear()
+                    eobrun = 0
+
+            band = se - ss + 1
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = cf[by, bx]
+                    # significant-so-far = nonzero at the PREVIOUS scan's
+                    # precision (Ah = AL): |c| >> AL != 0
+                    hist = [
+                        abs(int(blk[ss + i])) >> AL != 0
+                        for i in range(band)
+                    ]
+                    corr = [
+                        (abs(int(blk[ss + i])) >> 0) & 1 for i in range(band)
+                    ]
+                    newpos = [
+                        i
+                        for i in range(band)
+                        if not hist[i] and blk[ss + i] != 0
+                    ]
+                    i = 0
+                    for np_i in newpos:
+                        zeros = sum(
+                            1 for j in range(i, np_i) if not hist[j]
+                        )
+                        while zeros > 15:
+                            flush_eob()
+                            put_sym(ac_codes, 0xF0)
+                            consumed = 0
+                            while consumed < 16:
+                                if hist[i]:
+                                    put(corr[i], 1)
+                                else:
+                                    consumed += 1
+                                i += 1
+                            zeros -= 16
+                        flush_eob()
+                        put_sym(ac_codes, (zeros << 4) | 1)
+                        put(1 if blk[ss + np_i] > 0 else 0, 1)
+                        while i < np_i:
+                            if hist[i]:
+                                put(corr[i], 1)
+                            i += 1
+                        i = np_i + 1
+                    if i < band:  # tail remains: block joins the EOB run
+                        eobrun += 1
+                        be_bits.extend(
+                            corr[j] for j in range(i, band) if hist[j]
+                        )
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+
+        return body
+
+    for si, (cf, _gh, _gw, bh, bw, _h, _v) in enumerate(comps):
+        cid = si + 1
+        for lo, hi in ((1, split), (split + 1, 63)):
+            if lo > 63:
+                continue
+            run_scan([cid], lo, hi, 0, AL, ac_first(cf, bh, bw, lo, hi))
+        for lo, hi in ((1, split), (split + 1, 63)):
+            if lo > 63:
+                continue
+            run_scan([cid], lo, hi, 1, 0, ac_refine(cf, bh, bw, lo, hi))
+
+    # ---- headers
+    out = bytearray(b"\xff\xd8")
+    tables = ((0, qy), (1, qc)) if channels == 3 else ((0, qy),)
+    for tq, q in tables:
+        zz_q = q.reshape(-1)[zig]
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + bytes(
+            int(v) for v in zz_q
+        )
+    ncomp = len(comps)
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    if channels == 1:
+        sof += bytes((1, 0x11, 0))
+    else:
+        sof += bytes((1, (yh << 4) | yv, 0, 2, 0x11, 1, 3, 0x11, 1))
+    out += b"\xff\xc2" + sof  # SOF2: progressive DCT
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(_JPEG_DC_VALS), 0x00)
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+    )
+    out += (
+        b"\xff\xc4"
+        + struct.pack(">HB", 2 + 1 + 16 + len(prog_ac_vals), 0x10)
+        + bytes(prog_ac_bits)
+        + bytes(prog_ac_vals)
+    )
+    out += scans
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_jpeg_progressive(
+    content, first_sos_seg, pos, components, qtables, hufftabs,
+    width, height,
+) -> dict:
+    """Progressive JPEG decode (ITU-T T.81 Annex G, public spec —
+    spectral selection AND successive approximation): coefficients
+    accumulate in per-component ZIGZAG-space grids across scans — DC
+    first scans (interleaved MCU order, diffs of the point-transformed
+    DC), DC refinement scans (one raw bit per block, OR'd in at the
+    scan's Al), AC first scans (non-interleaved single-component, runs
+    + EOBn end-of-band RUNS spanning blocks), and AC refinement scans
+    (newly-significant ±1<<Al placements with correction bits read at
+    every nonzero-history position passed, including inside ZRL skips
+    and for every block covered by a pending EOB run). DQT/DHT segments
+    between scans are honored. After the last scan every block
+    dequantizes + IDCTs exactly like the baseline path, so a
+    progressive re-encoding of the same quantized coefficients decodes
+    BIT-IDENTICALLY to the baseline file — the property the roundtrip
+    tests pin."""
+    import struct
+
+    import numpy as np
+
+    hmax = max(c[1] for c in components)
+    vmax = max(c[2] for c in components)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # zigzag-space coefficient grids; interleaved DC scans cover the
+    # FULL MCU-padded grid, non-interleaved AC scans only ceil(comp/8)
+    geo = []  # (cid, h, v, tq, gh, gw, bh, bw)
+    coeffs = []
+    for cid, h_s, v_s, tq in components:
+        gh, gw = mcuy * v_s, mcux * h_s
+        ch = -(-height * v_s // vmax)  # ceil component dims (T.81 A.1.1)
+        cw = -(-width * h_s // hmax)
+        bh, bw = -(-ch // 8), -(-cw // 8)
+        geo.append((cid, h_s, v_s, tq, gh, gw, bh, bw))
+        coeffs.append(np.zeros((gh, gw, 64), np.int64))
+    byid = {g[0]: i for i, g in enumerate(geo)}
+
+    sos_seg = first_sos_seg
+    while True:
+        # ---- one scan: header from sos_seg, entropy from content[pos:]
+        ns = sos_seg[0]
+        scomps = []  # (comp index, dc table id, ac table id)
+        for k in range(ns):
+            cid = sos_seg[1 + 2 * k]
+            if cid not in byid:
+                raise ValueError(f"progressive scan names unknown component {cid}")
+            scomps.append(
+                (byid[cid], sos_seg[2 + 2 * k] >> 4, sos_seg[2 + 2 * k] & 15)
+            )
+        ss, se, ahal = sos_seg[1 + 2 * ns : 4 + 2 * ns]
+        ah, al = ahal >> 4, ahal & 15
+        # unstuff this scan's entropy bytes up to the next marker
+        data = bytearray()
+        i = pos
+        while i < len(content):
+            b = content[i]
+            if b == 0xFF:
+                nxt = content[i + 1] if i + 1 < len(content) else None
+                if nxt == 0x00:
+                    data.append(0xFF)
+                    i += 2
+                    continue
+                if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError(
+                        "progressive JPEG with restart markers"
+                    )
+                break  # any other marker ends the scan
+            data.append(b)
+            i += 1
+        else:
+            raise ValueError("truncated progressive JPEG scan")
+        bitpos = 0
+        nbits = 8 * len(data)
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            if bitpos >= nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            v = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return v
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def decode_sym(tab) -> int:
+            ln, code = 0, 0
+            while ln < 16:
+                code = (code << 1) | read_bit()
+                ln += 1
+                v = tab.get((ln, code))
+                if v is not None:
+                    return v
+            raise ValueError("invalid JPEG Huffman code")
+
+        def extend(v: int, s: int) -> int:
+            return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+        if ss == 0:  # ---- DC scan (first or refinement)
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            preds = [0] * len(scomps)
+            dtabs = []
+            for ci, dc_id, _ac in scomps:
+                if ah == 0 and (0, dc_id) not in hufftabs:
+                    raise ValueError(f"JPEG Huffman table (0, {dc_id}) not defined")
+                dtabs.append(hufftabs.get((0, dc_id)))
+
+            def dc_block(si, ci, by, bx):
+                cf = coeffs[ci]
+                if ah == 0:
+                    s = decode_sym(dtabs[si])
+                    preds[si] += extend(read_bits(s), s) if s else 0
+                    cf[by, bx, 0] = preds[si] << al
+                else:  # refinement: one raw bit, OR'd in at this Al
+                    if read_bit():
+                        cf[by, bx, 0] |= 1 << al
+
+            if ns > 1:  # interleaved MCU order over the padded grid
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for si, (ci, _d, _a) in enumerate(scomps):
+                            _cid, h_s, v_s = geo[ci][0], geo[ci][1], geo[ci][2]
+                            for vv in range(v_s):
+                                for hh in range(h_s):
+                                    dc_block(
+                                        si, ci, my * v_s + vv, mx * h_s + hh
+                                    )
+            else:  # single component: its own ceil grid
+                ci = scomps[0][0]
+                bh, bw = geo[ci][6], geo[ci][7]
+                for by in range(bh):
+                    for bx in range(bw):
+                        dc_block(0, ci, by, bx)
+        else:  # ---- AC scan: single component, non-interleaved
+            if ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            ci, _dc_id, ac_id = scomps[0]
+            if (1, ac_id) not in hufftabs:
+                raise ValueError(f"JPEG Huffman table (1, {ac_id}) not defined")
+            atab = hufftabs[(1, ac_id)]
+            bh, bw = geo[ci][6], geo[ci][7]
+            cf = coeffs[ci]
+            eobrun = 0
+
+            def correct(blk, k):
+                """Refinement correction bit for a nonzero-history coeff."""
+                if read_bit() and not blk[k] & (1 << al):
+                    blk[k] += (1 << al) if blk[k] > 0 else -(1 << al)
+
+            for by in range(bh):
+                for bx in range(bw):
+                    blk = cf[by, bx]
+                    if eobrun > 0:
+                        eobrun -= 1
+                        if ah:  # EOB-run blocks still refine history coeffs
+                            for k in range(ss, se + 1):
+                                if blk[k]:
+                                    correct(blk, k)
+                        continue
+                    if ah == 0:  # first AC scan for this band
+                        k = ss
+                        while k <= se:
+                            rs = decode_sym(atab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r) + read_bits(r) - 1
+                                    break
+                                k += 16  # ZRL
+                                continue
+                            k += r
+                            if k > se:
+                                raise ValueError("corrupt progressive AC run")
+                            blk[k] = extend(read_bits(s), s) << al
+                            k += 1
+                    else:  # AC refinement scan (T.81 G.1.2.3 traversal:
+                        # corrections read at every nonzero slot passed;
+                        # the run count burns ZERO slots only, and the
+                        # placement lands on the run-exhausting zero slot)
+                        k = ss
+                        while k <= se:
+                            rs = decode_sym(atab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0 and r < 15:
+                                eobrun = (1 << r) + read_bits(r) - 1
+                                for j in range(k, se + 1):
+                                    if blk[j]:
+                                        correct(blk, j)
+                                break
+                            if s == 0:  # ZRL: burn 16 zero slots
+                                new, skip = 0, 15
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement coefficient magnitude != 1"
+                                    )
+                                new = (1 << al) if read_bit() else -(1 << al)
+                                skip = r
+                            while k <= se:
+                                if blk[k]:
+                                    correct(blk, k)
+                                else:
+                                    skip -= 1
+                                    if skip < 0:
+                                        break
+                                k += 1
+                            if new:
+                                if k > se:
+                                    raise ValueError(
+                                        "corrupt progressive AC refinement"
+                                    )
+                                blk[k] = new
+                            k += 1
+
+        # ---- advance to the next scan / table segment / EOI
+        pos = i
+        sos_seg = None
+        while pos < len(content):
+            if content[pos] != 0xFF:
+                raise ValueError(
+                    f"expected marker at {pos}, got 0x{content[pos]:02x}"
+                )
+            marker = content[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            seglen = struct.unpack_from(">H", content, pos)[0]
+            seg = content[pos + 2 : pos + seglen]
+            if len(seg) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            pos += seglen
+            if marker == 0xC4:  # DHT between scans
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    bits = tuple(seg[j + 1 : j + 17])
+                    n = sum(bits)
+                    vals = tuple(seg[j + 17 : j + 17 + n])
+                    hufftabs[(tc, th)] = {
+                        (ln, code): v
+                        for v, (ln, code) in _jpeg_huff_codes(bits, vals).items()
+                    }
+                    j += 17 + n
+            elif marker == 0xDB:  # DQT between scans
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    if pq != 0:
+                        raise NotImplementedError("16-bit JPEG quant tables")
+                    zz = np.frombuffer(
+                        seg[j + 1 : j + 65], np.uint8
+                    ).astype(np.int64)
+                    t = np.empty(64, np.int64)
+                    t[list(_JPEG_ZIGZAG)] = zz
+                    qtables[tq] = t.reshape(8, 8)
+                    j += 65
+            elif marker == 0xDA:
+                sos_seg = seg
+                break
+            elif marker == 0xDD:
+                raise NotImplementedError(
+                    "progressive JPEG with restart intervals"
+                )
+            elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+                continue
+            else:
+                raise ValueError(
+                    f"unexpected JPEG marker 0xff{marker:02x} between scans"
+                )
+        if sos_seg is None:
+            break  # EOI (or end of data) — all scans consumed
+
+    # ---- reconstruct: dequantize + IDCT every block, exactly like baseline
+    C = _dct_matrix()
+    zig = list(_JPEG_ZIGZAG)
+    planes = []
+    for (cid, h_s, v_s, tq, gh, gw, _bh, _bw), cf in zip(geo, coeffs):
+        if tq not in qtables:
+            raise ValueError(f"JPEG quant table {tq} not defined")
+        q = qtables[tq]
+        plane = np.empty((gh * 8, gw * 8), np.float64)
+        for by in range(gh):
+            for bx in range(gw):
+                coef = np.empty(64, np.int64)
+                coef[zig] = cf[by, bx]
+                plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = (
+                    C.T @ (coef.reshape(8, 8) * q).astype(np.float64) @ C
+                )
+        planes.append(plane)
+    if len(planes) == 1:
+        raster = np.clip(np.round(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return {
+            "format": "image/jpeg",
+            "width": width,
+            "height": height,
+            "maxval": 255,
+            "pixel_bytes": width * height,
+            "channels": 1,
+            "raster_offset": -1,
+            "raster": raster[:height, :width].tobytes(),
+        }
+    return _jpeg_color_output(
+        planes, [(g[1], g[2]) for g in geo], width, height, hmax, vmax
+    )
 
 
 def with_jpeg_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

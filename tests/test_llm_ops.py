@@ -566,6 +566,7 @@ def test_wav_decode_golden():
         "channels": 1,
         "sample_rate": 8000,
         "bits": 16,
+        "audio_format": 1,  # PCM (7 = G.711 mu-law, see round-10 tests)
         "n_samples": 5,
         "data_offset": 44,  # canonical 44-byte WAV header
     }

@@ -52,3 +52,16 @@ def test_contract_shape():
     assert len(q) == len(REGISTRY)
     # every oracle is non-empty SQL
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
+
+
+def test_registry_binds_the_named_function():
+    """A helper def accidentally placed between @query(...) and the query
+    function steals the registration (the decorator binds to whatever def
+    follows it — this silently swapped rel_copurchase_triangles for its
+    edge-list helper in round 10 until the parity hash caught it). Pin the
+    invariant: every registered fn is named after its registry key."""
+    for name, spec in REGISTRY.items():
+        assert spec.fn.__name__ == name, (
+            f"registry entry {name!r} is bound to {spec.fn.__name__!r} — "
+            "a helper def probably slid between @query and the query fn"
+        )

@@ -293,10 +293,12 @@ def test_jpeg_error_paths():
         mm._decode_jpeg(b"\xff\xd9" + blob[2:])
     with pytest.raises(ValueError, match="truncated"):
         mm.decode_image_real(blob[: len(blob) // 2])
-    # flip SOF0 -> SOF2 (progressive) => loud NotImplementedError
+    # progressive (SOF2) is SUPPORTED since round 10 — but a BASELINE
+    # stream with its SOF flipped to SOF2 is corrupt: the baseline SOS
+    # declares Ss=0/Se=63, which is an illegal progressive DC scan
     prog = bytearray(blob)
     prog[blob.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="Se != 0"):
         mm.decode_image_real(bytes(prog))
     with pytest.raises(ValueError, match="gray bytes"):
         mm.encode_jpeg(8, 8, bytes(63))

@@ -2695,3 +2695,36 @@ def with_jpeg_color_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))
+
+
+def with_jpeg_progressive_content(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Test adapter: a REAL progressive (SOF2) 4:2:0 color JPEG per row
+    (width = (id%3+1)*16, height = 16), gray constant 8x8 luma blocks of
+    value ((id + 19*b)*59) % 256 — the same bit-exactness argument as
+    ``with_jpeg_color_content`` (gray pins the chroma, constant blocks
+    are DC-only, round(v*1.0)==v), carried through the progressive
+    entropy layer (DC successive approximation, spectral-selection AC
+    scans, EOBn runs), so the channel means stay id-arithmetic and
+    oracle-expressible."""
+
+    @pandas_udf("binary")
+    def _blob(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            w, h = (i % 3 + 1) * 16, 16
+            bw = w // 8
+            rgb = bytes(
+                c
+                for y in range(h)
+                for x in range(w)
+                for c in [((i + 19 * ((y // 8) * bw + x // 8)) * 59) % 256] * 3
+            )
+            out.append(
+                encode_jpeg_progressive(w, h, rgb, subsampling=(2, 2))
+            )
+        return pd.Series(out)
+
+    return df.withColumn("content", _blob(F.col(id_col)))

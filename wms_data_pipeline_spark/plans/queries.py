@@ -7353,3 +7353,33 @@ def dq_temporal_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_jpeg_color_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return mm.image_features(mm.with_jpeg_color_content(docs))
+
+
+@query(
+    "mm_jpeg_progressive_features",
+    # with_jpeg_progressive_content: progressive (SOF2) 4:2:0 color JPEG,
+    # gray constant 8x8 luma blocks of value ((doc_id + 19*b)*59) % 256 —
+    # bit-exact through the progressive entropy layer + color pipeline.
+    "WITH d AS (SELECT doc_id, (doc_id % 3 + 1) * 16 AS w, 16 AS h "
+    "FROM documents), "
+    "g AS (SELECT range AS b FROM range(0, 12)) "
+    "SELECT doc_id, w AS width, h AS height, "
+    "round(sum(((doc_id + 19 * b) * 59) % 256) * 64 / (w * h), 6) AS mean_r, "
+    "round(sum(((doc_id + 19 * b) * 59) % 256) * 64 / (w * h), 6) AS mean_g, "
+    "round(sum(((doc_id + 19 * b) * 59) % 256) * 64 / (w * h), 6) AS mean_b "
+    "FROM d JOIN g ON g.b < (w // 8) * (h // 8) GROUP BY doc_id, w, h",
+    doc="PROGRESSIVE JPEG (SOF2) decode + features — the multi-scan form "
+    "web images actually ship: per-component zigzag coefficient grids "
+    "accumulate across DC successive-approximation scans (diffs at "
+    "Al=1, raw-bit refinements), spectral-selection AC scans, and "
+    "cross-block EOBn end-of-band runs with refinement correction "
+    "bits, then dequantize+IDCT exactly like baseline "
+    "(operators/multimodal.py _decode_jpeg_progressive; encoder "
+    "exercises BOTH progression axes). The gray constant-block corpus "
+    "is bit-exact through the whole layer (pinned: progressive decode "
+    "== baseline decode of the same coefficients), so the means stay "
+    "oracle-arithmetic.",
+)
+def mm_jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return mm.image_features(mm.with_jpeg_progressive_content(docs))

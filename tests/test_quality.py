@@ -63,3 +63,20 @@ def test_iqr_outliers_exact_quartiles_and_fences(spark):
     assert got["b"]["n"] == 4
     assert got["b"]["q1"] == 5 and got["b"]["q3"] == 5
     assert got["b"]["n_outliers"] == 0
+
+
+def test_psi_drift_detects_shift_and_smooths_empty_bins(spark):
+    from wms_data_pipeline_spark.operators.quality import psi_drift
+
+    # group "stable": identical ref/cur distributions -> psi ~ 0
+    rows = [("stable", float(v), c) for v in range(10) for c in (False, True)]
+    # group "shifted": ref mass low, cur mass high -> psi large
+    rows += [("shifted", 1.0, False)] * 20 + [("shifted", 9.0, True)] * 20
+    rows += [("stable", None, True)]  # nulls excluded
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    got = {r["g"]: r for r in psi_drift(df, "g", "v", "cur").collect()}
+    assert got["stable"]["n_ref"] == 10 and got["stable"]["n_cur"] == 10
+    assert abs(got["stable"]["psi"]) < 1e-9
+    assert got["shifted"]["psi"] > 0.25  # the conventional "shifted" fence
+    with pytest.raises(ValueError, match="n_buckets"):
+        psi_drift(df, "g", "v", "cur", n_buckets=1)

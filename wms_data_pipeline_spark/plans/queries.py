@@ -7383,3 +7383,48 @@ def mm_jpeg_color_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return mm.image_features(mm.with_jpeg_progressive_content(docs))
+
+
+@query(
+    "dq_psi_drift",
+    "WITH v AS (SELECT event_type AS g, value::DOUBLE AS v, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    "m AS (SELECT max(v) AS mx FROM v), "
+    "c AS (SELECT g, least(9, greatest(0, CAST(floor(v * 10 / m.mx) AS INT)))"
+    " AS b, sum(CASE WHEN cur THEN 0 ELSE 1 END) AS ref, "
+    "sum(CASE WHEN cur THEN 1 ELSE 0 END) AS curn "
+    "FROM v CROSS JOIN m GROUP BY 1, 2), "
+    "grid AS (SELECT g, b FROM (SELECT DISTINCT g FROM v) "
+    "CROSS JOIN (SELECT range::INT AS b FROM range(0, 10))), "
+    "f AS (SELECT grid.g, grid.b, coalesce(c.ref, 0) AS ref, "
+    "coalesce(c.curn, 0) AS curn FROM grid "
+    "LEFT JOIN c ON grid.g = c.g AND grid.b = c.b), "
+    "t AS (SELECT g, ref, curn, sum(ref) OVER (PARTITION BY g) AS nref, "
+    "sum(curn) OVER (PARTITION BY g) AS ncur FROM f) "
+    "SELECT g AS event_type, max(nref)::BIGINT AS n_ref, "
+    "max(ncur)::BIGINT AS n_cur, "
+    "round(sum(((curn + 1.0) / (ncur + 10) - (ref + 1.0) / (nref + 10)) * "
+    "ln(((curn + 1.0) / (ncur + 10)) / ((ref + 1.0) / (nref + 10)))), 6) "
+    "AS psi FROM t GROUP BY g",
+    doc="Population Stability Index drift audit per event type "
+    "(operators/quality.py psi_drift — the standard model-monitoring "
+    "distribution screen, public method): the first half-month is the "
+    "reference population, the rest is current; values bucket into 10 "
+    "equal-width bins over the global range, PSI = sum (q-p)*ln(q/p) "
+    "with add-one smoothing so empty bins stay finite. Catches a feed "
+    "whose VALUE DISTRIBUTION shifts while row counts and null rates "
+    "stay normal — the drift class dq_daily_volume_anomaly and "
+    "dq_null_profile cannot see. Plan: one broadcast scalar (bucket "
+    "width), one (type, bucket) conditional aggregate, a broadcast "
+    "bucket-grid left join, per-type reduce — bounded by types x 10 "
+    "after the first aggregate.",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import psi_drift
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_cur",
+        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+    )
+    return psi_drift(ev, "event_type", "value", "is_cur")

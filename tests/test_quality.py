@@ -80,3 +80,26 @@ def test_psi_drift_detects_shift_and_smooths_empty_bins(spark):
     assert got["shifted"]["psi"] > 0.25  # the conventional "shifted" fence
     with pytest.raises(ValueError, match="n_buckets"):
         psi_drift(df, "g", "v", "cur", n_buckets=1)
+
+
+def test_ks_drift_exact_gap_and_empty_population(spark):
+    from wms_data_pipeline_spark.operators.quality import ks_drift
+
+    # disjoint supports: ref all below, cur all above -> D = 1.0
+    rows = [("dis", float(v), False) for v in range(5)]
+    rows += [("dis", float(v + 100), True) for v in range(5)]
+    # identical: D = 0
+    rows += [("same", float(v), c) for v in range(5) for c in (False, True)]
+    # one population empty -> NULL statistic
+    rows += [("onlyref", 1.0, False)]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    got = {r["g"]: r for r in ks_drift(df, "g", "v", "cur").collect()}
+    assert got["dis"]["ks_x1e6"] == 1_000_000
+    assert got["same"]["ks_x1e6"] == 0
+    assert got["onlyref"]["ks_x1e6"] is None
+    # hand case: ref {1,2,3,4}, cur {3,4,5,6} -> max gap at v=2: 1/2 - 0
+    rows = [("h", float(v), False) for v in (1, 2, 3, 4)]
+    rows += [("h", float(v), True) for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    got = ks_drift(df, "g", "v", "cur").collect()[0]
+    assert got["ks_x1e6"] == 500_000

@@ -267,3 +267,62 @@ def psi_drift(
         )
         .withColumnRenamed("_g", group_col)
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    is_current_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per group — the
+    binning-free companion to ``psi_drift`` (public method): the max
+    absolute gap between the reference and current empirical CDFs,
+    computed ENTIRELY in scaled integers (each ECDF in millionths via
+    staged ``div``, so the result is bit-identical on any engine and
+    partitioning — no FP, unlike a textbook float implementation whose
+    max is summation-order-hostage). KS reacts to ANY distributional
+    difference (location, spread, shape) without choosing bucket edges;
+    PSI gives the interpretable per-bin decomposition — run both.
+
+    Plan shape: one (group, value) count aggregate carrying both
+    populations as conditional sums, then ONE partition-by-group
+    exchange for the cumulative window and the final max-reduce on the
+    same partitioning — two exchanges, over distinct values per group,
+    never raw rows (the ``iqr_outliers`` shape). Returns (group, n_ref,
+    n_cur, ks_x1e6), NULL ks when either population is empty."""
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_v"),
+        F.col(is_current_col).cast("boolean").alias("_cur"),
+    )
+    c = v.groupBy("_g", "_v").agg(
+        F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("_r"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("_c"),
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = (
+        c.withColumn("_cr", F.sum("_r").over(w_cum))
+        .withColumn("_cc", F.sum("_c").over(w_cum))
+        .withColumn("_nr", F.sum("_r").over(w_all))
+        .withColumn("_nc", F.sum("_c").over(w_all))
+    )
+    gap = F.abs(
+        F.expr("(_cr * 1000000) div _nr") - F.expr("(_cc * 1000000) div _nc")
+    )
+    return stepped.groupBy("_g").agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+        F.max(
+            F.when((F.col("_nr") > 0) & (F.col("_nc") > 0), gap)
+        )
+        .cast("long")
+        .alias("ks_x1e6"),
+    ).withColumnRenamed("_g", group_col)

@@ -7428,3 +7428,38 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
     )
     return psi_drift(ev, "event_type", "value", "is_cur")
+
+
+@query(
+    "dq_ks_drift",
+    "WITH v AS (SELECT event_type AS g, value AS v, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    "c AS (SELECT g, v, sum(CASE WHEN cur THEN 0 ELSE 1 END) AS r, "
+    "sum(CASE WHEN cur THEN 1 ELSE 0 END) AS cc FROM v GROUP BY 1, 2), "
+    "s AS (SELECT g, sum(r) OVER (PARTITION BY g ORDER BY v "
+    "ROWS UNBOUNDED PRECEDING) AS cr, sum(cc) OVER (PARTITION BY g "
+    "ORDER BY v ROWS UNBOUNDED PRECEDING) AS ccum, "
+    "sum(r) OVER (PARTITION BY g) AS nr, "
+    "sum(cc) OVER (PARTITION BY g) AS nc FROM c) "
+    "SELECT g AS event_type, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "max(CASE WHEN nr > 0 AND nc > 0 THEN "
+    "abs((cr * 1000000) // nr - (ccum * 1000000) // nc) END)::BIGINT "
+    "AS ks_x1e6 FROM s GROUP BY g",
+    doc="Two-sample Kolmogorov-Smirnov drift statistic per event type "
+    "(operators/quality.py ks_drift): max absolute ECDF gap between the "
+    "first half-month (reference) and the rest, each ECDF in exact "
+    "integer millionths (staged div — bit-identical cross-engine, no "
+    "FP max). The binning-free companion to dq_psi_drift: reacts to "
+    "any location/spread/shape change without choosing bucket edges. "
+    "Same two-exchange distinct-values plan shape as dq_outlier_iqr.",
+)
+def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import ks_drift
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_cur",
+        F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+    )
+    return ks_drift(ev, "event_type", "value", "is_cur")

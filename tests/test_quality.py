@@ -103,3 +103,19 @@ def test_ks_drift_exact_gap_and_empty_population(spark):
     df = spark.createDataFrame(rows, "g string, v double, cur boolean")
     got = ks_drift(df, "g", "v", "cur").collect()[0]
     assert got["ks_x1e6"] == 500_000
+
+
+def test_psi_drift_minmax_binning_handles_offset_and_constant(spark):
+    from wms_data_pipeline_spark.operators.quality import psi_drift
+
+    # offset data (all values >> 0): [min,max] binning must still spread
+    # mass; a [0,max] form would collapse everything into the top bucket
+    # and report ~0 for an obvious shift
+    rows = [("off", 1000.0 + v, False) for v in range(10)]
+    rows += [("off", 1009.0, True)] * 10
+    # constant-valued group: defined (all bin 0), psi ~ 0
+    rows += [("const", 5.0, c) for c in (False, True) for _ in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    got = {r["g"]: r for r in psi_drift(df, "g", "v", "cur").collect()}
+    assert got["off"]["psi"] > 0.25
+    assert abs(got["const"]["psi"]) < 1e-9

@@ -192,8 +192,10 @@ def psi_drift(
 ) -> DataFrame:
     """Population Stability Index per group — the standard
     distribution-drift audit of model monitoring (public method):
-    values bucket into ``n_buckets`` equal-width bins over the GLOBAL
-    value range, rows split into a reference and a current population
+    values bucket into ``n_buckets`` equal-width bins over the GROUP's
+    own [min, max] range (a global or [0, max] range degenerates for
+    groups living on different scales), rows split into a reference
+    and a current population
     by the boolean ``is_current_col``, and
     ``PSI = sum_b (q_b - p_b) * ln(q_b / p_b)`` with add-one (Laplace)
     smoothing so empty bins stay finite. PSI < 0.1 is the conventional
@@ -201,14 +203,15 @@ def psi_drift(
     silently changing its value distribution while row counts and null
     rates (``dq_daily_volume_anomaly``, ``null_profile``) look fine.
 
-    Plan shape: one scalar max broadcast back (bucket width), one
-    (group, bucket) count aggregate carrying both populations as
-    conditional sums, a broadcast bucket-grid left join so EMPTY bins
-    still contribute their smoothed term, and a per-group reduce —
-    everything after the first aggregate is bounded by
-    |groups| x n_buckets. Returns (group, n_ref, n_cur, psi) with psi
-    rounded to 6 (the ln is the only FP; bucket assignment uses the
-    same float64 arithmetic on both engines)."""
+    Plan shape: one per-group (min, max) aggregate broadcast back
+    (bucket edges — dimension-table-sized), one (group, bucket) count
+    aggregate carrying both populations as conditional sums, a
+    broadcast bucket-grid left join so EMPTY bins still contribute
+    their smoothed term, and a per-group reduce — everything after the
+    first aggregate is bounded by |groups| x n_buckets. Returns
+    (group, n_ref, n_cur, psi) with psi rounded to 6 (the ln is the
+    only FP; bucket assignment uses the same float64 arithmetic on
+    both engines)."""
     if n_buckets < 2:
         raise ValueError(f"psi_drift: n_buckets must be >= 2, got {n_buckets}")
     v = df.filter(F.col(value_col).isNotNull()).select(
@@ -216,16 +219,25 @@ def psi_drift(
         F.col(value_col).cast("double").alias("_v"),
         F.col(is_current_col).cast("boolean").alias("_cur"),
     )
-    mx = v.agg(F.max("_v").alias("_mx"))
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor(F.col("_v") * n_buckets / F.col("_mx")).cast("int"),
-        ),
+    # constant-valued groups land wholly in bin 0 (defined, psi ~ 0)
+    edges = v.groupBy("_g").agg(
+        F.max("_v").alias("_mx"), F.min("_v").alias("_mn")
+    )
+    bucket = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_v") - F.col("_mn"))
+                    * n_buckets
+                    / (F.col("_mx") - F.col("_mn"))
+                ).cast("int"),
+            ),
+        )
     )
     counts = (
-        v.crossJoin(F.broadcast(mx))
+        v.join(F.broadcast(edges), "_g")
         .select("_g", "_cur", bucket.alias("_b"))
         .groupBy("_g", "_b")
         .agg(

@@ -7390,11 +7390,11 @@ def mm_jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "WITH v AS (SELECT event_type AS g, value::DOUBLE AS v, "
     "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
     "WHERE value IS NOT NULL), "
-    "m AS (SELECT max(v) AS mx FROM v), "
-    "c AS (SELECT g, least(9, greatest(0, CAST(floor(v * 10 / m.mx) AS INT)))"
+    "m AS (SELECT g, max(v) AS mx, min(v) AS mn FROM v GROUP BY g), "
+    "c AS (SELECT v.g, CASE WHEN m.mx = m.mn THEN 0 ELSE least(9, greatest(0, CAST(floor((v.v - m.mn) * 10 / (m.mx - m.mn)) AS INT))) END"
     " AS b, sum(CASE WHEN cur THEN 0 ELSE 1 END) AS ref, "
     "sum(CASE WHEN cur THEN 1 ELSE 0 END) AS curn "
-    "FROM v CROSS JOIN m GROUP BY 1, 2), "
+    "FROM v JOIN m ON v.g = m.g GROUP BY 1, 2), "
     "grid AS (SELECT g, b FROM (SELECT DISTINCT g FROM v) "
     "CROSS JOIN (SELECT range::INT AS b FROM range(0, 10))), "
     "f AS (SELECT grid.g, grid.b, coalesce(c.ref, 0) AS ref, "
@@ -7415,8 +7415,8 @@ def mm_jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with add-one smoothing so empty bins stay finite. Catches a feed "
     "whose VALUE DISTRIBUTION shifts while row counts and null rates "
     "stay normal — the drift class dq_daily_volume_anomaly and "
-    "dq_null_profile cannot see. Plan: one broadcast scalar (bucket "
-    "width), one (type, bucket) conditional aggregate, a broadcast "
+    "dq_null_profile cannot see. Plan: per-type [min,max] bucket edges "
+    "broadcast back, one (type, bucket) conditional aggregate, a broadcast "
     "bucket-grid left join, per-type reduce — bounded by types x 10 "
     "after the first aggregate.",
 )

@@ -119,3 +119,35 @@ def test_psi_drift_minmax_binning_handles_offset_and_constant(spark):
     got = {r["g"]: r for r in psi_drift(df, "g", "v", "cur").collect()}
     assert got["off"]["psi"] > 0.25
     assert abs(got["const"]["psi"]) < 1e-9
+
+
+def test_chi2_drift_shift_null_category_and_empty_population(spark):
+    from wms_data_pipeline_spark.operators.quality import chi2_drift
+
+    # identical mixes -> chi2 = 0
+    rows = [("a", c) for c in (False, True) for _ in range(10)]
+    rows += [("b", c) for c in (False, True) for _ in range(10)]
+    df = spark.createDataFrame(rows, "cat string, cur boolean")
+    got = chi2_drift(df, "cat", "cur").collect()[0]
+    assert got["chi2"] == 0.0 and got["n_categories"] == 2 and got["dof"] == 1
+
+    # total swap: ref all 'a', cur all 'b' -> chi2 = N (the 2x2 maximum)
+    rows = [("a", False)] * 10 + [("b", True)] * 10
+    got = chi2_drift(
+        spark.createDataFrame(rows, "cat string, cur boolean"), "cat", "cur"
+    ).collect()[0]
+    assert got["chi2"] == 20.0
+
+    # NULL categories are their own category (null-heavy feed IS drift)
+    rows = [("a", False)] * 10 + [(None, True)] * 10
+    got = chi2_drift(
+        spark.createDataFrame(rows, "cat string, cur boolean"), "cat", "cur"
+    ).collect()[0]
+    assert got["n_categories"] == 2 and got["chi2"] == 20.0
+
+    # empty current population -> NULL statistic
+    rows = [("a", False), ("b", False)]
+    got = chi2_drift(
+        spark.createDataFrame(rows, "cat string, cur boolean"), "cat", "cur"
+    ).collect()[0]
+    assert got["chi2"] is None

@@ -338,3 +338,62 @@ def ks_drift(
         .cast("long")
         .alias("ks_x1e6"),
     ).withColumnRenamed("_g", group_col)
+
+
+def chi2_drift(
+    df: DataFrame,
+    cat_col: str,
+    is_current_col: str,
+) -> DataFrame:
+    """Two-sample chi-square homogeneity statistic over a CATEGORICAL
+    column — the third leg of the drift family (``psi_drift`` = binned
+    continuous, ``ks_drift`` = binning-free continuous, this =
+    categorical; public method): expected counts come from the pooled
+    category proportions, ``chi2 = sum (o - e)^2 / e`` over both
+    populations and every category. Returns ONE row (n_ref, n_cur,
+    n_categories, dof, chi2) — compare chi2 against the chi-square
+    critical value at dof = categories - 1 (a monitoring system stores
+    the statistic; the threshold is policy). NULL categories count as
+    their own category (a feed silently going null-heavy IS drift).
+
+    Plan: one category-count aggregate (conditional sums for both
+    populations), population totals attached by a window over the
+    already-aggregated frame (bounded by |categories|), one final
+    reduce. The only FP is the final (o-e)^2/e on exact integer counts,
+    rounded to 6."""
+    v = df.select(
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias(
+            "_c"
+        ),
+        F.col(is_current_col).cast("boolean").alias("_cur"),
+    )
+    counts = v.groupBy("_c").agg(
+        F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("_r"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("_q"),
+    )
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # totals get distinct names: Spark column resolution is
+    # case-INSENSITIVE by default, so "_R" would silently REPLACE "_r"
+    t = (
+        counts.withColumn("_tr", F.sum("_r").over(w_all))
+        .withColumn("_tq", F.sum("_q").over(w_all))
+        .withColumn("_n", F.col("_r") + F.col("_q"))
+        .withColumn("_tn", F.col("_tr") + F.col("_tq"))
+    )
+    er = F.col("_tr") * F.col("_n") / F.col("_tn")
+    eq = F.col("_tq") * F.col("_n") / F.col("_tn")
+    # an empty population makes the statistic undefined (e = 0): NULL out
+    term = F.when(
+        (F.col("_tr") > 0) & (F.col("_tq") > 0),
+        (F.col("_r") - er) * (F.col("_r") - er) / er
+        + (F.col("_q") - eq) * (F.col("_q") - eq) / eq,
+    )
+    return t.agg(
+        F.max("_tr").cast("long").alias("n_ref"),
+        F.max("_tq").cast("long").alias("n_cur"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )

@@ -7463,3 +7463,36 @@ def dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
     )
     return ks_drift(ev, "event_type", "value", "is_cur")
+
+
+@query(
+    "dq_chi2_drift",
+    "WITH v AS (SELECT coalesce(o_orderpriority, '__null__') AS c, "
+    "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS cur FROM orders), "
+    "k AS (SELECT c, sum(CASE WHEN cur THEN 0 ELSE 1 END) AS r, "
+    "sum(CASE WHEN cur THEN 1 ELSE 0 END) AS q FROM v GROUP BY c), "
+    "t AS (SELECT c, r, q, sum(r) OVER () AS tr, sum(q) OVER () AS tq, "
+    "r + q AS n, sum(r) OVER () + sum(q) OVER () AS tn FROM k) "
+    "SELECT max(tr)::BIGINT AS n_ref, max(tq)::BIGINT AS n_cur, "
+    "count(*)::BIGINT AS n_categories, (count(*) - 1)::BIGINT AS dof, "
+    "round(sum(CASE WHEN tr > 0 AND tq > 0 THEN "
+    "(r - tr*n/tn) * (r - tr*n/tn) / (tr*n/tn) + "
+    "(q - tq*n/tn) * (q - tq*n/tn) / (tq*n/tn) END), 6) AS chi2 FROM t",
+    doc="Two-sample chi-square homogeneity drift over a CATEGORICAL "
+    "column (operators/quality.py chi2_drift — the third leg of the "
+    "drift family: psi=binned continuous, ks=binning-free continuous, "
+    "chi2=categorical): order-priority mix before vs after 1998, "
+    "expected counts from the pooled proportions, NULLs counted as "
+    "their own category (a feed going null-heavy IS drift). One "
+    "category-count aggregate + a window over the aggregated frame "
+    "(bounded by |categories|); the only FP is the final (o-e)^2/e on "
+    "exact integer counts, rounded 6.",
+)
+def dq_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import chi2_drift
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "is_cur",
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"),
+    )
+    return chi2_drift(o, "o_orderpriority", "is_cur")

@@ -1,0 +1,110 @@
+"""Round-11 operator tests: ADVICE fixes (ISO cursor parsing in the mock
+API, truncated-interlaced-GIF loudness, LAST_ROUNDS keying) plus the
+round's new operators as they land."""
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+# ------------------------------------------------- mock API cursor parsing
+def test_mock_api_cursor_format_normalization():
+    """A trailing-'Z' or fractional-second cursor denoting the same instant
+    must filter identically to the '+00:00' form the rows carry (ADVICE
+    r10: raw string comparison silently mis-filtered those)."""
+    from mock_wms_api import Dataset
+
+    ds = Dataset(40)
+    canonical = "2024-01-01T00:10:00+00:00"
+    base, n = ds.page("ib_receipts", 1000, 0, canonical)
+    for variant in (
+        "2024-01-01T00:10:00Z",
+        "2024-01-01T00:10:00.000Z",
+        "2024-01-01T00:10:00.000000+00:00",
+        "2024-01-01T00:10:00",  # naive == UTC
+    ):
+        rows, count = ds.page("ib_receipts", 1000, 0, variant)
+        assert count == n, variant
+        assert [r["id"] for r in rows] == [r["id"] for r in base], variant
+    # strict-greater contract unchanged: the row AT the cutoff is excluded
+    assert all(r["updated_at"] > canonical for r in base)
+
+
+def test_mock_api_bad_cursor_raises_value_error():
+    from mock_wms_api import Dataset
+
+    ds = Dataset(5)
+    with pytest.raises(ValueError):
+        ds.page("ib_receipts", 10, 0, "not-a-timestamp")
+
+
+def test_mock_api_bad_cursor_http_400(tmp_path):
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from mock_wms_api import Dataset, make_handler
+
+    ds = Dataset(10)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(ds))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                base + "/ib/receipts?updated_after=garbage"
+            )
+        assert ei.value.code == 400
+        assert "bad updated_after" in json.load(ei.value)["error"]
+        # and a 'Z' cursor succeeds over HTTP too
+        ok = json.load(
+            urllib.request.urlopen(
+                base
+                + "/ib/receipts?limit=5&updated_after="
+                + "2024-01-01T00:05:00Z"
+            )
+        )
+        assert ok["meta"]["count"] == 4  # rows at minutes 6..9 of 0..9
+    finally:
+        srv.shutdown()
+
+
+# -------------------------------------------- truncated interlaced GIF
+def test_truncated_interlaced_gif_raises_at_decode():
+    """ADVICE r10: a short LZW stream on an INTERLACED image must raise
+    loudly at the deinterlace step, never pass through row-scrambled."""
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    import struct
+
+    pal = bytes(768)
+    idx = (bytes(range(256)) * 10)[: 13 * 4]
+    # a VALID 13x4 interlaced stream whose descriptor claims height 8:
+    # the LZW layer decodes cleanly (proper EOI) but yields only half the
+    # claimed raster — exactly the case that used to skip the deinterlace
+    # silently instead of raising
+    blob = bytearray(mm.encode_gif(13, 4, idx, pal, interlace=True))
+    idesc = blob.index(b",", 6)
+    struct.pack_into("<H", blob, idesc + 7, 8)  # height 4 -> 8
+    with pytest.raises(ValueError, match="truncated GIF raster"):
+        mm.decode_image_real(bytes(blob))
+
+
+# ---------------------------------------------------- LAST_ROUNDS keying
+def test_last_rounds_caller_key(spark):
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    srcs = spark.createDataFrame([(1,)], "node bigint")
+    out = gr.bfs_hops(
+        edges, srcs, max_hops=6, strategy="distributed",
+        checkpoint_every=1, rounds_key="my_tag",
+    )
+    assert out.count() == 3
+    assert gr.LAST_ROUNDS["my_tag"] <= 4

@@ -47,6 +47,20 @@ def _iso(dt: datetime) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S+00:00")
 
 
+def _parse_iso(value: str) -> datetime:
+    """Parse an ISO-8601 cursor/row timestamp, normalizing a trailing 'Z'
+    (datetime.fromisoformat only accepts it on 3.11+; normalize anyway so
+    behavior is version-independent). Naive datetimes are treated as UTC so
+    'Z', '+00:00' and naive forms of the same instant compare equal.
+    Raises ValueError on garbage — the HTTP handler maps that to a 400."""
+    if value.endswith(("Z", "z")):
+        value = value[:-1] + "+00:00"
+    dt = datetime.fromisoformat(value)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt
+
+
 def _ib_row(i: int) -> dict:
     """One inbound receipt in the raw API shape (reference main.py:49-78 ==
     schemas.IB_RECEIPTS_RAW): string times pre-normalize, Long ids."""
@@ -157,7 +171,18 @@ class Dataset:
         with self.lock:
             rows = self.tables[entity]
             if updated_after:
-                rows = [r for r in rows if r["updated_at"] > updated_after]
+                # Parse the cursor like the reference service does instead
+                # of raw string comparison: a semantically valid but
+                # differently formatted cursor (trailing 'Z', fractional
+                # seconds) must filter correctly, and garbage must 400
+                # (ValueError surfaces as 400 in the handler), never
+                # silently mis-filter.
+                cutoff = _parse_iso(updated_after)
+                rows = [
+                    r
+                    for r in rows
+                    if _parse_iso(r["updated_at"]) > cutoff
+                ]
             # stable server-side order: the contract op 4 asserts on
             rows = sorted(rows, key=lambda r: (r["updated_at"], r["id"]))
             return rows[offset : offset + limit], len(rows)
@@ -189,7 +214,11 @@ def make_handler(ds: Dataset):
             limit = int(q.get("limit", ["500"])[0])
             offset = int(q.get("offset", ["0"])[0])
             after = q.get("updated_after", [None])[0]
-            data, count = ds.page(entity, limit, offset, after)
+            try:
+                data, count = ds.page(entity, limit, offset, after)
+            except ValueError as exc:
+                self._send(400, {"error": f"bad updated_after: {exc}"})
+                return
             self._send(200, {"data": data, "meta": {"count": count}})
 
         def do_POST(self):

@@ -41,8 +41,12 @@ MAX_SKYLINE_CANDIDATES = 2_000_000
 MAX_LOCAL_GRAPH_EDGES = 1_000_000
 
 #: Rounds actually executed by the most recent fixed-point call, keyed by
-#: operator name — observability for the distributed early-exit (a test
-#: asserts a diameter-2 graph stops relaxing long before max_hops).
+#: operator name (or the caller-supplied ``rounds_key``) — observability
+#: for the distributed early-exit (a test asserts a diameter-2 graph stops
+#: relaxing long before max_hops). Semantics are LAST-CALL-WINS per key:
+#: two concurrent driver threads running the same operator under the
+#: default key race, and the value reports whichever finished last. Pass a
+#: distinct ``rounds_key`` per concurrent caller to disambiguate.
 LAST_ROUNDS: dict[str, int] = {}
 
 #: The triangle census/clustering closure probe builds a hash relation from
@@ -340,6 +344,7 @@ def bfs_hops(
     node: str = "node",
     checkpoint_every: int = 4,
     strategy: str = "auto",
+    rounds_key: str = "bfs_hops",
 ) -> DataFrame:
     """Multi-source BFS: hop distance from the nearest source node,
     following edge direction, capped at ``max_hops``. Returns
@@ -429,7 +434,7 @@ def bfs_hops(
                 rounds = it + 1
                 break
             prev_sig = sig
-    LAST_ROUNDS["bfs_hops"] = rounds
+    LAST_ROUNDS[rounds_key] = rounds
     return dist.select(F.col("_n").alias(node), "hops")
 
 
@@ -727,6 +732,7 @@ def shortest_paths(
     node: str = "node",
     checkpoint_every: int = 4,
     strategy: str = "auto",
+    rounds_key: str = "shortest_paths",
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths, bounded at
     ``max_hops`` edges: ``max_hops`` rounds of Bellman-Ford min-plus
@@ -828,5 +834,5 @@ def shortest_paths(
                 rounds = it + 1
                 break
             prev_sig = sig
-    LAST_ROUNDS["shortest_paths"] = rounds
+    LAST_ROUNDS[rounds_key] = rounds
     return dist_df.select(F.col("_n").alias(node), "dist_cost")

@@ -586,7 +586,17 @@ def decode_image_real(content: bytes) -> dict:
                 pos += n + 1
             pos += 1  # block terminator
             indices = _lzw_decompress_gif(bytes(data), min_code)
-            if interlaced and len(indices) >= width * height:
+            if interlaced:
+                if len(indices) < width * height:
+                    # raise HERE, not at the generic post-loop length
+                    # check: a short interlaced stream must never reach
+                    # the deinterlace scatter row-scrambled (quarantine
+                    # contract — fail at the decode step that knows why)
+                    raise ValueError(
+                        "truncated GIF raster: interlaced stream decoded "
+                        f"to {len(indices)} indices, {width}x{height} "
+                        f"needs {width * height}"
+                    )
                 # stored rows are in four-pass order; scatter them back
                 # to logical top-down order
                 rows = [b""] * height

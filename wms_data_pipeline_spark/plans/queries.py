@@ -7411,7 +7411,8 @@ def mm_jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/quality.py psi_drift — the standard model-monitoring "
     "distribution screen, public method): the first half-month is the "
     "reference population, the rest is current; values bucket into 10 "
-    "equal-width bins over the global range, PSI = sum (q-p)*ln(q/p) "
+    "equal-width bins over each group's own [min,max] range (per-type "
+    "edges, matching the operator), PSI = sum (q-p)*ln(q/p) "
     "with add-one smoothing so empty bins stay finite. Catches a feed "
     "whose VALUE DISTRIBUTION shifts while row counts and null rates "
     "stay normal — the drift class dq_daily_volume_anomaly and "

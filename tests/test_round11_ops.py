@@ -94,6 +94,74 @@ def test_truncated_interlaced_gif_raises_at_decode():
         mm.decode_image_real(bytes(blob))
 
 
+# ------------------------------------------- weighted classifier_score
+def test_classifier_weighted_matches_fold_bitwise(spark):
+    """classifier_score(weights=full hex64-derived vocab) must reproduce
+    the codegen fold bit-for-bit on every input class (verdict r10 task 1:
+    the deployed Arrow-closure shape promoted from tools/ab_round10_ops)."""
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the"),
+            (2, ""),
+            (3, None),
+            (4, "   "),
+            (5, "unicode nbsp stays one token"),  #   is NOT \s in Java
+            (6, "x " * 200),
+        ],
+        "doc_id bigint, text string",
+    )
+    vocab = (
+        docs.select(F.explode(txt.tokens_of("text")).alias("tok"))
+        .distinct()
+        .select(
+            "tok", (txt.hex64(F.col("tok")) % 1001 - 500).cast("long").alias("w")
+        )
+    )
+    fold = txt.classifier_score(docs).orderBy("doc_id").collect()
+    for weights in (vocab, {r["tok"]: r["w"] for r in vocab.collect()}):
+        wtd = (
+            txt.classifier_score(docs, weights=weights)
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert wtd == fold
+
+
+def test_classifier_weighted_unseen_and_guards(spark):
+    from wms_data_pipeline_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [(1, "the quick unseen")], "doc_id bigint, text string"
+    )
+    row = (
+        txt.classifier_score(docs, weights={"the": 100, "quick": -40})
+        .collect()[0]
+    )
+    assert row.wsum == 60 and row.n_tokens == 3  # unseen token weighs 0
+    # float weights switch wsum to DOUBLE (exactness contract documented)
+    t = (
+        txt.classifier_score(docs, weights={"the": 0.25})
+        .schema["wsum"].dataType.simpleString()
+    )
+    assert t == "double"
+    with pytest.raises(TypeError, match="dict or a DataFrame"):
+        txt.classifier_score(docs, weights=[("the", 1)])
+    with pytest.raises(ValueError, match="tok/w columns"):
+        txt.classifier_score(docs, weights=docs)
+    big = {f"t{i}": 1 for i in range(5)}
+    orig = txt.MAX_CLASSIFIER_VOCAB
+    txt.MAX_CLASSIFIER_VOCAB = 3
+    try:
+        with pytest.raises(ValueError, match="MAX_CLASSIFIER_VOCAB"):
+            txt.classifier_score(docs, weights=big)
+    finally:
+        txt.MAX_CLASSIFIER_VOCAB = orig
+
+
 # ---------------------------------------------------- LAST_ROUNDS keying
 def test_last_rounds_caller_key(spark):
     from wms_data_pipeline_spark.operators import graph as gr

@@ -592,11 +592,88 @@ def bpe_train(
     return merges_df, words
 
 
+#: ``classifier_score(weights=...)`` holds the trained weight table in
+#: every task's closure (the measured-fastest inference shape). At or
+#: below this many vocabulary entries that is a dimension-table-sized
+#: dict (~50 B/entry -> ~100 MB at the cap, the same size class Spark
+#: broadcasts); above it the caller must shard the model or fall back
+#: to the explode + broadcast-join form — fail loudly, never silently
+#: ship a multi-GB closure to every task.
+MAX_CLASSIFIER_VOCAB = 2_000_000
+
+
+def _closure_weight_sum(colname: str, weights: dict | DataFrame) -> Column:
+    """Per-document weight-sum column for a trained vocabulary: an
+    Arrow-batched pandas UDF whose task closure holds the ``{token:
+    weight}`` dict (the measured-fastest inference shape — see
+    ``classifier_score``). Tokenization matches ``tokens_of`` exactly:
+    Java's ``\\S`` is ASCII-non-whitespace, so the Python side uses the
+    explicit ASCII class rather than ``str.split()`` (which also splits
+    on unicode whitespace). NULL text stays NULL — same as the fold's
+    ``aggregate`` over a NULL array — so both paths are bit-identical
+    on every input class."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    if isinstance(weights, DataFrame):
+        cols = set(weights.columns)
+        if not {"tok", "w"} <= cols:
+            raise ValueError(
+                f"weights DataFrame needs tok/w columns, has {sorted(cols)}"
+            )
+        n_vocab = weights.count()
+        if n_vocab > MAX_CLASSIFIER_VOCAB:
+            raise ValueError(
+                f"classifier vocabulary {n_vocab} rows exceeds "
+                f"MAX_CLASSIFIER_VOCAB={MAX_CLASSIFIER_VOCAB}; shard the "
+                "model or use an explode + broadcast-join scorer"
+            )
+        wmap = {r["tok"]: r["w"] for r in weights.select("tok", "w").collect()}
+    elif isinstance(weights, dict):
+        if len(weights) > MAX_CLASSIFIER_VOCAB:
+            raise ValueError(
+                f"classifier vocabulary {len(weights)} entries exceeds "
+                f"MAX_CLASSIFIER_VOCAB={MAX_CLASSIFIER_VOCAB}"
+            )
+        wmap = dict(weights)
+    else:
+        raise TypeError(
+            f"weights must be a dict or a DataFrame, got {type(weights)!r}"
+        )
+    integral = all(
+        isinstance(v, int) and not isinstance(v, bool) for v in wmap.values()
+    )
+
+    def _wsum_series(texts):
+        import re
+
+        pat = re.compile(r"[^ \t\n\x0b\f\r]+")
+        get = wmap.get
+
+        def one(t):
+            if t is None:
+                return None
+            s = 0
+            for tok in pat.findall(t):
+                s += get(tok, 0)
+            return s
+
+        return texts.map(one)
+
+    # explicit Series->Series eval type: this module's
+    # `from __future__ import annotations` stringifies type hints,
+    # which Spark's hint-based inference rejects
+    udf = pandas_udf(
+        _wsum_series, "long" if integral else "double", PandasUDFType.SCALAR
+    )
+    return udf(F.col(colname))
+
+
 def classifier_score(
     df: DataFrame,
     colname: str = "text",
     scale: float = 4.0,
     keep_threshold: float = 0.55,
+    weights: dict | DataFrame | None = None,
 ) -> DataFrame:
     """Hashed linear text-classifier INFERENCE as a map-side fold — the
     fasttext-style quality filter shape (hash each token into a weight
@@ -611,16 +688,23 @@ def classifier_score(
     from the cross-engine ``hex64`` hash (``w(t) = (hex64(t) % 1001 -
     500) / 1000`` — deterministic, oracle-reproducible).
 
-    Deployment guidance (measured — `ab_round10_ops.py classifier`,
-    SCALE_NOTES r10): with a TRAINED weight table the fastest shape by
-    3x is an Arrow pandas UDF holding the vocab dict in the task
-    closure (zero shuffles, C-speed lookups, ~46k docs/s on 32 local
-    cores); the explode + broadcast-join + re-agg form is 20x slower
-    (it materializes a per-token row stream and pays a shuffle), and
-    this md5-derived fold itself is crypto-hash-bound rather than
-    transfer-bound. Keep the hash-derived fold where the weights must
-    be engine-reproducible; switch to the dict UDF once real weights
-    exist and fit executor memory.
+    ``weights`` switches to the DEPLOYED shape: a trained weight table
+    (``{token: weight}`` dict, or a DataFrame with ``tok``/``w``
+    columns — collected driver-side under the loud
+    ``MAX_CLASSIFIER_VOCAB`` cap) evaluated as an Arrow pandas UDF
+    holding the table in the task closure. Measured fastest by 3.3x
+    over this fold and 20x over explode + broadcast-join + re-agg
+    (`ab_round10_ops.py classifier`, SCALE_NOTES r10): zero shuffles,
+    C-speed dict lookups, ~46k docs/s on 32 local cores; the join form
+    materializes a per-token row stream and pays a shuffle, and the
+    md5 fold is crypto-hash-bound rather than transfer-bound. Unseen
+    tokens weigh 0; weights use the same milliweight convention as the
+    fold (integer values in roughly [-500, 500]; the logit is
+    ``wsum * scale / (1000 * n_tokens)``), so deriving the weight for
+    every token via ``hex64`` reproduces the fold bit-for-bit (pinned
+    by test_round11_ops). All-integer weights keep ``wsum`` BIGINT
+    and exact; float weights switch it to DOUBLE. Keep the
+    hash-derived fold where weights must be engine-reproducible.
 
     Exactness: the fold accumulates the INTEGER weight sum (order-
     independent, exact in any engine), divides once into the logit
@@ -633,12 +717,15 @@ def classifier_score(
     (score >= keep_threshold). Empty/whitespace-only documents score a
     neutral 0.5 (zero logit)."""
     toks = tokens_of(colname)
-    wsum = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + (hex64(t) % 1001 - 500),
-    )
     n = F.size(toks)
+    if weights is not None:
+        wsum = _closure_weight_sum(colname, weights)
+    else:
+        wsum = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + (hex64(t) % 1001 - 500),
+        )
     denom = 1000.0 / scale  # 250 at the default scale
     logit = F.when(n > 0, F.col("wsum") / (n * F.lit(denom))).otherwise(
         F.lit(0.0)

@@ -7153,6 +7153,58 @@ def txt_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "txt_quality_classifier_weighted",
+    "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks "
+    "FROM documents), "
+    "tok AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+    "v AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok "
+    "ORDER BY c DESC, tok LIMIT 1000), "
+    "vw AS (SELECT tok, ('0x'||substr(md5(tok),1,15))::BIGINT % 1001 - 500 "
+    "AS w FROM v), "
+    "ws AS (SELECT tok.doc_id, sum(coalesce(vw.w, 0)) AS wsum FROM tok "
+    "LEFT JOIN vw USING (tok) GROUP BY tok.doc_id), "
+    "s AS (SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens, "
+    "CAST(CASE WHEN t.toks IS NULL THEN NULL ELSE coalesce(ws.wsum, 0) END "
+    "AS BIGINT) AS wsum FROM t LEFT JOIN ws USING (doc_id)), "
+    "q AS (SELECT doc_id, n_tokens, wsum, "
+    "round(1.0/(1.0 + exp(-(CASE WHEN n_tokens > 0 "
+    "THEN wsum/(250.0*n_tokens) ELSE 0.0 END))), 6) AS quality_score FROM s) "
+    "SELECT doc_id, n_tokens, wsum, quality_score, "
+    "quality_score >= 0.55 AS keep FROM q",
+    doc="The DEPLOYED classifier shape (operators/text.py "
+    "classifier_score(weights=...)): a trained weight table — here the "
+    "top-1000-frequency vocabulary with hex64-derived weights so the "
+    "oracle reproduces it; unseen tokens weigh 0 — evaluated as an "
+    "Arrow pandas UDF holding the vocab dict in the task closure. "
+    "Measured 3.3x faster than the codegen fold and 20x faster than "
+    "explode + broadcast-join + re-agg (SCALE_NOTES r10): zero "
+    "shuffles on the scoring pass, C-speed dict lookups; the only "
+    "shuffle anywhere is building the vocabulary itself (one token "
+    "groupBy, done once per model, not per scored corpus). Integer "
+    "milliweights keep wsum BIGINT-exact; the oracle pays the 20x "
+    "explode-join form because SQL has no closure — the match pins "
+    "semantics, not plan.",
+)
+def txt_quality_classifier_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = (
+        docs.select(F.explode(txt.tokens_of("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(1000)
+        .select(
+            "tok", (txt.hex64(F.col("tok")) % 1001 - 500).cast("long").alias("w")
+        )
+    )
+    return txt.classifier_score(docs, weights=vocab).select(
+        "doc_id", "n_tokens", "wsum", "quality_score", "keep"
+    )
+
+
+@query(
     "rel_interval_overlap_join",
     "WITH camp AS (SELECT event_id AS campaign_id, ts AS start_ts, "
     "ts + INTERVAL 12 HOUR AS end_ts FROM events WHERE event_type = 'purchase' "

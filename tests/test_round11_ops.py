@@ -162,6 +162,105 @@ def test_classifier_weighted_unseen_and_guards(spark):
         txt.MAX_CLASSIFIER_VOCAB = orig
 
 
+# ------------------------------------------------- incremental drift trio
+@pytest.fixture()
+def drift_events(spark):
+    rows = []
+    for g in ("a", "b"):
+        base = 0 if g == "a" else 100
+        for i in range(60):
+            # reference rows span the full [base, base+59] range
+            rows.append((g, base + i, False))
+        for i in range(30):
+            # current batch sits inside the reference range
+            rows.append((g, base + 10 + i, True))
+    return spark.createDataFrame(rows, "g string, v bigint, cur boolean")
+
+
+def _store(tmp_path, name):
+    return str(tmp_path / name)
+
+
+def test_psi_probe_bitwise_equals_batch(spark, tmp_path, drift_events):
+    """When the reference attains each group's combined [min, max], the
+    persisted-histogram probe must reproduce the batch recompute
+    bit-for-bit (verdict r10 task 2)."""
+    from wms_data_pipeline_spark.operators import quality as q
+
+    path = _store(tmp_path, "psi")
+    q.psi_reference_write(
+        drift_events.filter("NOT cur"), "g", "v", path
+    )
+    probe = q.psi_drift_probe(
+        drift_events.filter("cur"), "g", "v", path
+    ).orderBy("g").collect()
+    batch = q.psi_drift(drift_events, "g", "v", "cur").orderBy("g").collect()
+    assert probe == batch
+
+
+def test_psi_probe_frozen_geometry_clamps(spark, tmp_path, drift_events):
+    from wms_data_pipeline_spark.operators import quality as q
+    from pyspark.sql import functions as F
+
+    path = _store(tmp_path, "psi2")
+    q.psi_reference_write(drift_events.filter("NOT cur"), "g", "v", path)
+    # a current batch entirely ABOVE the reference range clamps into the
+    # top bin: n_cur counted, psi large and finite
+    beyond = spark.createDataFrame(
+        [("a", 10_000, True)] * 20, "g string, v bigint, cur boolean"
+    )
+    out = {
+        r["g"]: r
+        for r in q.psi_drift_probe(beyond, "g", "v", path).collect()
+    }
+    assert out["a"]["n_cur"] == 20 and out["a"]["psi"] > 0.25
+    # group b had no current rows at all: still audited, psi ~ 0 vs
+    # the uniform-smoothed empty batch
+    assert out["b"]["n_cur"] == 0
+    # a group absent from the store is not audited (no frozen geometry)
+    ghost = spark.createDataFrame(
+        [("zzz", 1, True)], "g string, v bigint, cur boolean"
+    )
+    assert (
+        q.psi_drift_probe(ghost, "g", "v", path)
+        .filter(F.col("g") == "zzz")
+        .count()
+        == 0
+    )
+
+
+def test_ks_and_chi2_probes_bitwise_equal_batch(spark, tmp_path, drift_events):
+    from wms_data_pipeline_spark.operators import quality as q
+
+    ks_path = _store(tmp_path, "ks")
+    q.ks_reference_write(drift_events.filter("NOT cur"), "g", "v", ks_path)
+    probe = q.ks_drift_probe(
+        drift_events.filter("cur"), "g", "v", ks_path
+    ).orderBy("g").collect()
+    batch = q.ks_drift(drift_events, "g", "v", "cur").orderBy("g").collect()
+    assert probe == batch
+
+    chi_path = _store(tmp_path, "chi2")
+    q.chi2_reference_write(drift_events.filter("NOT cur"), "g", chi_path)
+    # chi2 is categorical over g itself; add a category that first
+    # appears in the current batch — must enter with ref count 0,
+    # exactly as the batch pooled aggregate counts it
+    cur_plus = drift_events.filter("cur").unionByName(
+        spark.createDataFrame(
+            [("new_cat", 1, True)] * 5, "g string, v bigint, cur boolean"
+        )
+    )
+    all_rows = drift_events.unionByName(
+        spark.createDataFrame(
+            [("new_cat", 1, True)] * 5, "g string, v bigint, cur boolean"
+        )
+    )
+    probe2 = q.chi2_drift_probe(cur_plus, "g", chi_path).collect()
+    batch2 = q.chi2_drift(all_rows, "g", "cur").collect()
+    assert probe2 == batch2
+    assert probe2[0]["n_categories"] == 3
+
+
 # ---------------------------------------------------- LAST_ROUNDS keying
 def test_last_rounds_caller_key(spark):
     from wms_data_pipeline_spark.operators import graph as gr

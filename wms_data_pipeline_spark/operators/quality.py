@@ -223,22 +223,9 @@ def psi_drift(
     edges = v.groupBy("_g").agg(
         F.max("_v").alias("_mx"), F.min("_v").alias("_mn")
     )
-    bucket = F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("_v") - F.col("_mn"))
-                    * n_buckets
-                    / (F.col("_mx") - F.col("_mn"))
-                ).cast("int"),
-            ),
-        )
-    )
     counts = (
         v.join(F.broadcast(edges), "_g")
-        .select("_g", "_cur", bucket.alias("_b"))
+        .select("_g", "_cur", _psi_bucket(n_buckets).alias("_b"))
         .groupBy("_g", "_b")
         .agg(
             F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("_ref"),
@@ -262,6 +249,17 @@ def psi_drift(
         F.coalesce(F.col("_ref"), F.lit(0)).alias("_ref"),
         F.coalesce(F.col("_curn"), F.lit(0)).alias("_curn"),
     )
+    return _psi_from_filled(filled, group_col, n_buckets)
+
+
+def _psi_from_filled(
+    filled: DataFrame, group_col: str, n_buckets: int
+) -> DataFrame:
+    """Shared PSI tail over a grid-complete (_g, _b, _ref, _curn) frame
+    (every group carries all ``n_buckets`` bins, zeros included) —
+    identical arithmetic for the batch recompute (``psi_drift``) and the
+    persisted-reference probe (``psi_drift_probe``), so the two are
+    bit-identical whenever their bucket geometries agree."""
     w_g = Window.partitionBy("_g").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -312,6 +310,15 @@ def ks_drift(
         F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("_r"),
         F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("_c"),
     )
+    return _ks_from_counts(c, group_col)
+
+
+def _ks_from_counts(c: DataFrame, group_col: str) -> DataFrame:
+    """Shared KS tail over per-(group, value) population counts
+    (_g, _v, _r, _c) — the minimal sufficient statistic for the
+    two-sample KS, so the batch recompute (``ks_drift``) and the
+    persisted-reference probe (``ks_drift_probe``) are bit-identical
+    by construction (KS has no bucket geometry to freeze)."""
     w_cum = (
         Window.partitionBy("_g")
         .orderBy("_v")
@@ -371,6 +378,14 @@ def chi2_drift(
         F.sum(F.when(~F.col("_cur"), 1).otherwise(0)).alias("_r"),
         F.sum(F.when(F.col("_cur"), 1).otherwise(0)).alias("_q"),
     )
+    return _chi2_from_counts(counts)
+
+
+def _chi2_from_counts(counts: DataFrame) -> DataFrame:
+    """Shared chi-square tail over per-category population counts
+    (_c, _r, _q) — exact integer counts are the sufficient statistic,
+    so ``chi2_drift`` and ``chi2_drift_probe`` are bit-identical by
+    construction."""
     w_all = Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -397,3 +412,256 @@ def chi2_drift(
         (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
         F.round(F.sum(term), 6).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental drift: persisted reference statistics, probe-only audits.
+#
+# The batch drift trio rescans the reference population every run — at
+# 100 TB the reference side dominates the audit even though it never
+# changes between model retrains. These writers persist the MINIMAL
+# SUFFICIENT STATISTIC of the reference once (the engine's established
+# persisted-index pattern: dedup.neardup_index_write's band index,
+# similarity's frozen IVF geometry), and the probes cost O(current
+# batch) + a dimension-sized store read:
+#
+#   PSI:  grid-complete per-(group, bucket) counts + frozen [mn, mx]
+#         bucket edges + per-group totals — |groups| x n_buckets rows.
+#         Geometry is FROZEN at build time (the sim_* "frozen-geometry
+#         append" contract): current values outside the reference range
+#         clamp into the edge bins, exactly what a monitoring system
+#         wants (out-of-range mass IS edge-bin drift). Bit-identical to
+#         the batch recompute whenever the reference attains each
+#         group's combined [min, max] (pinned in tests); groups never
+#         seen in the reference are not audited (no geometry exists).
+#   KS:   per-(group, value) counts — exact, geometry-free; probe is
+#         bit-identical to the batch recompute on reference groups by
+#         construction. Store is bounded by distinct values per group
+#         (the same bound the batch audit's first aggregate enforces).
+#   chi2: per-category counts — exact; probe bit-identical to batch,
+#         including categories that first appear in the current batch
+#         (they enter with reference count 0).
+# ---------------------------------------------------------------------------
+
+
+def psi_reference_write(
+    ref_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    path: str,
+    n_buckets: int = 10,
+) -> None:
+    """Persist the PSI reference histogram: a grid-complete
+    (group, bucket, ref_count, mn, mx, n_ref, n_buckets) parquet,
+    |groups| x n_buckets rows. One pass over the reference population,
+    once per retrain — every subsequent ``psi_drift_probe`` pays only
+    the current batch."""
+    if n_buckets < 2:
+        raise ValueError(
+            f"psi_reference_write: n_buckets must be >= 2, got {n_buckets}"
+        )
+    v = ref_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    edges = v.groupBy("_g").agg(
+        F.max("_v").alias("_mx"), F.min("_v").alias("_mn")
+    )
+    counts = (
+        v.join(F.broadcast(edges), "_g")
+        .select("_g", _psi_bucket(n_buckets).alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).alias("_ref"))
+    )
+    grid = edges.crossJoin(
+        F.broadcast(
+            ref_df.sparkSession.range(n_buckets).select(
+                F.col("id").cast("int").alias("_b")
+            )
+        )
+    )
+    w_g = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    (
+        grid.join(counts, ["_g", "_b"], "left")
+        .select(
+            "_g",
+            "_b",
+            F.coalesce(F.col("_ref"), F.lit(0)).alias("_ref"),
+            "_mn",
+            "_mx",
+        )
+        .withColumn("_nref", F.sum("_ref").over(w_g))
+        .withColumn("_nb", F.lit(n_buckets))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _psi_bucket(n_buckets: int) -> Column:
+    """Equal-width bucket id over frozen per-group edges (_mn, _mx) —
+    the ONE expression shared by ``psi_drift``, ``psi_reference_write``
+    and ``psi_drift_probe`` so all three geometries agree bit-for-bit.
+    Out-of-range values clamp into the edge bins; constant groups land
+    wholly in bin 0."""
+    return F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_v") - F.col("_mn"))
+                    * n_buckets
+                    / (F.col("_mx") - F.col("_mn"))
+                ).cast("int"),
+            ),
+        )
+    )
+
+
+def psi_drift_probe(
+    cur_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    path: str,
+) -> DataFrame:
+    """PSI of the CURRENT batch against a persisted reference histogram
+    (``psi_reference_write``) — same (group, n_ref, n_cur, psi) schema
+    and arithmetic as ``psi_drift``, but the reference population is
+    never rescanned: the store is |groups| x n_buckets rows (broadcast-
+    sized), so the probe costs one pass over the current batch plus a
+    bounded grid join. Groups absent from the store are not audited."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    n_buckets = int(store.agg(F.max("_nb")).collect()[0][0])
+    edges = F.broadcast(
+        store.groupBy("_g").agg(F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx"))
+    )
+    cur_counts = (
+        cur_df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .join(edges, "_g")
+        .select("_g", _psi_bucket(n_buckets).alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).alias("_curn"))
+    )
+    filled = (
+        store.join(cur_counts, ["_g", "_b"], "left")
+        .select(
+            "_g",
+            "_b",
+            "_ref",
+            F.coalesce(F.col("_curn"), F.lit(0)).alias("_curn"),
+        )
+    )
+    return _psi_from_filled(filled, group_col, n_buckets)
+
+
+def ks_reference_write(
+    ref_df: DataFrame, group_col: str, value_col: str, path: str
+) -> None:
+    """Persist the KS reference statistic: per-(group, value) counts —
+    exact and geometry-free, so probes reproduce the batch audit
+    bit-for-bit on reference groups."""
+    (
+        ref_df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        )
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_r"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ks_drift_probe(
+    cur_df: DataFrame, group_col: str, value_col: str, path: str
+) -> DataFrame:
+    """Two-sample KS of the current batch against a persisted reference
+    (``ks_reference_write``): aggregate the batch to (group, value)
+    counts, merge with the stored reference counts (union + re-aggregate
+    — an exact merge of sufficient statistics, no raw reference rows),
+    and run the shared integer-ECDF tail. Same (group, n_ref, n_cur,
+    ks_x1e6) schema as ``ks_drift``; groups absent from the store get
+    NULL ks (empty reference population), mirroring the batch contract.
+
+    Store-size caveat (measured, SCALE_NOTES r11): the KS sufficient
+    statistic is per-(group, value) counts, so on a near-continuous
+    DOUBLE metric the store is nearly as large as the reference itself
+    and the probe only saves the raw-row aggregation (~1.7x). For the
+    unbounded win PSI gets, quantize continuous metrics at ingest
+    (e.g. ``F.round(col, 3)`` or fixed-point cast) so distinct values
+    per group stay far below row counts."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    cur_counts = (
+        cur_df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        )
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    merged = (
+        store.select("_g", "_v", "_r", F.lit(0).cast("long").alias("_c"))
+        .unionByName(
+            cur_counts.select(
+                "_g", "_v", F.lit(0).cast("long").alias("_r"), "_c"
+            )
+        )
+        .groupBy("_g", "_v")
+        .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+    )
+    # audit only groups the store knows: a group with no reference rows
+    # has an undefined KS — same rule as the PSI probe's frozen geometry
+    ref_groups = F.broadcast(store.select("_g").distinct())
+    return _ks_from_counts(merged.join(ref_groups, "_g", "semi"), group_col)
+
+
+def chi2_reference_write(ref_df: DataFrame, cat_col: str, path: str) -> None:
+    """Persist the chi-square reference statistic: per-category counts
+    (NULL folded to its own category, same as ``chi2_drift``)."""
+    (
+        ref_df.select(
+            F.coalesce(
+                F.col(cat_col).cast("string"), F.lit("__null__")
+            ).alias("_c")
+        )
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_r"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def chi2_drift_probe(cur_df: DataFrame, cat_col: str, path: str) -> DataFrame:
+    """Chi-square homogeneity of the current batch against a persisted
+    reference (``chi2_reference_write``) — bit-identical to the batch
+    ``chi2_drift`` by construction, INCLUDING categories first seen in
+    the current batch (they merge in with reference count 0, exactly as
+    the batch's pooled aggregate would count them)."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    cur_counts = (
+        cur_df.select(
+            F.coalesce(
+                F.col(cat_col).cast("string"), F.lit("__null__")
+            ).alias("_c")
+        )
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_q"))
+    )
+    merged = (
+        store.select("_c", "_r", F.lit(0).cast("long").alias("_q"))
+        .unionByName(
+            cur_counts.select("_c", F.lit(0).cast("long").alias("_r"), "_q")
+        )
+        .groupBy("_c")
+        .agg(F.sum("_r").alias("_r"), F.sum("_q").alias("_q"))
+    )
+    return _chi2_from_counts(merged)

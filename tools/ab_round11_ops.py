@@ -161,12 +161,205 @@ def leg_drift(spark):
     )
 
 
+def _exchanges(df):
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    return sum(plan.count(f"{g} Exchange ") for g in ("+-", ":-"))
+
+
+def _docs(spark):
+    from wms_data_pipeline_spark.schemas import load_table
+
+    return load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text", "source"
+    )
+
+
+def leg_bigram(spark):
+    """txt_bigram_lm_score exchange budget: current shape (cab groupBy ->
+    ca groupBy -> join; vocab counted over the RAW bigram stream) vs the
+    round-10 lesson applied (ca as a window over cab on the SAME head
+    partitioning — groupBy+join collapses into one exchange; vocab counted
+    over cab, reusing its exchange; the scoring join co-partitioned on the
+    head SUBSET of the join key so p's window partitioning is reused)."""
+    from pyspark.sql import Window
+    from wms_data_pipeline_spark.operators import text as txt
+    from wms_data_pipeline_spark.operators.text import doc_bigrams
+
+    docs = _docs(spark).select("doc_id", "text")
+    k = 0.5
+
+    def current():
+        return txt.bigram_lm_score(docs)
+
+    def windowed():
+        bg = doc_bigrams(docs, "text", "doc_id")
+        cab = bg.groupBy("head", "word").agg(F.count(F.lit(1)).alias("__cab"))
+        vocab = cab.agg(F.countDistinct("word").alias("__v"))
+        w_head = Window.partitionBy("head").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        p = (
+            cab.withColumn("__ca", F.sum("__cab").over(w_head))
+            .crossJoin(F.broadcast(vocab))
+            .withColumn(
+                "__logp",
+                F.log(
+                    (F.col("__cab") + F.lit(k))
+                    / (F.col("__ca") + F.lit(k) * F.col("__v"))
+                ),
+            )
+            .select("head", "word", "__logp")
+        )
+        return (
+            bg.repartition("head")
+            .join(p, ["head", "word"])
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(F.avg("__logp"), 6).alias("lm_score"),
+            )
+        )
+
+    def checkpointed():
+        bg = doc_bigrams(docs, "text", "doc_id")
+        cab = (
+            bg.groupBy("head", "word")
+            .agg(F.count(F.lit(1)).alias("__cab"))
+            .localCheckpoint()
+        )
+        v = cab.agg(F.countDistinct("word")).collect()[0][0]
+        w_head = Window.partitionBy("head").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        p = (
+            cab.withColumn("__ca", F.sum("__cab").over(w_head))
+            .withColumn(
+                "__logp",
+                F.log(
+                    (F.col("__cab") + F.lit(k))
+                    / (F.col("__ca") + F.lit(k) * F.lit(float(v)))
+                ),
+            )
+            .select("head", "word", "__logp")
+        )
+        return (
+            bg.repartition("head")
+            .join(p, ["head", "word"])
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.round(F.avg("__logp"), 6).alias("lm_score"),
+            )
+        )
+
+    _compare(
+        "bigram",
+        {
+            "current": current,
+            "windowed": windowed,
+            "checkpointed": checkpointed,
+        },
+    )
+
+
+def leg_decon(spark):
+    """txt_decontaminate_train exchange budget: shingles_of is DISTINCT
+    per doc and the test shingle set is distinct, so the overlap join
+    never duplicates a (doc, g) pair — countDistinct(g) is provably a
+    plain count, dropping the distinct-aggregate expand machinery. Also
+    tries the semi-join form (no test-side dedup aggregate at all)."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+
+    docs = _docs(spark)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    docs = docs.withColumn("b", bucket)
+    sh = docs.select(
+        "doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g")
+    )
+    test_g = sh.filter(F.col("b") == 0).select("g").distinct()
+
+    def _final(bad):
+        return (
+            docs.filter(F.col("b") != 0)
+            .join(bad, "doc_id", "left_anti")
+            .select("doc_id", "source")
+        )
+
+    def current():
+        bad = (
+            sh.filter(F.col("b") != 0)
+            .join(test_g, "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_overlap"))
+            .filter(F.col("n_overlap") >= 3)
+            .select("doc_id")
+        )
+        return _final(bad)
+
+    def plain_count():
+        bad = (
+            sh.filter(F.col("b") != 0)
+            .join(test_g, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(F.col("n_overlap") >= 3)
+            .select("doc_id")
+        )
+        return _final(bad)
+
+    def semi():
+        bad = (
+            sh.filter(F.col("b") != 0)
+            .join(sh.filter(F.col("b") == 0).select("g"), "g", "semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(F.col("n_overlap") >= 3)
+            .select("doc_id")
+        )
+        return _final(bad)
+
+    _compare(
+        "decon", {"current": current, "plain-count": plain_count, "semi": semi}
+    )
+
+
+def _compare(name, variants):
+    baseline = None
+    for label, build in variants.items():
+        nx = _exchanges(build())
+        # rebuild per rep so eager work inside a variant (localCheckpoint,
+        # literal-embedding collects) is charged to its wall time
+        walls, out = _median3(lambda b=build: b().collect())
+        got = sorted(tuple(r) for r in out)
+        if baseline is None:
+            baseline = got
+        else:
+            assert got == baseline, f"{name} {label}: result mismatch"
+        print(
+            f"{name} {label}: median {walls[1]:.2f}s "
+            f"reps={[round(w, 2) for w in walls]} "
+            f"exchanges={nx} rows={len(got)}"
+        )
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
     if which in ("drift", "all"):
         leg_drift(spark)
+    if which in ("bigram", "all"):
+        leg_bigram(spark)
+    if which in ("decon", "all"):
+        leg_decon(spark)
     spark.stop()
 
 

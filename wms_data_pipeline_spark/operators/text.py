@@ -13,7 +13,7 @@ of md5 as a bigint (60 bits, always positive) — identical in Spark
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = r"\\S+"
@@ -178,36 +178,55 @@ def bigram_lm_score(
     rare in the corpus; high scores flag repetitive high-frequency text.
 
     Returns (id, n_bigrams, lm_score) — documents with <2 tokens drop out.
-    Plan shape: one explode feeds both the count tables and the scoring
-    join; the heavy joins shuffle on the bigram key (h, w) — never doc×doc
-    — and the head-count table joins by head. At 100 TB the bigram
-    relation would persist once (a landing table) instead of being
-    recomputed by each consumer, and the LM tables are pruned to top-N
-    bigrams before broadcasting; the scoring join's key distribution is
-    Zipfian, which is exactly what AQE skew-join handles.
+
+    Plan shape (rebuilt round 11 — `ab_round11_ops.py bigram`, 1.54x at
+    sf0.1, static exchanges 6 -> 3 (+1 in the materialization job)): the
+    aggregated bigram table ``c(h,w)`` is materialized ONCE via
+    ``localCheckpoint`` — the "bigram relation persists once instead of
+    being recomputed by each consumer" story this docstring always told,
+    now actually executed (a 100 TB run writes it to a landing table
+    instead) — and everything derives from it: V = countDistinct(word)
+    over the aggregated table (a separate small action embedded as a
+    literal, the ``txt_tfidf`` n_docs precedent); the head totals
+    ``c(h)`` as ONE window sum over the SAME head partitioning that the
+    old groupBy-then-join-back paid two exchanges for (sum of longs —
+    exact in any order); and the scoring join co-partitions on the head
+    SUBSET of its (h, w) key, so the window's partitioning is reused
+    as-is and the raw bigram stream shuffles once on head. NOTE the
+    eager edge: calling this function runs the materialization job
+    immediately. Head keys are Zipfian — the head-only co-partitioning
+    is skew-prone by construction, which AQE skew-join handles for the
+    sort-merge case (same contract as before, where the (h, w) join
+    carried the same Zipf mass).
 
     k=0.5 is exact in binary, so the smoothed ratio is bit-identical
     across engines; the mean-of-logs is rounded to 6 dp (the established
     cross-engine FP contract, same as tf-idf/cosine).
     """
     bg = doc_bigrams(df, colname, id_col)
-    cab = bg.groupBy("head", "word").agg(F.count(F.lit(1)).alias("__cab"))
-    ca = cab.groupBy("head").agg(F.sum("__cab").alias("__ca"))
-    vocab = bg.agg(F.countDistinct("word").alias("__v"))
+    cab = (
+        bg.groupBy("head", "word")
+        .agg(F.count(F.lit(1)).alias("__cab"))
+        .localCheckpoint()
+    )
+    v = cab.agg(F.countDistinct("word")).collect()[0][0]
+    w_head = Window.partitionBy("head").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     p = (
-        cab.join(ca, "head")
-        .crossJoin(F.broadcast(vocab))
+        cab.withColumn("__ca", F.sum("__cab").over(w_head))
         .withColumn(
             "__logp",
             F.log(
                 (F.col("__cab") + F.lit(k))
-                / (F.col("__ca") + F.lit(k) * F.col("__v"))
+                / (F.col("__ca") + F.lit(k) * F.lit(float(v)))
             ),
         )
         .select("head", "word", "__logp")
     )
     return (
-        bg.join(p, ["head", "word"])
+        bg.repartition("head")
+        .join(p, ["head", "word"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

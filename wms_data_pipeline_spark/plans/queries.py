@@ -1951,8 +1951,13 @@ def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     doc="Statistical LM quality filter (CCNet-style, public method): add-k "
     "bigram model trained on the corpus itself, each doc scored by mean log "
-    "bigram probability. Joins shuffle on the bigram key — never doc x doc; "
-    "k=0.5 is exact in binary so the smoothed ratio is bit-identical across "
+    "bigram probability. The aggregated bigram table materializes once "
+    "(localCheckpoint — the persist-once landing-table story executed); "
+    "head totals are a window sum on the same head partitioning; the "
+    "scoring join co-partitions on the head subset of its key — 6 -> 3 "
+    "static exchanges (+1 materialization), 1.54x at sf0.1 "
+    "(ab_round11_ops.py bigram, SCALE_NOTES r11). Never doc x doc; k=0.5 "
+    "is exact in binary so the smoothed ratio is bit-identical across "
     "engines (operators/text.py bigram_lm_score).",
 )
 def txt_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4616,10 +4621,15 @@ def evt_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eval docs overlapping train; this applies the standard remedy in the "
     "other direction - drop from the train split every document sharing "
     ">=3 distinct word 4-grams with the held-out split, and return the "
-    "surviving train set. Same deterministic hash split, same shingle-key "
-    "shuffle (the test side's distinct shingle set is the small join "
-    "side), one left-anti join applies the drop; shingle-less short docs "
-    "are trivially clean and pass through. Never doc x doc.",
+    "surviving train set. Same deterministic hash split; rebuilt r11 "
+    "(ab_round11_ops.py decon, 6 -> 4 exchanges, 1.76x at sf0.1): the "
+    "overlap probe is a SEMI join against the raw test shingle stream — "
+    "semi never duplicates, so the test side needs no distinct "
+    "aggregate, and shingles_of is already distinct per doc, so "
+    "count(*) == countDistinct(g) and the distinct-aggregate expand "
+    "machinery drops out. One left-anti join applies the drop; "
+    "shingle-less short docs are trivially clean and pass through. "
+    "Never doc x doc.",
 )
 def txt_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
@@ -4631,12 +4641,14 @@ def txt_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = docs.withColumn("b", bucket)
     sh = docs.select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
-    test_g = sh.filter(F.col("b") == 0).select("g").distinct()
     bad = (
         sh.filter(F.col("b") != 0)
-        .join(test_g, "g")
+        # semi join: no duplication, so the test side skips its distinct
+        # aggregate, and (doc_id, g) is unique in sh (shingles_of dedups
+        # per doc) so the plain count IS the distinct overlap count
+        .join(sh.filter(F.col("b") == 0).select("g"), "g", "semi")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_overlap"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= 3)
         .select("doc_id")
     )

@@ -1107,6 +1107,30 @@ def mulaw_encode(samples) -> bytes:
     return bytes(out)
 
 
+def alaw_encode(samples) -> bytes:
+    """G.711 A-law companding of int16 samples (ITU-T G.711's other half
+    — the European/international telephony standard, public method):
+    13-bit input (top 13 of the int16), 8 segments, 4-bit mantissa,
+    even-bit inversion (XOR 0x55) instead of µ-law's ones-complement;
+    sign bit SET for non-negative."""
+    out = bytearray()
+    for s in samples:
+        s = int(s) >> 3  # 13-bit magnitude domain
+        if s >= 0:
+            mask = 0xD5  # sign bit + even-bit toggle
+        else:
+            mask = 0x55
+            s = -s - 1
+        if s < 0x20:
+            aval = s >> 1  # segments 0-1 share the linear step
+        else:
+            exp = s.bit_length() - 5  # segment 1..7 (s <= 0xFFF)
+            exp = min(exp, 7)
+            aval = (exp << 4) | ((s >> exp) & 0x0F)
+        out.append(aval ^ mask)
+    return bytes(out)
+
+
 def decode_audio_real(content: bytes) -> dict:
     """REAL audio decode for the codec-free WAV container: RIFF header
     walk (fmt + data chunks, arbitrary chunk order, odd-size padding per
@@ -1117,7 +1141,9 @@ def decode_audio_real(content: bytes) -> dict:
 
     Returns ``{format, channels, sample_rate, bits, audio_format,
     n_samples, data_offset}``; raises ``ValueError`` on
-    malformed/truncated files."""
+    malformed/truncated files. Formats: 1 = PCM (16/8-bit), 6 = G.711
+    A-law, 7 = G.711 µ-law — both halves of the telephony companding
+    standard."""
     import struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -1140,10 +1166,10 @@ def decode_audio_real(content: bytes) -> dict:
     if fmt is None or data_off is None:
         raise ValueError("missing fmt or data chunk")
     audio_format, channels, sample_rate, _byte_rate, _block, bits = fmt
-    if (audio_format, bits) not in ((1, 16), (1, 8), (7, 8)):
+    if (audio_format, bits) not in ((1, 16), (1, 8), (6, 8), (7, 8)):
         raise ValueError(
             f"unsupported WAV encoding (format={audio_format}, bits={bits}): "
-            "16/8-bit PCM and 8-bit mu-law only"
+            "16/8-bit PCM and 8-bit G.711 a-law/mu-law only"
         )
     if data_off + data_len > len(content):
         raise ValueError("truncated data chunk")
@@ -1158,10 +1184,32 @@ def decode_audio_real(content: bytes) -> dict:
     }
 
 
-#: µ-law byte -> int16 expansion table (G.711 inverse), built once: the
-#: decoder's hot path is a table lookup over the sample array, not per-
-#: sample arithmetic.
+#: µ-law / A-law byte -> int16 expansion tables (G.711 inverses), built
+#: once: the decoder's hot path is a table lookup over the sample array,
+#: not per-sample arithmetic.
 _MULAW_TABLE = None
+_ALAW_TABLE = None
+
+
+def _alaw_table():
+    global _ALAW_TABLE
+    if _ALAW_TABLE is None:
+        import numpy as np
+
+        t = np.empty(256, dtype=np.int16)
+        for b in range(256):
+            a = b ^ 0x55
+            mag = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                mag += 8
+            elif seg == 1:
+                mag += 0x108
+            else:
+                mag = (mag + 0x108) << (seg - 1)
+            t[b] = mag if (a & 0x80) else -mag
+        _ALAW_TABLE = t
+    return _ALAW_TABLE
 
 
 def _mulaw_table():
@@ -1183,9 +1231,9 @@ def wav_samples(content: bytes):
     """Decode a WAV blob to an int16 numpy sample array (mono or
     interleaved) — real sample access for feature extraction. 8-bit PCM
     (unsigned, zero at 128) is widened to int16 as ``(b - 128) << 8``;
-    µ-law expands through the G.711 inverse table — every supported
-    encoding lands in the SAME int16 space so downstream stats are
-    encoding-agnostic."""
+    µ-law and A-law expand through their G.711 inverse tables — every
+    supported encoding lands in the SAME int16 space so downstream
+    stats are encoding-agnostic."""
     import numpy as np
 
     meta = decode_audio_real(content)
@@ -1195,6 +1243,8 @@ def wav_samples(content: bytes):
     raw = content[off : off + nb * n]
     if meta["audio_format"] == 7:
         arr = _mulaw_table()[np.frombuffer(raw, dtype=np.uint8)]
+    elif meta["audio_format"] == 6:
+        arr = _alaw_table()[np.frombuffer(raw, dtype=np.uint8)]
     elif meta["bits"] == 8:
         arr = (
             (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8

@@ -572,3 +572,94 @@ def test_curation_ingest_stream_replay_converges(spark, tmp_path):
     curation_ingest_stream(s2, idx, out, str(tmp_path / "ck2")).awaitTermination(120)
     after = [(r.doc_id, r.batch_id) for r in spark.read.parquet(out).collect()]
     assert after == first, f"replay double-landed rows: {after}"
+
+
+def test_streaming_quality_audit_rows(spark, tmp_path):
+    """Verdict r10 task 6: the foreachBatch merge leg also appends
+    per-batch quality-audit rows (expectations + PSI drift probe against
+    a persisted reference histogram) to a control table — pinned across
+    two incremental CDC batches, with retry idempotence."""
+    from pyspark.sql.types import DoubleType
+
+    from wms_data_pipeline_spark.control.audit import (
+        QualityAuditLog,
+        audit_batch,
+    )
+    from wms_data_pipeline_spark.operators.quality import psi_reference_write
+
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("updated_at", TimestampType()),
+            StructField("status", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    ref_path = str(tmp_path / "psi_ref")
+    os.makedirs(src)
+    # frozen reference: status NEW values 0..19, PROCESSING values 100..119
+    ref = spark.createDataFrame(
+        [("NEW", float(v)) for v in range(20)]
+        + [("PROCESSING", float(100 + v)) for v in range(20)],
+        "status string, value double",
+    )
+    psi_reference_write(ref, "status", "value", ref_path)
+    expectations = {"id_not_null": F.col("id").isNotNull()}
+    drift = ("status", "value", ref_path)
+
+    t1, t2 = datetime(2026, 1, 1, 10), datetime(2026, 1, 1, 11)
+    # batch 0: one NULL id (1 violation), NEW values inside the range
+    _write_batch(
+        spark, src,
+        [("a", t1, "NEW", 5.0), (None, t1, "NEW", 7.0)],
+        schema, "b1",
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = incremental_merge_stream(
+        stream, wh, "orders", str(tmp_path / "ckpt"),
+        expectations=expectations, drift=drift,
+    )
+    q.awaitTermination(120)
+
+    # batch 1: clean ids, values far above the frozen range (edge-bin
+    # mass; 4 rows so the add-one smoothing doesn't cap PSI below the
+    # conventional 0.25 "shifted" band)
+    batch1_rows = [
+        ("c", t2, "NEW", 900.0),
+        ("d", t2, "NEW", 950.0),
+        ("e", t2, "NEW", 910.0),
+        ("f", t2, "NEW", 960.0),
+    ]
+    _write_batch(spark, src, batch1_rows, schema, "b2")
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = incremental_merge_stream(
+        stream, wh, "orders", str(tmp_path / "ckpt"),
+        expectations=expectations, drift=drift,
+    )
+    q.awaitTermination(120)
+
+    log = QualityAuditLog(spark, f"{wh}/quality_audit")
+    rows = {
+        (r["batch_id"], r["kind"], r["key"], r["metric"]): r
+        for r in log.read().collect()
+    }
+    # expectations: batch 0 delivered one NULL id, batch 1 was clean
+    v0 = rows[(0, "expectation", "id_not_null", "n_violations")]
+    assert v0["value"] == 1.0 and v0["n_rows"] == 2
+    v1 = rows[(1, "expectation", "id_not_null", "n_violations")]
+    assert v1["value"] == 0.0 and v1["n_rows"] == 4
+    # drift: both batches audited every store group (NEW and PROCESSING);
+    # batch 1's out-of-range mass clamps into the edge bin -> high PSI
+    p0 = rows[(0, "psi_drift", "NEW", "psi")]
+    p1 = rows[(1, "psi_drift", "NEW", "psi")]
+    assert p0["n_rows"] == 2 and p1["n_rows"] == 4
+    assert p1["value"] > p0["value"] and p1["value"] > 0.25
+    assert (0, "psi_drift", "PROCESSING", "psi") in rows  # zero-batch group
+    assert rows[(0, "psi_drift", "PROCESSING", "psi")]["n_rows"] == 0
+    # retry idempotence: re-appending batch 1's audit rows collapses
+    batch1 = spark.createDataFrame(batch1_rows, schema)
+    n_before = log.read().count()
+    inserted = log.append(audit_batch(batch1, 1, "orders", expectations, drift))
+    assert inserted == 0 and log.read().count() == n_before

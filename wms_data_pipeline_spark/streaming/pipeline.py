@@ -56,6 +56,9 @@ def incremental_merge_stream(
     delay: str = "2 minutes",
     history=None,
     latest=None,
+    expectations=None,
+    drift=None,
+    audit_log=None,
 ) -> StreamingQuery:
     """readStream → event-time watermark → foreachBatch(history + latest
     merges). Late rows inside ``delay`` re-enter and collapse in the sinks
@@ -65,12 +68,28 @@ def incremental_merge_stream(
     ``append_history``/``upsert_latest`` (ParquetTable default,
     PartitionedMergeTable, JdbcMergeSink, DeltaMergeTable) — streaming CDC
     can land straight in the warehouse through the same idempotent merges.
+
+    Quality-audit leg (control/audit.py — the reference's run-level row
+    counts generalized to quality metrics): pass ``expectations`` (named
+    boolean Columns), and/or ``drift`` = (group_col, value_col,
+    reference_histogram_path from ``psi_reference_write``), and each
+    micro-batch also appends long-form audit rows to ``audit_log`` (a
+    ``QualityAuditLog``; defaults to ``<warehouse_root>/quality_audit``
+    when either audit input is given). The audit rows are keyed by
+    (batch_id, kind, key, metric), so a retried batch collapses in the
+    control table exactly like the data rows collapse in the merge sinks.
+    Audits run on the RAW batch (pre-merge): they measure what the feed
+    DELIVERED — the merge sinks then dedup/reject as usual.
     """
     spark = stream_df.sparkSession
     if history is None:
         history = ParquetTable(spark, f"{warehouse_root}/stg_{entity}_history")
     if latest is None:
         latest = ParquetTable(spark, f"{warehouse_root}/stg_{entity}")
+    if audit_log is None and (expectations or drift):
+        from wms_data_pipeline_spark.control.audit import QualityAuditLog
+
+        audit_log = QualityAuditLog(spark, f"{warehouse_root}/quality_audit")
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -78,6 +97,12 @@ def incremental_merge_stream(
         staged = with_payload_and_hash(batch)
         history.append_history(staged)
         latest.upsert_latest(staged, ts_col=ts_col)
+        if audit_log is not None and (expectations or drift):
+            from wms_data_pipeline_spark.control.audit import audit_batch
+
+            audit_log.append(
+                audit_batch(batch, batch_id, entity, expectations, drift)
+            )
 
     return (
         stream_df.withWatermark(ts_col, delay)

@@ -599,21 +599,19 @@ def ks_drift_probe(
     per group stay far below row counts."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
-    cur_counts = (
-        cur_df.filter(F.col(value_col).isNotNull())
-        .select(
-            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
-        )
-        .groupBy("_g", "_v")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    # raw batch rows union straight into the merge aggregate: its
+    # map-side partial combine collapses them before the exchange, so a
+    # separate pre-aggregation would only add an exchange (r11 planlint
+    # sweep, 5 -> 4)
+    cur_rows = cur_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).alias("_v"),
+        F.lit(0).cast("long").alias("_r"),
+        F.lit(1).cast("long").alias("_c"),
     )
     merged = (
         store.select("_g", "_v", "_r", F.lit(0).cast("long").alias("_c"))
-        .unionByName(
-            cur_counts.select(
-                "_g", "_v", F.lit(0).cast("long").alias("_r"), "_c"
-            )
-        )
+        .unionByName(cur_rows)
         .groupBy("_g", "_v")
         .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
     )

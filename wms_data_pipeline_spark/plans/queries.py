@@ -3266,8 +3266,12 @@ def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Train/test decontamination: flag eval-split documents whose word "
     "4-grams overlap the train split (>=3 distinct shared shingles). "
     "Split membership is the same deterministic doc_id hash as "
-    "txt_deterministic_split; the join shuffles on the shingle key only "
-    "(train side deduped first), never doc x doc.",
+    "txt_deterministic_split; the overlap probe is a SEMI join against "
+    "the raw train shingle stream (semi never duplicates, so the train "
+    "side needs no distinct aggregate) and shingles_of is per-doc "
+    "distinct, so count(*) == countDistinct — the txt_decontaminate_train "
+    "r11 rebuild applied to its sibling (5 -> 4 exchanges). Never "
+    "doc x doc.",
 )
 def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3281,12 +3285,11 @@ def txt_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("b", bucket)
         .select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
     )
-    train = sh.filter(F.col("b") != 0).select("g").distinct()
-    test = sh.filter(F.col("b") == 0).select("doc_id", "g")
     return (
-        test.join(train, "g")
+        sh.filter(F.col("b") == 0)
+        .join(sh.filter(F.col("b") != 0).select("g"), "g", "semi")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_overlap"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= 3)
     )
 
@@ -3387,7 +3390,9 @@ def dd_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     pairs = dd.minhash_neardup_pairs(docs)
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # no .distinct(): anti-join semantics ignore duplicate build keys, so
+    # deduping the drop list only paid an exchange (r11 planlint sweep)
+    dropped = pairs.select(F.col("id_b").alias("doc_id"))
     return (
         docs.join(dropped, "doc_id", "left_anti")
         .groupBy("lang")

@@ -421,7 +421,8 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
     "GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority "
     "ORDER BY revenue DESC, o_orderkey LIMIT 10",
-    headline=True,
+    # headline retired r11 (bench series break #4): rel_q5 carries the
+    # same broadcast-dim-filter + fact-join + agg shape at the same cost
     doc="TPC-H Q3 shape: selective dim filter broadcast into a fact join, "
     "agg, deterministic top-k (TakeOrderedAndProject).",
 )
@@ -7116,6 +7117,7 @@ _NODE_CLUSTERING_ORACLE = (
 @query(
     "rel_node_clustering",
     _NODE_CLUSTERING_ORACLE,
+    headline=True,  # joined r11 (series break #4)
     doc="Per-node triangle count + LOCAL clustering coefficient "
     "(Watts-Strogatz, public method) of the part co-purchase graph via "
     "operators/graph.py node_clustering: the SAME degree-ordered "
@@ -7223,7 +7225,8 @@ def txt_quality_classifier_weighted(
 
 @query(
     "rel_interval_overlap_join",
-    "WITH camp AS (SELECT event_id AS campaign_id, ts AS start_ts, "
+    headline=True,  # joined r11 (series break #4)
+    oracle="WITH camp AS (SELECT event_id AS campaign_id, ts AS start_ts, "
     "ts + INTERVAL 12 HOUR AS end_ts FROM events WHERE event_type = 'purchase' "
     "ORDER BY value DESC, event_id LIMIT 20), "
     "g AS (SELECT user_id, event_id, ts, CASE WHEN ts - lag(ts) OVER "
@@ -7456,7 +7459,8 @@ def mm_jpeg_progressive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dq_psi_drift",
-    "WITH v AS (SELECT event_type AS g, value::DOUBLE AS v, "
+    headline=True,  # joined r11 (series break #4)
+    oracle="WITH v AS (SELECT event_type AS g, value::DOUBLE AS v, "
     "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
     "WHERE value IS NOT NULL), "
     "m AS (SELECT g, max(v) AS mx, min(v) AS mn FROM v GROUP BY g), "

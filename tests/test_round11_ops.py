@@ -326,6 +326,82 @@ def test_wav_alaw_through_audio_features(spark):
         assert (out[i]["n_samples"], out[i]["sum_abs"]) == expected[i], i
 
 
+# -------------------------------------------------- chi2 audit kind
+def test_audit_batch_chi2_kind(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.control.audit import audit_batch
+    from wms_data_pipeline_spark.operators.quality import (
+        chi2_drift,
+        chi2_reference_write,
+    )
+
+    ref = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 30, "status string"
+    )
+    path = str(tmp_path / "chi2ref")
+    chi2_reference_write(ref, "status", path)
+    cur = spark.createDataFrame([("x",)] * 20 + [("z",)] * 10, "status string")
+    rows = {
+        (r["kind"], r["key"], r["metric"]): r
+        for r in audit_batch(
+            cur, 3, "orders", drift_cat=("status", path)
+        ).collect()
+    }
+    c = rows[("chi2_drift", "status", "chi2")]
+    n = rows[("chi2_drift", "status", "n_categories")]
+    assert c["batch_id"] == 3 and c["n_rows"] == 30 and n["value"] == 3.0
+    # the probe statistic is the batch recompute's, bit for bit
+    both = ref.withColumn("cur", F.lit(False)).unionByName(
+        cur.withColumn("cur", F.lit(True))
+    )
+    batch = chi2_drift(both, "status", "cur").collect()[0]
+    assert c["value"] == batch["chi2"]
+    with pytest.raises(ValueError, match="nothing to audit"):
+        audit_batch(cur, 3, "orders")
+
+
+# ------------------------------------------------------ embedding drift
+def test_embedding_drift_probe_equals_batch(spark, tmp_path):
+    import math
+    import random
+
+    from wms_data_pipeline_spark.operators import quality as q
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(80):
+        # both populations anchored at 1.0 (a zero-mean reference
+        # centroid is directionless noise); current shifted +0.5 in
+        # dims 0-3
+        shift = 0.5 if i % 4 == 0 else 0.0
+        vec = [
+            1.0 + rng.gauss(0, 0.1) + (shift if d < 4 else 0.0)
+            for d in range(16)
+        ]
+        rows.append((i, vec, i % 4 == 0))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, is_cur boolean"
+    )
+    batch = q.embedding_drift(df, "embedding", "is_cur").collect()[0]
+    assert batch["n_ref"] == 60 and batch["n_cur"] == 20
+    assert 0.9 < batch["centroid_cosine"] < 1  # real directional shift
+    assert batch["mean_gap_l2"] > 0.8 and batch["max_dim_gap"] > 0.3
+    path = str(tmp_path / "embref")
+    q.embedding_reference_write(df.filter("NOT is_cur"), "embedding", path)
+    probe = q.embedding_drift_probe(
+        df.filter("is_cur"), "embedding", path
+    ).collect()[0]
+    assert probe == batch  # bit-identical at the rounding grain
+    # no drift against itself: cosine 1, gaps ~0
+    self_probe = q.embedding_drift_probe(
+        df.filter("NOT is_cur"), "embedding", path
+    ).collect()[0]
+    assert self_probe["centroid_cosine"] == 1.0
+    assert self_probe["mean_gap_l2"] == 0.0
+    assert math.isclose(self_probe["max_dim_gap"], 0.0, abs_tol=1e-6)
+
+
 # ---------------------------------------------------- LAST_ROUNDS keying
 def test_last_rounds_caller_key(spark):
     from wms_data_pipeline_spark.operators import graph as gr

@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 
 from wms_data_pipeline_spark.operators.merge import ParquetTable
 from wms_data_pipeline_spark.operators.quality import (
+    chi2_drift_probe,
     expectations_report,
     psi_drift_probe,
 )
@@ -83,12 +84,16 @@ def audit_batch(
     entity: str,
     expectations: "dict[str, Column] | None" = None,
     drift: "tuple[str, str, str] | None" = None,
+    drift_cat: "tuple[str, str] | None" = None,
 ) -> DataFrame:
-    """Long-form audit rows for one micro-batch: expectation results
-    and/or a PSI drift probe, unioned into ``AUDIT_SCHEMA``. ``drift`` is
-    (group_col, value_col, reference_histogram_path) — the persisted
-    reference from ``psi_reference_write``."""
-    if expectations is None and drift is None:
+    """Long-form audit rows for one micro-batch: expectation results,
+    a PSI drift probe, and/or a categorical chi-square drift probe,
+    unioned into ``AUDIT_SCHEMA``. ``drift`` is (group_col, value_col,
+    reference_histogram_path) from ``psi_reference_write``; ``drift_cat``
+    is (cat_col, reference_counts_path) from ``chi2_reference_write`` —
+    the chi2 statistic lands as kind='chi2_drift', key=cat_col, with
+    'chi2' and 'n_categories' metric rows."""
+    if expectations is None and drift is None and drift_cat is None:
         raise ValueError("audit_batch: nothing to audit (no expectations, no drift)")
     tag = [
         F.lit(batch_id).cast("long").alias("batch_id"),
@@ -120,6 +125,20 @@ def audit_batch(
                 F.col("n_cur").cast("long").alias("n_rows"),
             )
         )
+    if drift_cat:
+        cat_col, ref_path = drift_cat
+        chi2 = chi2_drift_probe(batch, cat_col, ref_path)
+        for metric in ("chi2", "n_categories"):
+            parts.append(
+                chi2.select(
+                    *tag,
+                    F.lit("chi2_drift").alias("kind"),
+                    F.lit(cat_col).alias("key"),
+                    F.lit(metric).alias("metric"),
+                    F.col(metric).cast("double").alias("value"),
+                    F.col("n_cur").cast("long").alias("n_rows"),
+                )
+            )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -663,3 +663,116 @@ def chi2_drift_probe(cur_df: DataFrame, cat_col: str, path: str) -> DataFrame:
         .agg(F.sum("_r").alias("_r"), F.sum("_q").alias("_q"))
     )
     return _chi2_from_counts(merged)
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str,
+    is_current_col: str,
+) -> DataFrame:
+    """Embedding-distribution drift audit — the drift family extended to
+    the ``array<float>`` column an LLM-data pipeline carries (public
+    method: centroid/mean-embedding monitoring): splits rows into
+    reference/current populations, computes the per-dimension mean
+    vector of each, and returns ONE row
+    (n_ref, n_cur, centroid_cosine, mean_gap_l2, max_dim_gap) —
+    cosine between the two centroids (1.0 = no directional shift),
+    the L2 norm of the mean-vector gap, and the largest per-dimension
+    absolute gap (which dimension family moved most). Catches an
+    embedding-model swap, an upstream preprocessing change, or a topic
+    shift that per-scalar audits cannot see.
+
+    Plan shape: one posexplode + (dimension, population) conditional
+    mean — the ONLY data-sized pass — then every downstream step is
+    bounded by the embedding dimension (64-4096 rows): a single-row
+    reduce computes the cosine/gaps. FP contract: means accumulate in
+    DOUBLE and results round to 6 (the sim_label_cohesion precedent —
+    reordering error ~1e-13, far under the rounding grain). NULL
+    vectors are excluded; an empty population NULLs the metrics."""
+    v = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(is_current_col).cast("boolean").alias("_cur"),
+        F.posexplode(F.col(vec_col)).alias("_i", "_x"),
+    )
+    m = v.groupBy("_i").agg(
+        F.avg(F.when(~F.col("_cur"), F.col("_x").cast("double"))).alias("_mr"),
+        F.avg(F.when(F.col("_cur"), F.col("_x").cast("double"))).alias("_mc"),
+    )
+    counts = df.filter(F.col(vec_col).isNotNull()).agg(
+        F.sum(
+            F.when(~F.col(is_current_col).cast("boolean"), 1).otherwise(0)
+        ).cast("long").alias("n_ref"),
+        F.sum(
+            F.when(F.col(is_current_col).cast("boolean"), 1).otherwise(0)
+        ).cast("long").alias("n_cur"),
+    )
+    return _embedding_drift_from_means(m, counts)
+
+
+def _embedding_drift_from_means(m: DataFrame, counts: DataFrame) -> DataFrame:
+    """Shared single-row reduce over per-dimension population means
+    (_i, _mr, _mc) + population counts — identical arithmetic for the
+    batch audit and the persisted-reference probe."""
+    gap = F.col("_mr") - F.col("_mc")
+    agg = m.agg(
+        F.sum(F.col("_mr") * F.col("_mc")).alias("_dot"),
+        F.sum(F.col("_mr") * F.col("_mr")).alias("_nr2"),
+        F.sum(F.col("_mc") * F.col("_mc")).alias("_nc2"),
+        F.sum(gap * gap).alias("_g2"),
+        F.max(F.abs(gap)).alias("_gmax"),
+    )
+    return counts.crossJoin(F.broadcast(agg)).select(
+        "n_ref",
+        "n_cur",
+        F.round(
+            F.col("_dot") / (F.sqrt("_nr2") * F.sqrt("_nc2")), 6
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("_g2"), 6).alias("mean_gap_l2"),
+        F.round(F.col("_gmax"), 6).alias("max_dim_gap"),
+    )
+
+
+def embedding_reference_write(
+    ref_df: DataFrame, vec_col: str, path: str
+) -> None:
+    """Persist the embedding-drift reference statistic: the per-dimension
+    mean vector + vector count — DIMENSION-sized (64-4096 rows) however
+    large the reference corpus, the extreme case of the r11 persisted-
+    reference pattern (the 100 TB reference embedding corpus reduces to
+    one parquet of a few KB)."""
+    v = ref_df.filter(F.col(vec_col).isNotNull())
+    n_ref = v.count()
+    (
+        v.select(F.posexplode(F.col(vec_col)).alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(F.avg(F.col("_x").cast("double")).alias("_mr"))
+        .withColumn("_nref", F.lit(n_ref).cast("long"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def embedding_drift_probe(
+    cur_df: DataFrame, vec_col: str, path: str
+) -> DataFrame:
+    """Embedding drift of the current batch against a persisted
+    per-dimension reference mean (``embedding_reference_write``): one
+    pass over the batch, a broadcast-sized store read, the shared
+    single-row reduce. Same output schema as ``embedding_drift``; equals
+    the batch recompute up to the FP-rounding grain (the stored means ARE
+    the build-time batch means; the probe-side means recompute over the
+    same current rows)."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    cur = cur_df.filter(F.col(vec_col).isNotNull())
+    mc = (
+        cur.select(F.posexplode(F.col(vec_col)).alias("_i", "_x"))
+        .groupBy("_i")
+        .agg(F.avg(F.col("_x").cast("double")).alias("_mc"))
+    )
+    m = store.join(mc, "_i", "left").select(
+        "_i", "_mr", "_mc"
+    )
+    counts = cur.agg(F.count(F.lit(1)).cast("long").alias("n_cur")).crossJoin(
+        F.broadcast(store.agg(F.max("_nref").cast("long").alias("n_ref")))
+    ).select("n_ref", "n_cur")
+    return _embedding_drift_from_means(m, counts)

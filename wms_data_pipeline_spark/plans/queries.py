@@ -7720,3 +7720,79 @@ def dq_chi2_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_drift_probe(
         o.filter(F.col("o_orderdate") >= cut), "o_orderpriority", path
     )
+
+
+_EMB_DRIFT_ORACLE = (
+    "WITH e AS (SELECT vec_id % 4 = 0 AS cur, embedding FROM embeddings "
+    "WHERE embedding IS NOT NULL), "
+    "v AS (SELECT cur, generate_subscripts(embedding, 1) AS i, "
+    "unnest(embedding)::DOUBLE AS x FROM e), "
+    "m AS (SELECT i, avg(CASE WHEN NOT cur THEN x END) AS mr, "
+    "avg(CASE WHEN cur THEN x END) AS mc FROM v GROUP BY i), "
+    "c AS (SELECT sum(CASE WHEN cur THEN 0 ELSE 1 END)::BIGINT AS n_ref, "
+    "sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS n_cur FROM e), "
+    "a AS (SELECT sum(mr*mc) AS dot, sum(mr*mr) AS nr2, sum(mc*mc) AS nc2, "
+    "sum((mr-mc)*(mr-mc)) AS g2, max(abs(mr-mc)) AS gmax FROM m) "
+    "SELECT n_ref, n_cur, "
+    "round(dot/(sqrt(nr2)*sqrt(nc2)), 6) AS centroid_cosine, "
+    "round(sqrt(g2), 6) AS mean_gap_l2, round(gmax, 6) AS max_dim_gap "
+    "FROM c CROSS JOIN a"
+)
+
+
+@query(
+    "dq_embedding_drift",
+    _EMB_DRIFT_ORACLE,
+    doc="Embedding-distribution drift audit (operators/quality.py "
+    "embedding_drift) — the drift family extended to the array<float> "
+    "column (centroid monitoring, public method): per-dimension mean "
+    "vectors of the reference (vec_id % 4 != 0) and current populations, "
+    "then cosine between centroids, L2 mean-gap and max per-dimension "
+    "gap in ONE row. Catches an embedding-model swap / preprocessing "
+    "change / topic shift no scalar audit sees. One posexplode + "
+    "(dimension, population) conditional mean is the only data-sized "
+    "pass; everything after is bounded by the 64-4096 embedding "
+    "dimension. Means accumulate in DOUBLE, results round to 6 (the "
+    "sim_label_cohesion FP contract).",
+)
+def dq_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "is_cur", F.col("vec_id") % 4 == 0
+    )
+    return embedding_drift(emb, "embedding", "is_cur")
+
+
+@query(
+    "dq_embedding_drift_incremental",
+    _EMB_DRIFT_ORACLE,
+    doc="Incremental embedding drift (operators/quality.py "
+    "embedding_reference_write / embedding_drift_probe): the persisted "
+    "reference statistic is the per-dimension mean vector + count — "
+    "DIMENSION-sized (a few KB) however large the reference corpus, the "
+    "extreme case of the r11 persisted-reference pattern. The probe "
+    "costs one pass over the current batch plus a broadcast store read; "
+    "equals the batch recompute to the 6-dp rounding grain (the stored "
+    "means ARE the build-time means), so the oracle is the batch SQL "
+    "verbatim.",
+)
+def dq_embedding_drift_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        embedding_drift_probe,
+        embedding_reference_write,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _process_cached_index(
+        "embref",
+        sf_dir,
+        lambda p: embedding_reference_write(
+            emb.filter(F.col("vec_id") % 4 != 0), "embedding", p
+        ),
+    )
+    return embedding_drift_probe(
+        emb.filter(F.col("vec_id") % 4 == 0), "embedding", path
+    )

@@ -402,6 +402,62 @@ def test_embedding_drift_probe_equals_batch(spark, tmp_path):
     assert math.isclose(self_probe["max_dim_gap"], 0.0, abs_tol=1e-6)
 
 
+# ----------------------------------------------- personalized pagerank
+def test_personalized_pagerank_semantics(spark):
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    # star around the seed (a <-> b, a <-> c: no dangling nodes, fast
+    # geometric convergence), plus an isolated pair x -> y unreachable
+    # from the seed
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1),
+            ("a", "c", 1),
+            ("b", "a", 1),
+            ("c", "a", 1),
+            ("x", "y", 1),
+        ],
+        "src string, dst string, weight long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    r = {
+        row["node"]: row["rank_scaled"]
+        for row in gr.personalized_pagerank(
+            edges, seeds, iterations=12, checkpoint_every=3
+        ).collect()
+    }
+    assert set(r) == {"a", "b", "c", "x", "y"}
+    # fixed point: a = 0.15 + 0.85(b + c), b = c = 0.425a ->
+    # a ~ 0.5405, b = c ~ 0.23. The 2-cycle a<->{b,c} converges as an
+    # alternating series with ratio 0.7225 per 2 iterations, so after
+    # 12 the residual is ~0.7225^6 * 0.46 ~ 0.066 of SCALE; unreachable
+    # nodes -> 0
+    assert r["a"] > r["b"] == r["c"] > 0
+    assert abs(r["a"] - 540_500_000) < 80_000_000
+    assert r["x"] == 0 and r["y"] == 0
+    # mass conservation up to integer-truncation leakage
+    assert sum(r.values()) <= gr.PR_SCALE
+    assert sum(r.values()) > gr.PR_SCALE * 0.98
+    # a seed with no edges at all still holds its teleport mass
+    lonely = spark.createDataFrame([("zzz",)], "node string")
+    r2 = {
+        row["node"]: row["rank_scaled"]
+        for row in gr.personalized_pagerank(
+            edges, lonely, iterations=3
+        ).collect()
+    }
+    assert r2["zzz"] > 0 and r2["a"] == 0
+    with pytest.raises(ValueError, match="empty seed set"):
+        gr.personalized_pagerank(
+            edges, seeds.filter("node = 'nope'"), iterations=2
+        )
+    bad = spark.createDataFrame(
+        [("a", "b", 0)], "src string, dst string, weight long"
+    )
+    with pytest.raises(ValueError, match="non-positive"):
+        gr.personalized_pagerank(bad, seeds, iterations=2)
+
+
 # ---------------------------------------------------- LAST_ROUNDS keying
 def test_last_rounds_caller_key(spark):
     from wms_data_pipeline_spark.operators import graph as gr

@@ -5816,6 +5816,77 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
     return sql + f" SELECT node, r AS rank_scaled FROM r{iterations}"
 
 
+def _ppr_oracle_sql(iterations: int, seeds: tuple) -> str:
+    """Unrolled personalized PageRank in DuckDB SQL — mirror of
+    graph.personalized_pagerank's integer arithmetic (teleport + dangling
+    mass return to the seed set, split evenly)."""
+    s = gr.PR_SCALE
+    seed_list = ", ".join(f"'{x}'" for x in seeds)
+    sql = (
+        "WITH seq AS (SELECT event_type AS src, lead(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), "
+        "e AS (SELECT src, dst, count(*)::BIGINT AS w FROM seq "
+        "WHERE dst IS NOT NULL GROUP BY 1, 2), "
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+        "o AS (SELECT src, sum(w)::BIGINT AS out_w FROM e GROUP BY 1), "
+        f"sd AS (SELECT node, node IN ({seed_list}) AS s FROM nodes), "
+        "ns AS (SELECT count(*)::BIGINT AS n FROM sd WHERE s), "
+        f"r0 AS (SELECT node, s, (CASE WHEN s THEN {s} // ns.n "
+        "ELSE 0 END)::BIGINT AS r FROM sd CROSS JOIN ns)"
+    )
+    for k in range(1, iterations + 1):
+        p = k - 1
+        sql += (
+            f", c{k} AS (SELECT e.dst AS node, "
+            f"sum((p.r * e.w) // o.out_w)::BIGINT AS contrib "
+            f"FROM e JOIN r{p} p ON e.src = p.node "
+            "JOIN o ON o.src = e.src GROUP BY 1), "
+            f"d{k} AS (SELECT coalesce(sum(p.r), 0)::BIGINT AS dang "
+            f"FROM r{p} p LEFT JOIN o ON p.node = o.src WHERE o.src IS NULL), "
+            f"r{k} AS (SELECT n.node, n.s, "
+            f"(CASE WHEN n.s THEN (15 * ({s} // ns.n)) // 100 ELSE 0 END "
+            f"+ (85 * (coalesce(c.contrib, 0) + CASE WHEN n.s THEN "
+            f"d.dang // ns.n ELSE 0 END)) // 100)::BIGINT AS r "
+            f"FROM sd n LEFT JOIN c{k} c USING (node) "
+            f"CROSS JOIN d{k} d CROSS JOIN ns)"
+        )
+    return sql + f" SELECT node, r AS rank_scaled FROM r{iterations}"
+
+
+@query(
+    "evt_personalized_pagerank",
+    _ppr_oracle_sql(5, ("purchase", "signup")),
+    doc="Personalized (seeded-teleport) PageRank — Haveliwala's "
+    "topic-sensitive formulation, public method — over the event-type "
+    "transition graph, seeded at {purchase, signup}: teleport AND "
+    "dangling mass return to the seeds, so rank measures proximity to "
+    "the conversion states (the crawl-frontier / trust-set quality "
+    "prior when a curated seed set exists; non-seed rank decays with "
+    "distance). operators/graph.py personalized_pagerank: same exact "
+    "scaled-BIGINT fixed-point contract and per-iteration plan as "
+    "pagerank (one shuffle on src, one on dst, scalar dangling "
+    "collect, checkpoint cadence) — bit-identical on any engine/"
+    "partitioning; the oracle unrolls the same integer recurrence.",
+)
+def evt_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .localCheckpoint()  # reused by all iterations + out-degree
+    )
+    seeds = spark.createDataFrame(
+        [("purchase",), ("signup",)], "node string"
+    )
+    return gr.personalized_pagerank(edges, seeds, iterations=5)
+
+
 @query(
     "evt_pagerank",
     _pagerank_oracle_sql(5),

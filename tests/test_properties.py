@@ -179,3 +179,112 @@ def test_lzw_roundtrip_property(data, min_code_size):
     clamped = bytes(b % clear for b in data)
     comp = mm._lzw_compress_gif(clamped, min_code_size)
     assert mm._lzw_decompress_gif(comp, min_code_size) == clamped
+
+
+# --------------------------------------------- weighted classifier (r11)
+
+_wtok = st.sampled_from(["the", "qu", "x1", "zz"])
+_wdoc = st.lists(_wtok, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(_wdoc, min_size=1, max_size=6),
+    weights=st.fixed_dictionaries(
+        {},
+        optional={
+            "the": st.integers(-500, 500),
+            "qu": st.integers(-500, 500),
+            "x1": st.integers(-500, 500),
+        },
+    ),
+)
+def test_classifier_weighted_equals_python_model(spark, docs, weights):
+    """classifier_score(weights=...) against a pure-Python scorer over
+    arbitrary tiny corpora and weight tables: identical integer wsum and
+    token counts, sigmoid equal within the 6-dp rounding contract;
+    unseen tokens weigh 0."""
+    import math
+
+    from wms_data_pipeline_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.wsum, r.quality_score)
+        for r in classifier_score(df, weights=dict(weights)).collect()
+    }
+    for i, doc in enumerate(docs):
+        toks = doc.split()
+        wsum = sum(weights.get(t, 0) for t in toks)
+        logit = wsum / (250.0 * len(toks)) if toks else 0.0
+        score = round(1.0 / (1.0 + math.exp(-logit)), 6)
+        assert got[i] == (len(toks), wsum, score), (i, doc)
+
+
+# ----------------------------------------------- psi probe model (r11)
+
+_grp = st.sampled_from(["g1", "g2"])
+_val = st.integers(0, 20)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(_grp, _val, st.booleans()), min_size=4, max_size=30
+    ).filter(
+        # every group that appears must have at least one reference row
+        # (frozen geometry needs reference edges)
+        lambda rs: all(
+            any(g2 == g and not c for g2, _, c in rs)
+            for g, _, c in rs
+        )
+    ),
+)
+def test_psi_probe_equals_python_model(spark, tmp_path_factory, rows):
+    """psi_drift_probe against a pure-Python PSI over arbitrary tiny
+    populations whose geometry is frozen on the REFERENCE rows —
+    bucket assignment, add-one smoothing, and clamping all mirrored."""
+    import math
+
+    from wms_data_pipeline_spark.operators.quality import (
+        psi_drift_probe,
+        psi_reference_write,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long, cur boolean")
+    path = str(tmp_path_factory.mktemp("psi") / "store")
+    psi_reference_write(df.filter("NOT cur"), "g", "v", path)
+    got = {
+        r["g"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in psi_drift_probe(df.filter("cur"), "g", "v", path).collect()
+    }
+
+    ref = [(g, v) for g, v, c in rows if not c]
+    cur = [(g, v) for g, v, c in rows if c]
+    groups = {g for g, _ in ref}
+    assert set(got) == groups
+    for g in groups:
+        rv = [v for gg, v in ref if gg == g]
+        cv = [v for gg, v in cur if gg == g]
+        mn, mx = min(rv), max(rv)
+
+        def bucket(v):
+            if mx == mn:
+                return 0
+            return min(9, max(0, math.floor((v - mn) * 10 / (mx - mn))))
+
+        rb = [0] * 10
+        cb = [0] * 10
+        for v in rv:
+            rb[bucket(v)] += 1
+        for v in cv:
+            cb[bucket(v)] += 1
+        psi = 0.0
+        for b in range(10):
+            p = (rb[b] + 1) / (len(rv) + 10)
+            q = (cb[b] + 1) / (len(cv) + 10)
+            psi += (q - p) * math.log(q / p)
+        assert got[g][0] == len(rv) and got[g][1] == len(cv)
+        assert abs(got[g][2] - psi) < 2e-6, (g, got[g][2], psi)

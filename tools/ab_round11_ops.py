@@ -350,6 +350,69 @@ def _compare(name, variants):
         )
 
 
+def leg_audit(spark):
+    """Quality-audit overhead in the foreachBatch merge leg: the same
+    three-batch incremental merge stream with and without the audit
+    (expectations + PSI probe + control-table append) — what turning on
+    per-batch monitoring costs a production stream."""
+    import shutil
+    import tempfile
+
+    from wms_data_pipeline_spark.operators.quality import psi_reference_write
+    from wms_data_pipeline_spark.schemas import load_table
+    from wms_data_pipeline_spark.streaming.pipeline import (
+        incremental_merge_stream,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        F.col("event_id").cast("string").alias("id"),
+        F.col("ts").alias("updated_at"),
+        "event_type",
+        "value",
+    )
+    n = ev.count()
+    ref_dir = tempfile.mkdtemp(prefix="ab11_audit_ref_")
+    psi_reference_write(ev, "event_type", "value", f"{ref_dir}/psi")
+
+    def run(with_audit):
+        work = tempfile.mkdtemp(prefix="ab11_audit_")
+        src = f"{work}/src"
+        # three micro-batch files of ~n/3 rows each
+        (
+            ev.withColumn("b", F.crc32(F.col("id")) % 3)
+            .write.partitionBy("b")
+            .mode("overwrite")
+            .parquet(src)
+        )
+        kwargs = {}
+        if with_audit:
+            kwargs = dict(
+                expectations={"id_not_null": F.col("id").isNotNull()},
+                drift=("event_type", "value", f"{ref_dir}/psi"),
+            )
+        t0 = time.time()
+        for b in range(3):
+            stream = (
+                spark.readStream.schema(
+                    ev.schema
+                ).parquet(f"{src}/b={b}")
+            )
+            q = incremental_merge_stream(
+                stream, f"{work}/wh", "events", f"{work}/ckpt{b}", **kwargs
+            )
+            q.awaitTermination(300)
+        wall = time.time() - t0
+        shutil.rmtree(work, ignore_errors=True)
+        return wall
+
+    for label, flag in (("merge-only", False), ("merge+audit", True)):
+        walls = sorted(run(flag) for _ in range(3))
+        print(
+            f"audit {label}: {n} rows / 3 batches, median {walls[1]:.2f}s "
+            f"reps={[round(w, 2) for w in walls]}"
+        )
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -360,6 +423,8 @@ def main():
         leg_bigram(spark)
     if which in ("decon", "all"):
         leg_decon(spark)
+    if which in ("audit", "all"):
+        leg_audit(spark)
     spark.stop()
 
 

@@ -229,6 +229,40 @@ def test_psi_probe_frozen_geometry_clamps(spark, tmp_path, drift_events):
     )
 
 
+def test_psi_windows_single_window_equals_probe(spark, tmp_path, drift_events):
+    """A window expression holding the whole current batch must reproduce
+    psi_drift_probe exactly (shared tail, shared geometry); distinct
+    windows get independent PSI rows and empty (group, window) pairs are
+    absent."""
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import quality as q
+
+    path = _store(tmp_path, "psi_w")
+    q.psi_reference_write(drift_events.filter("NOT cur"), "g", "v", path)
+    cur = drift_events.filter("cur")
+    one = {
+        (r["g"], r["w"]): (r["n_ref"], r["n_cur"], r["psi"])
+        for r in q.psi_drift_windows(
+            cur.withColumn("w", F.lit("all")), "g", "v", "w", path
+        ).collect()
+    }
+    probe = {
+        r["g"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in q.psi_drift_probe(cur, "g", "v", path).collect()
+    }
+    assert {g: one[(g, "all")] for g in probe} == probe
+    # two windows: group a rows split by value parity — both audited
+    # independently, group b only where it has rows
+    two = q.psi_drift_windows(
+        cur.withColumn("w", (F.col("v") % 2 == 0).cast("string")),
+        "g", "v", "w", path,
+    ).collect()
+    keys = {(r["g"], r["w"]) for r in two}
+    assert keys == {("a", "true"), ("a", "false"), ("b", "true"), ("b", "false")}
+    assert all(r["n_cur"] > 0 for r in two)
+
+
 def test_ks_and_chi2_probes_bitwise_equal_batch(spark, tmp_path, drift_events):
     from wms_data_pipeline_spark.operators import quality as q
 

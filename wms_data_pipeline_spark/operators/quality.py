@@ -253,23 +253,30 @@ def psi_drift(
 
 
 def _psi_from_filled(
-    filled: DataFrame, group_col: str, n_buckets: int
+    filled: DataFrame,
+    group_col: str,
+    n_buckets: int,
+    extra_keys: "tuple[tuple[str, str], ...]" = (),
 ) -> DataFrame:
-    """Shared PSI tail over a grid-complete (_g, _b, _ref, _curn) frame
-    (every group carries all ``n_buckets`` bins, zeros included) —
-    identical arithmetic for the batch recompute (``psi_drift``) and the
-    persisted-reference probe (``psi_drift_probe``), so the two are
-    bit-identical whenever their bucket geometries agree."""
-    w_g = Window.partitionBy("_g").rowsBetween(
+    """Shared PSI tail over a grid-complete (_g[, extra...], _b, _ref,
+    _curn) frame (every key combination carries all ``n_buckets`` bins,
+    zeros included) — identical arithmetic for the batch recompute
+    (``psi_drift``), the persisted-reference probe (``psi_drift_probe``)
+    and the windowed time series (``psi_drift_windows``), so all are
+    bit-identical whenever their bucket geometries agree. ``extra_keys``
+    is ((internal_name, output_name), ...) for additional partition keys
+    beyond the group (e.g. the time window)."""
+    keys = ["_g"] + [k for k, _ in extra_keys]
+    w_g = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     p = (F.col("_ref") + 1) / (F.sum("_ref").over(w_g) + n_buckets)
     q = (F.col("_curn") + 1) / (F.sum("_curn").over(w_g) + n_buckets)
-    return (
+    out = (
         filled.withColumn("_term", (q - p) * F.log(q / p))
         .withColumn("_nref", F.sum("_ref").over(w_g))
         .withColumn("_ncur", F.sum("_curn").over(w_g))
-        .groupBy("_g")
+        .groupBy(*keys)
         .agg(
             F.max("_nref").cast("long").alias("n_ref"),
             F.max("_ncur").cast("long").alias("n_cur"),
@@ -277,6 +284,9 @@ def _psi_from_filled(
         )
         .withColumnRenamed("_g", group_col)
     )
+    for internal, output in extra_keys:
+        out = out.withColumnRenamed(internal, output)
+    return out
 
 
 def ks_drift(
@@ -776,3 +786,62 @@ def embedding_drift_probe(
         F.broadcast(store.agg(F.max("_nref").cast("long").alias("n_ref")))
     ).select("n_ref", "n_cur")
     return _embedding_drift_from_means(m, counts)
+
+
+def psi_drift_windows(
+    cur_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    window_col: str,
+    path: str,
+) -> DataFrame:
+    """PSI drift TIME SERIES: the persisted-reference probe
+    (``psi_drift_probe``) evaluated per (group, window) — one PSI row per
+    group per time bucket (day/hour — any expression the caller puts in
+    ``window_col``), the dashboard shape of production model monitoring
+    (a single-number audit says "drifted"; the series says WHEN and
+    whether it is trending or a one-batch spike).
+
+    Plan: one pass buckets the current rows against the frozen reference
+    edges and counts per (group, window, bucket); the reference grid
+    broadcast-joins onto the distinct windows, so everything after the
+    first aggregate is bounded by |groups| x |windows| x n_buckets.
+    Same smoothing/bucket arithmetic as the probe — a window holding the
+    whole current population reproduces ``psi_drift_probe`` exactly
+    (pinned in tests). Windows with no rows for a stored group emit
+    nothing (an absent window is "no data", not "no drift" — the caller
+    left-joins a calendar if it wants explicit gaps)."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    n_buckets = int(store.agg(F.max("_nb")).collect()[0][0])
+    edges = F.broadcast(
+        store.groupBy("_g").agg(
+            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
+        )
+    )
+    cur = cur_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(window_col).alias("_w"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    cur_counts = (
+        cur.join(edges, "_g")
+        .select("_g", "_w", _psi_bucket(n_buckets).alias("_b"))
+        .groupBy("_g", "_w", "_b")
+        .agg(F.count(F.lit(1)).alias("_curn"))
+    )
+    windows = cur.select("_g", "_w").distinct()
+    filled = (
+        store.join(windows, "_g")
+        .join(cur_counts, ["_g", "_w", "_b"], "left")
+        .select(
+            "_g",
+            "_w",
+            "_b",
+            "_ref",
+            F.coalesce(F.col("_curn"), F.lit(0)).alias("_curn"),
+        )
+    )
+    return _psi_from_filled(
+        filled, group_col, n_buckets, extra_keys=(("_w", window_col),)
+    )

@@ -7703,6 +7703,67 @@ def dq_psi_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_psi_drift_daily",
+    "WITH v AS (SELECT event_type AS g, value::DOUBLE AS v, ts, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    "m AS (SELECT g, max(v) AS mx, min(v) AS mn FROM v WHERE NOT cur "
+    "GROUP BY g), "
+    "rc AS (SELECT v.g, CASE WHEN m.mx = m.mn THEN 0 ELSE least(9, greatest(0, CAST(floor((v.v - m.mn) * 10 / (m.mx - m.mn)) AS INT))) END"
+    " AS b, count(*) AS refn FROM v JOIN m ON v.g = m.g WHERE NOT cur "
+    "GROUP BY 1, 2), "
+    "cc AS (SELECT v.g, CAST(v.ts AS DATE) AS day, "
+    "CASE WHEN m.mx = m.mn THEN 0 ELSE least(9, greatest(0, CAST(floor((v.v - m.mn) * 10 / (m.mx - m.mn)) AS INT))) END"
+    " AS b, count(*) AS curn FROM v JOIN m ON v.g = m.g WHERE cur "
+    "GROUP BY 1, 2, 3), "
+    "days AS (SELECT DISTINCT g, day FROM cc), "
+    "grid AS (SELECT d.g, d.day, r.b FROM days d "
+    "CROSS JOIN (SELECT range::INT AS b FROM range(0, 10)) r), "
+    "f AS (SELECT grid.g, grid.day, grid.b, coalesce(rc.refn, 0) AS ref, "
+    "coalesce(cc.curn, 0) AS curn FROM grid "
+    "LEFT JOIN rc ON grid.g = rc.g AND grid.b = rc.b "
+    "LEFT JOIN cc ON grid.g = cc.g AND grid.day = cc.day "
+    "AND grid.b = cc.b), "
+    "t AS (SELECT g, day, ref, curn, "
+    "sum(ref) OVER (PARTITION BY g, day) AS nref, "
+    "sum(curn) OVER (PARTITION BY g, day) AS ncur FROM f) "
+    "SELECT g AS event_type, day, max(nref)::BIGINT AS n_ref, "
+    "max(ncur)::BIGINT AS n_cur, "
+    "round(sum(((curn + 1.0) / (ncur + 10) - (ref + 1.0) / (nref + 10)) * "
+    "ln(((curn + 1.0) / (ncur + 10)) / ((ref + 1.0) / (nref + 10)))), 6) "
+    "AS psi FROM t GROUP BY g, day",
+    doc="PSI drift TIME SERIES (operators/quality.py psi_drift_windows): "
+    "the persisted-reference probe evaluated per (event type, DAY) — "
+    "one PSI row per group per day, the dashboard shape of production "
+    "model monitoring (the single-number audit says 'drifted'; the "
+    "series says WHEN and whether it trends or spikes). One pass "
+    "buckets the current rows against the frozen reference edges and "
+    "counts per (group, day, bucket); the reference grid broadcast-"
+    "joins onto the distinct (group, day) pairs, so everything after "
+    "the first aggregate is bounded by groups x days x 10. Same "
+    "smoothing/bucket arithmetic as dq_psi_drift_incremental (shared "
+    "_psi_from_filled tail, now key-generalized).",
+)
+def dq_psi_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        psi_drift_windows,
+        psi_reference_write,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "psiref",
+        sf_dir,
+        lambda p: psi_reference_write(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p
+        ),
+    )
+    cur = ev.filter(F.col("ts") >= cut).withColumn("day", F.to_date("ts"))
+    return psi_drift_windows(cur, "event_type", "value", "day", path)
+
+
+@query(
     "dq_ks_drift_incremental",
     "WITH v AS (SELECT event_type AS g, value AS v, "
     "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "

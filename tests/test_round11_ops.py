@@ -436,6 +436,69 @@ def test_embedding_drift_probe_equals_batch(spark, tmp_path):
     assert math.isclose(self_probe["max_dim_gap"], 0.0, abs_tol=1e-6)
 
 
+# ------------------------------------------------------- BPE encoding
+def test_bpe_encode_hand_case_and_trainer_roundtrip(spark):
+    from wms_data_pipeline_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab c"), (2, ""), (3, None), (4, "ABAB")],
+        "doc_id bigint, text string",
+    )
+    # hand case: one merge (a,b) -> 'ab c' word shapes
+    out = {
+        r.doc_id: r.n_bpe_tokens
+        for r in txt.bpe_encode(docs, [("a", "b")]).collect()
+    }
+    # "ab" -> [ab, </w>] x2; "c" -> [c, </w>]; "ABAB" lowercases ->
+    # [ab, ab, </w>]
+    assert out == {1: 6, 2: 0, 3: None, 4: 3}
+    # chained merges apply in rank order: (a,b) then (ab,ab)
+    out2 = txt.bpe_encode(docs, [("a", "b"), ("ab", "ab")]).collect()
+    assert {r.doc_id: r.n_bpe_tokens for r in out2}[4] == 2
+
+    # trainer roundtrip: encode with LEARNED merges == pure-Python encoder
+    corpus = spark.createDataFrame(
+        [(i, "low lower lowest newer new " * (i + 1)) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    merges_df, _ = txt.bpe_train(corpus, num_merges=6)
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in txt.bpe_encode(corpus, merges_df).collect()
+    }
+    pairs = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+
+    def py_encode(word):
+        syms = list(word) + ["</w>"]
+        for left, right in pairs:
+            j, o = 0, []
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    o.append(left + right)
+                    j += 2
+                else:
+                    o.append(syms[j])
+                    j += 1
+            syms = o
+        return len(syms)
+
+    for i in range(4):
+        text = "low lower lowest newer new " * (i + 1)
+        assert got[i] == sum(py_encode(w) for w in text.split()), i
+
+    with pytest.raises(ValueError, match="rank/left/right"):
+        txt.bpe_encode(docs, docs)
+    orig = txt.MAX_BPE_MERGES
+    txt.MAX_BPE_MERGES = 1
+    try:
+        with pytest.raises(ValueError, match="MAX_BPE_MERGES"):
+            txt.bpe_encode(docs, [("a", "b"), ("b", "c")])
+    finally:
+        txt.MAX_BPE_MERGES = orig
+
+
 # ----------------------------------------------- personalized pagerank
 def test_personalized_pagerank_semantics(spark):
     from wms_data_pipeline_spark.operators import graph as gr

@@ -758,3 +758,92 @@ def classifier_score(
         .withColumn("quality_score", score)
         .withColumn("keep", F.col("quality_score") >= F.lit(keep_threshold))
     )
+
+
+#: ``bpe_encode`` holds the learned merge list in every task's closure
+#: (the classifier_score(weights=) shape). Real tokenizers ship <=50k
+#: merges (~1 MB as tuples); above this something is wrong upstream —
+#: fail loudly rather than ship a giant closure.
+MAX_BPE_MERGES = 100_000
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    colname: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges to a corpus — the other half of the
+    tokenizer loop (``bpe_train`` learns the merges; this ENCODES with
+    them, the operation every token-budget/packing/cost step of a
+    training-data pipeline actually runs). ``merges`` is the trainer's
+    merges DataFrame (rank, left, right[, merged, pair_count]) or an
+    equivalent list of (left, right) pairs in rank order.
+
+    Per whitespace token (lowercased — the trainer's normalization, so
+    its merges apply): symbols = characters + '</w>', then each merge
+    in RANK ORDER rewrites every adjacent (left, right) pair — the
+    standard greedy BPE application (Sennrich et al. 2016, public
+    method). Returns the input plus ``n_bpe_tokens`` (BIGINT): the
+    total symbol count, the number a token-budget sampler or packer
+    feeds on. Runs as one Arrow-batched pandas UDF with the merge list
+    in the task closure (zero shuffles, capped by MAX_BPE_MERGES);
+    cost is O(doc_len x applicable merges) — the scoring pass of a
+    nightly pipeline, not a per-query hot path. Pinned against a pure-
+    Python reference encoder in tests; ``bpe_token_estimate`` stays the
+    cheap chars/4 proxy for when no trained merges exist."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    if isinstance(merges, DataFrame):
+        cols = set(merges.columns)
+        if not {"rank", "left", "right"} <= cols:
+            raise ValueError(
+                f"merges DataFrame needs rank/left/right columns, has {sorted(cols)}"
+            )
+        pairs = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("rank").collect()
+        ]
+    else:
+        pairs = [(left, right) for left, right in merges]
+    if len(pairs) > MAX_BPE_MERGES:
+        raise ValueError(
+            f"bpe_encode: {len(pairs)} merges exceeds "
+            f"MAX_BPE_MERGES={MAX_BPE_MERGES}"
+        )
+
+    def _count_series(texts):
+        import re
+
+        pat = re.compile(r"[^ \t\n\x0b\f\r]+")
+
+        def encode_word(word):
+            syms = list(word) + ["</w>"]
+            for left, right in pairs:
+                if len(syms) < 2:
+                    break
+                j, out = 0, []
+                merged = left + right
+                while j < len(syms):
+                    if (
+                        j + 1 < len(syms)
+                        and syms[j] == left
+                        and syms[j + 1] == right
+                    ):
+                        out.append(merged)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                syms = out
+            return len(syms)
+
+        def one(t):
+            if t is None:
+                return None
+            return sum(encode_word(w.lower()) for w in pat.findall(t))
+
+        return texts.map(one)
+
+    udf = pandas_udf(_count_series, "long", PandasUDFType.SCALAR)
+    return df.withColumn("n_bpe_tokens", udf(F.col(colname)))

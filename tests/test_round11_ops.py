@@ -263,6 +263,40 @@ def test_psi_windows_single_window_equals_probe(spark, tmp_path, drift_events):
     assert all(r["n_cur"] > 0 for r in two)
 
 
+def test_ks_windows_per_window_equals_probe(spark, tmp_path, drift_events):
+    """Each (group, window) row of ks_drift_windows must equal running
+    ks_drift_probe on that window's rows alone (shared tail, no
+    geometry)."""
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import quality as q
+
+    path = _store(tmp_path, "ks_w")
+    q.ks_reference_write(drift_events.filter("NOT cur"), "g", "v", path)
+    cur = drift_events.filter("cur").withColumn(
+        "w", (F.col("v") % 2 == 0).cast("string")
+    )
+    series = {
+        (r["g"], r["w"]): (r["n_ref"], r["n_cur"], r["ks_x1e6"])
+        for r in q.ks_drift_windows(cur, "g", "v", "w", path).collect()
+    }
+    assert set(series) == {
+        ("a", "true"), ("a", "false"), ("b", "true"), ("b", "false")
+    }
+    for (g, w), got in series.items():
+        # the probe also emits the OTHER store group with n_cur=0 (it
+        # audits every stored group); the series only emits windows a
+        # group has rows for — compare the matching group's row
+        alone = {
+            r["g"]: (r["n_ref"], r["n_cur"], r["ks_x1e6"])
+            for r in q.ks_drift_probe(
+                cur.filter((F.col("g") == g) & (F.col("w") == w)),
+                "g", "v", path,
+            ).collect()
+        }
+        assert alone[g] == got, (g, w)
+
+
 def test_ks_and_chi2_probes_bitwise_equal_batch(spark, tmp_path, drift_events):
     from wms_data_pipeline_spark.operators import quality as q
 

@@ -323,18 +323,25 @@ def ks_drift(
     return _ks_from_counts(c, group_col)
 
 
-def _ks_from_counts(c: DataFrame, group_col: str) -> DataFrame:
-    """Shared KS tail over per-(group, value) population counts
-    (_g, _v, _r, _c) — the minimal sufficient statistic for the
-    two-sample KS, so the batch recompute (``ks_drift``) and the
-    persisted-reference probe (``ks_drift_probe``) are bit-identical
-    by construction (KS has no bucket geometry to freeze)."""
+def _ks_from_counts(
+    c: DataFrame,
+    group_col: str,
+    extra_keys: "tuple[tuple[str, str], ...]" = (),
+) -> DataFrame:
+    """Shared KS tail over per-(group[, extra...], value) population
+    counts (_g, …, _v, _r, _c) — the minimal sufficient statistic for the
+    two-sample KS, so the batch recompute (``ks_drift``), the
+    persisted-reference probe (``ks_drift_probe``) and the windowed time
+    series (``ks_drift_windows``) are bit-identical by construction (KS
+    has no bucket geometry to freeze). ``extra_keys`` as in
+    ``_psi_from_filled``."""
+    keys = ["_g"] + [k for k, _ in extra_keys]
     w_cum = (
-        Window.partitionBy("_g")
+        Window.partitionBy(*keys)
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("_g").rowsBetween(
+    w_all = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     stepped = (
@@ -346,7 +353,7 @@ def _ks_from_counts(c: DataFrame, group_col: str) -> DataFrame:
     gap = F.abs(
         F.expr("(_cr * 1000000) div _nr") - F.expr("(_cc * 1000000) div _nc")
     )
-    return stepped.groupBy("_g").agg(
+    out = stepped.groupBy(*keys).agg(
         F.max("_nr").cast("long").alias("n_ref"),
         F.max("_nc").cast("long").alias("n_cur"),
         F.max(
@@ -355,6 +362,9 @@ def _ks_from_counts(c: DataFrame, group_col: str) -> DataFrame:
         .cast("long")
         .alias("ks_x1e6"),
     ).withColumnRenamed("_g", group_col)
+    for internal, output in extra_keys:
+        out = out.withColumnRenamed(internal, output)
+    return out
 
 
 def chi2_drift(
@@ -844,4 +854,59 @@ def psi_drift_windows(
     )
     return _psi_from_filled(
         filled, group_col, n_buckets, extra_keys=(("_w", window_col),)
+    )
+
+
+def ks_drift_windows(
+    cur_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    window_col: str,
+    path: str,
+) -> DataFrame:
+    """KS drift TIME SERIES against a persisted reference
+    (``ks_reference_write``): the exact integer-ECDF gap per (group,
+    window) — the binning-free companion to ``psi_drift_windows`` on the
+    same monitoring dashboard. The stored per-(group, value) counts
+    replicate onto each window the group actually has current rows for
+    (a window-count-bounded join, no raw reference rescans), merge with
+    the batch's per-(group, window, value) counts, and run the shared
+    integer-ECDF tail keyed by (group, window).
+
+    Cost note: the merge frame is |store| x |windows per group| + batch
+    distinct values — linear in the audit windows, which is what a
+    time-series audit inherently pays (each window's ECDF needs the full
+    reference CDF); on near-continuous metrics quantize at ingest (see
+    ``ks_drift_probe``). Bit-identical per window to running
+    ``ks_drift_probe`` on that window's rows alone (pinned in tests)."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    cur = cur_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(window_col).alias("_w"),
+        F.col(value_col).alias("_v"),
+    )
+    windows = (
+        cur.select("_g", "_w")
+        .distinct()
+        .join(F.broadcast(store.select("_g").distinct()), "_g", "semi")
+    )
+    ref_rows = store.join(windows, "_g").select(
+        "_g", "_w", "_v", "_r", F.lit(0).cast("long").alias("_c")
+    )
+    cur_rows = (
+        cur.join(F.broadcast(store.select("_g").distinct()), "_g", "semi")
+        .select(
+            "_g", "_w", "_v",
+            F.lit(0).cast("long").alias("_r"),
+            F.lit(1).cast("long").alias("_c"),
+        )
+    )
+    merged = (
+        ref_rows.unionByName(cur_rows)
+        .groupBy("_g", "_w", "_v")
+        .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+    )
+    return _ks_from_counts(
+        merged, group_col, extra_keys=(("_w", window_col),)
     )

@@ -7813,6 +7813,64 @@ def dq_ks_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_ks_drift_daily",
+    "WITH v AS (SELECT event_type AS g, value AS v, ts, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    "rc AS (SELECT g, v AS val, count(*)::BIGINT AS r FROM v "
+    "WHERE NOT cur GROUP BY 1, 2), "
+    "days AS (SELECT DISTINCT g, CAST(ts AS DATE) AS day FROM v WHERE cur "
+    "AND g IN (SELECT g FROM rc)), "
+    "cc AS (SELECT g, CAST(ts AS DATE) AS day, v AS val, "
+    "count(*)::BIGINT AS c FROM v WHERE cur "
+    "AND g IN (SELECT g FROM rc) GROUP BY 1, 2, 3), "
+    "u AS (SELECT d.g, d.day, rc.val, rc.r, 0::BIGINT AS c FROM days d "
+    "JOIN rc ON d.g = rc.g "
+    "UNION ALL SELECT g, day, val, 0::BIGINT, c FROM cc), "
+    "m AS (SELECT g, day, val, sum(r) AS r, sum(c) AS c FROM u "
+    "GROUP BY 1, 2, 3), "
+    "s AS (SELECT g, day, sum(r) OVER (PARTITION BY g, day ORDER BY val "
+    "ROWS UNBOUNDED PRECEDING) AS cr, sum(c) OVER (PARTITION BY g, day "
+    "ORDER BY val ROWS UNBOUNDED PRECEDING) AS ccum, "
+    "sum(r) OVER (PARTITION BY g, day) AS nr, "
+    "sum(c) OVER (PARTITION BY g, day) AS nc FROM m) "
+    "SELECT g AS event_type, day, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "max(CASE WHEN nr > 0 AND nc > 0 THEN "
+    "abs((cr * 1000000) // nr - (ccum * 1000000) // nc) END)::BIGINT "
+    "AS ks_x1e6 FROM s GROUP BY g, day",
+    doc="KS drift TIME SERIES (operators/quality.py ks_drift_windows): "
+    "the exact integer-ECDF gap per (event type, DAY) against the "
+    "persisted reference counts — the binning-free companion to "
+    "dq_psi_drift_daily on the same monitoring dashboard. The stored "
+    "per-(type, value) counts replicate onto each day the type has "
+    "current rows for, merge with the batch's per-(type, day, value) "
+    "counts, and run the shared integer-ECDF tail keyed by (type, day) "
+    "— bit-identical per day to probing that day's rows alone (pinned "
+    "in test_round11_ops). Cost is linear in audit windows (each "
+    "window's ECDF needs the full reference CDF — inherent to the "
+    "time-series form).",
+)
+def dq_ks_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_drift_windows,
+        ks_reference_write,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "ksref",
+        sf_dir,
+        lambda p: ks_reference_write(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p
+        ),
+    )
+    cur = ev.filter(F.col("ts") >= cut).withColumn("day", F.to_date("ts"))
+    return ks_drift_windows(cur, "event_type", "value", "day", path)
+
+
+@query(
     "dq_chi2_drift_incremental",
     "WITH v AS (SELECT coalesce(o_orderpriority, '__null__') AS c, "
     "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS cur FROM orders), "

@@ -1249,6 +1249,78 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd_source_overlap_matrix",
+    "WITH sh AS (SELECT DISTINCT source, g FROM (SELECT source, "
+    "unnest(list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 1)), "
+    "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2] || ' ' || toks[j + 3]"
+    "))) AS g FROM (SELECT source, regexp_extract_all(text, '\\S+') AS toks "
+    "FROM documents) WHERE len(toks) >= 4)), "
+    "tot AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY 1), "
+    "p AS (SELECT x.source AS source_a, y.source AS source_b, "
+    "count(*)::BIGINT AS n_shared FROM sh x JOIN sh y ON x.g = y.g "
+    "AND x.source < y.source GROUP BY 1, 2) "
+    "SELECT p.source_a, p.source_b, p.n_shared, "
+    "ta.n AS n_shingles_a, tb.n AS n_shingles_b, "
+    "round(p.n_shared / least(ta.n, tb.n), 6) AS containment "
+    "FROM p JOIN tot ta ON p.source_a = ta.source "
+    "JOIN tot tb ON p.source_b = tb.source",
+    doc="Cross-source contamination matrix: for every source pair, the "
+    "number of distinct word 4-gram shingles they SHARE plus the "
+    "containment ratio (shared / smaller side) — the audit that "
+    "identifies mirror sites, syndicated feeds and re-crawled domains "
+    "BEFORE doc-level dedup runs (a source pair near containment 1.0 "
+    "means one side is redundant wholesale). Plan: distinct (source, "
+    "shingle) pairs map-side (shingles_of dedups per doc, one distinct "
+    "aggregate per source), then a self-join on the SHINGLE key — "
+    "per-shingle fan-out is bounded by C(sources-with-it, 2) <= "
+    "C(|sources|, 2), never doc x doc — one pair-count aggregate, and "
+    "broadcast-sized per-source totals joined back. Exact integers "
+    "plus one 6-dp rounded ratio.",
+)
+def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    sh = (
+        docs.select(
+            "source", F.explode(dd.shingles_of("text", 4)).alias("g")
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_shingles_a")))
+    tb = F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_shingles_b")))
+    return (
+        pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_shingles_a",
+            "n_shingles_b",
+            F.round(
+                F.col("n_shared")
+                / F.least("n_shingles_a", "n_shingles_b"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+@query(
     "dd_minhash_signature",
     _minhash_sig_duck(dd.DEFAULT_NUM_PERM),
     doc="MinHash signatures over 3-word shingles, computed map-side with "

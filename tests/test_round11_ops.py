@@ -297,6 +297,31 @@ def test_ks_windows_per_window_equals_probe(spark, tmp_path, drift_events):
         assert alone[g] == got, (g, w)
 
 
+def test_chi2_windows_per_window_equals_probe(spark, tmp_path, drift_events):
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import quality as q
+
+    path = _store(tmp_path, "chi2_w")
+    q.chi2_reference_write(drift_events.filter("NOT cur"), "g", path)
+    cur = drift_events.filter("cur").withColumn(
+        "w", (F.col("v") % 3 == 0).cast("string")
+    )
+    series = {
+        r["w"]: (r["n_ref"], r["n_cur"], r["n_categories"], r["chi2"])
+        for r in q.chi2_drift_windows(cur, "g", "w", path).collect()
+    }
+    assert set(series) == {"true", "false"}
+    for w, got in series.items():
+        alone = q.chi2_drift_probe(
+            cur.filter(F.col("w") == w), "g", path
+        ).collect()[0]
+        assert (
+            alone["n_ref"], alone["n_cur"], alone["n_categories"],
+            alone["chi2"],
+        ) == got, w
+
+
 def test_ks_and_chi2_probes_bitwise_equal_batch(spark, tmp_path, drift_events):
     from wms_data_pipeline_spark.operators import quality as q
 

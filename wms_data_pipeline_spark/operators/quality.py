@@ -401,12 +401,18 @@ def chi2_drift(
     return _chi2_from_counts(counts)
 
 
-def _chi2_from_counts(counts: DataFrame) -> DataFrame:
+def _chi2_from_counts(
+    counts: DataFrame,
+    extra_keys: "tuple[tuple[str, str], ...]" = (),
+) -> DataFrame:
     """Shared chi-square tail over per-category population counts
-    (_c, _r, _q) — exact integer counts are the sufficient statistic,
-    so ``chi2_drift`` and ``chi2_drift_probe`` are bit-identical by
-    construction."""
-    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+    (_c, _r, _q[, extra...]) — exact integer counts are the sufficient
+    statistic, so ``chi2_drift``, ``chi2_drift_probe`` and the windowed
+    ``chi2_drift_windows`` are bit-identical by construction.
+    ``extra_keys`` as in ``_psi_from_filled`` (one statistic row per
+    extra-key combination instead of one global row)."""
+    keys = [k for k, _ in extra_keys]
+    w_all = Window.partitionBy(*(keys or [F.lit(1)])).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     # totals get distinct names: Spark column resolution is
@@ -425,13 +431,19 @@ def _chi2_from_counts(counts: DataFrame) -> DataFrame:
         (F.col("_r") - er) * (F.col("_r") - er) / er
         + (F.col("_q") - eq) * (F.col("_q") - eq) / eq,
     )
-    return t.agg(
+    aggs = [
         F.max("_tr").cast("long").alias("n_ref"),
         F.max("_tq").cast("long").alias("n_cur"),
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
         F.round(F.sum(term), 6).alias("chi2"),
-    )
+    ]
+    if not keys:
+        return t.agg(*aggs)
+    out = t.groupBy(*keys).agg(*aggs)
+    for internal, output in extra_keys:
+        out = out.withColumnRenamed(internal, output)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -910,3 +922,43 @@ def ks_drift_windows(
     return _ks_from_counts(
         merged, group_col, extra_keys=(("_w", window_col),)
     )
+
+
+def chi2_drift_windows(
+    cur_df: DataFrame,
+    cat_col: str,
+    window_col: str,
+    path: str,
+) -> DataFrame:
+    """Chi-square drift TIME SERIES against persisted reference category
+    counts (``chi2_reference_write``): one homogeneity statistic per
+    window — the categorical leg of the windowed drift dashboard
+    (``psi_drift_windows``/``ks_drift_windows`` cover continuous). The
+    stored counts replicate onto each window with current rows, merge
+    with the batch's per-(window, category) counts (categories first
+    seen in a window enter with reference count 0), and run the shared
+    tail keyed by window. Bit-identical per window to probing that
+    window's rows alone (pinned in tests); the merge frame is bounded by
+    |windows| x |categories|."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    cur = cur_df.select(
+        F.col(window_col).alias("_w"),
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("__null__")).alias(
+            "_c"
+        ),
+    )
+    windows = cur.select("_w").distinct()
+    ref_rows = store.join(F.broadcast(windows)).select(
+        "_w", "_c", "_r", F.lit(0).cast("long").alias("_q")
+    )
+    cur_rows = cur.select(
+        "_w", "_c", F.lit(0).cast("long").alias("_r"),
+        F.lit(1).cast("long").alias("_q"),
+    )
+    merged = (
+        ref_rows.unionByName(cur_rows)
+        .groupBy("_w", "_c")
+        .agg(F.sum("_r").alias("_r"), F.sum("_q").alias("_q"))
+    )
+    return _chi2_from_counts(merged, extra_keys=(("_w", window_col),))

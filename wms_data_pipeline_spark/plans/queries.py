@@ -7984,6 +7984,61 @@ def dq_chi2_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dq_chi2_drift_monthly",
+    "WITH v AS (SELECT coalesce(o_orderpriority, '__null__') AS c, "
+    "o_orderdate, o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS cur "
+    "FROM orders), "
+    "rc AS (SELECT c, count(*)::BIGINT AS r FROM v WHERE NOT cur "
+    "GROUP BY 1), "
+    "cc AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS w, "
+    "c, count(*)::BIGINT AS q FROM v WHERE cur GROUP BY 1, 2), "
+    "wins AS (SELECT DISTINCT w FROM cc), "
+    "u AS (SELECT wins.w, rc.c, rc.r, 0::BIGINT AS q FROM wins "
+    "CROSS JOIN rc UNION ALL SELECT w, c, 0::BIGINT, q FROM cc), "
+    "m AS (SELECT w, c, sum(r) AS r, sum(q) AS q FROM u GROUP BY 1, 2), "
+    "t AS (SELECT w, c, r, q, sum(r) OVER (PARTITION BY w) AS tr, "
+    "sum(q) OVER (PARTITION BY w) AS tq, r + q AS n, "
+    "sum(r) OVER (PARTITION BY w) + sum(q) OVER (PARTITION BY w) AS tn "
+    "FROM m) "
+    "SELECT w AS month, max(tr)::BIGINT AS n_ref, max(tq)::BIGINT AS n_cur, "
+    "count(*)::BIGINT AS n_categories, (count(*) - 1)::BIGINT AS dof, "
+    "round(sum(CASE WHEN tr > 0 AND tq > 0 THEN "
+    "(r - tr*n/tn) * (r - tr*n/tn) / (tr*n/tn) + "
+    "(q - tq*n/tn) * (q - tq*n/tn) / (tq*n/tn) END), 6) AS chi2 "
+    "FROM t GROUP BY w",
+    doc="Chi-square drift TIME SERIES (operators/quality.py "
+    "chi2_drift_windows): one homogeneity statistic per MONTH of "
+    "post-1998 orders against the persisted pre-1998 order-priority "
+    "counts — the categorical leg of the windowed drift dashboard "
+    "(dq_psi_drift_daily / dq_ks_drift_daily cover continuous). Stored "
+    "counts replicate onto each month with current rows (categories "
+    "first seen in a month enter with reference count 0), shared tail "
+    "keyed by month; bit-identical per month to probing that month "
+    "alone (pinned in test_round11_ops). Merge frame bounded by "
+    "months x categories.",
+)
+def dq_chi2_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        chi2_drift_windows,
+        chi2_reference_write,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "chi2ref",
+        sf_dir,
+        lambda p: chi2_reference_write(
+            o.filter(F.col("o_orderdate") < cut), "o_orderpriority", p
+        ),
+    )
+    cur = o.filter(F.col("o_orderdate") >= cut).withColumn(
+        "month", F.to_date(F.date_trunc("month", "o_orderdate"))
+    )
+    return chi2_drift_windows(cur, "o_orderpriority", "month", path)
+
+
 _EMB_DRIFT_ORACLE = (
     "WITH e AS (SELECT vec_id % 4 = 0 AS cur, embedding FROM embeddings "
     "WHERE embedding IS NOT NULL), "

@@ -454,6 +454,42 @@ def test_audit_batch_chi2_kind(spark, tmp_path):
         audit_batch(cur, 3, "orders")
 
 
+def test_audit_batch_embedding_kind(spark, tmp_path):
+    import random
+
+    from wms_data_pipeline_spark.control.audit import audit_batch
+    from wms_data_pipeline_spark.operators.quality import (
+        embedding_drift_probe,
+        embedding_reference_write,
+    )
+
+    rng = random.Random(7)
+    ref = spark.createDataFrame(
+        [(i, [1.0 + rng.gauss(0, 0.1) for _ in range(8)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    path = str(tmp_path / "embref")
+    embedding_reference_write(ref, "embedding", path)
+    cur = spark.createDataFrame(
+        [(i, [1.5 + rng.gauss(0, 0.1) for _ in range(8)]) for i in range(10)],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {
+        r["metric"]: r
+        for r in audit_batch(
+            cur, 7, "embeddings", drift_emb=("embedding", path)
+        ).collect()
+    }
+    assert set(rows) == {"centroid_cosine", "mean_gap_l2", "max_dim_gap"}
+    assert all(r["kind"] == "embedding_drift" and r["n_rows"] == 10
+               for r in rows.values())
+    # values are the probe's, verbatim
+    probe = embedding_drift_probe(cur, "embedding", path).collect()[0]
+    for m in rows:
+        assert rows[m]["value"] == probe[m], m
+    assert rows["mean_gap_l2"]["value"] > 0.3  # the shift is visible
+
+
 # ------------------------------------------------------ embedding drift
 def test_embedding_drift_probe_equals_batch(spark, tmp_path):
     import math

@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 from wms_data_pipeline_spark.operators.merge import ParquetTable
 from wms_data_pipeline_spark.operators.quality import (
     chi2_drift_probe,
+    embedding_drift_probe,
     expectations_report,
     psi_drift_probe,
 )
@@ -85,15 +86,25 @@ def audit_batch(
     expectations: "dict[str, Column] | None" = None,
     drift: "tuple[str, str, str] | None" = None,
     drift_cat: "tuple[str, str] | None" = None,
+    drift_emb: "tuple[str, str] | None" = None,
 ) -> DataFrame:
     """Long-form audit rows for one micro-batch: expectation results,
-    a PSI drift probe, and/or a categorical chi-square drift probe,
-    unioned into ``AUDIT_SCHEMA``. ``drift`` is (group_col, value_col,
-    reference_histogram_path) from ``psi_reference_write``; ``drift_cat``
-    is (cat_col, reference_counts_path) from ``chi2_reference_write`` —
-    the chi2 statistic lands as kind='chi2_drift', key=cat_col, with
-    'chi2' and 'n_categories' metric rows."""
-    if expectations is None and drift is None and drift_cat is None:
+    a PSI drift probe, a categorical chi-square drift probe and/or an
+    embedding-centroid drift probe, unioned into ``AUDIT_SCHEMA``.
+    ``drift`` is (group_col, value_col, reference_histogram_path) from
+    ``psi_reference_write``; ``drift_cat`` is (cat_col,
+    reference_counts_path) from ``chi2_reference_write`` — the chi2
+    statistic lands as kind='chi2_drift', key=cat_col, with 'chi2' and
+    'n_categories' metric rows; ``drift_emb`` is (vec_col,
+    reference_means_path) from ``embedding_reference_write`` — three
+    kind='embedding_drift' metric rows (centroid_cosine, mean_gap_l2,
+    max_dim_gap)."""
+    if (
+        expectations is None
+        and drift is None
+        and drift_cat is None
+        and drift_emb is None
+    ):
         raise ValueError("audit_batch: nothing to audit (no expectations, no drift)")
     tag = [
         F.lit(batch_id).cast("long").alias("batch_id"),
@@ -134,6 +145,20 @@ def audit_batch(
                     *tag,
                     F.lit("chi2_drift").alias("kind"),
                     F.lit(cat_col).alias("key"),
+                    F.lit(metric).alias("metric"),
+                    F.col(metric).cast("double").alias("value"),
+                    F.col("n_cur").cast("long").alias("n_rows"),
+                )
+            )
+    if drift_emb:
+        vec_col, ref_path = drift_emb
+        emb = embedding_drift_probe(batch, vec_col, ref_path)
+        for metric in ("centroid_cosine", "mean_gap_l2", "max_dim_gap"):
+            parts.append(
+                emb.select(
+                    *tag,
+                    F.lit("embedding_drift").alias("kind"),
+                    F.lit(vec_col).alias("key"),
                     F.lit(metric).alias("metric"),
                     F.col(metric).cast("double").alias("value"),
                     F.col("n_cur").cast("long").alias("n_rows"),

@@ -59,6 +59,7 @@ def incremental_merge_stream(
     expectations=None,
     drift=None,
     drift_cat=None,
+    drift_emb=None,
     audit_log=None,
 ) -> StreamingQuery:
     """readStream → event-time watermark → foreachBatch(history + latest
@@ -87,7 +88,7 @@ def incremental_merge_stream(
         history = ParquetTable(spark, f"{warehouse_root}/stg_{entity}_history")
     if latest is None:
         latest = ParquetTable(spark, f"{warehouse_root}/stg_{entity}")
-    if audit_log is None and (expectations or drift or drift_cat):
+    if audit_log is None and (expectations or drift or drift_cat or drift_emb):
         from wms_data_pipeline_spark.control.audit import QualityAuditLog
 
         audit_log = QualityAuditLog(spark, f"{warehouse_root}/quality_audit")
@@ -98,12 +99,15 @@ def incremental_merge_stream(
         staged = with_payload_and_hash(batch)
         history.append_history(staged)
         latest.upsert_latest(staged, ts_col=ts_col)
-        if audit_log is not None and (expectations or drift or drift_cat):
+        if audit_log is not None and (
+            expectations or drift or drift_cat or drift_emb
+        ):
             from wms_data_pipeline_spark.control.audit import audit_batch
 
             audit_log.append(
                 audit_batch(
-                    batch, batch_id, entity, expectations, drift, drift_cat
+                    batch, batch_id, entity, expectations, drift,
+                    drift_cat, drift_emb,
                 )
             )
 

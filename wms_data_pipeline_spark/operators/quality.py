@@ -903,7 +903,9 @@ def ks_drift_windows(
         .distinct()
         .join(F.broadcast(store.select("_g").distinct()), "_g", "semi")
     )
-    ref_rows = store.join(windows, "_g").select(
+    # windows is |groups| x |windows| — dimension-sized however large the
+    # store; broadcast it so the replication join never shuffles the store
+    ref_rows = store.join(F.broadcast(windows), "_g").select(
         "_g", "_w", "_v", "_r", F.lit(0).cast("long").alias("_c")
     )
     cur_rows = (

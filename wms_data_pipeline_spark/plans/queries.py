@@ -1270,35 +1270,46 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "containment ratio (shared / smaller side) — the audit that "
     "identifies mirror sites, syndicated feeds and re-crawled domains "
     "BEFORE doc-level dedup runs (a source pair near containment 1.0 "
-    "means one side is redundant wholesale). Plan: distinct (source, "
-    "shingle) pairs map-side (shingles_of dedups per doc, one distinct "
-    "aggregate per source), then a self-join on the SHINGLE key — "
-    "per-shingle fan-out is bounded by C(sources-with-it, 2) <= "
-    "C(|sources|, 2), never doc x doc — one pair-count aggregate, and "
-    "broadcast-sized per-source totals joined back. Exact integers "
-    "plus one 6-dp rounded ratio.",
+    "means one side is redundant wholesale). Plan (node-iterator form, "
+    "the r10 wedge lesson — the naive self-join on the shingle key "
+    "costs 7 exchanges because the shingle subtree recomputes 3x): "
+    "distinct (source, shingle) pairs aggregate ONCE into a sorted "
+    "per-shingle source array (materialized via localCheckpoint — the "
+    "persist-once story), then pairs emit MAP-SIDE by double "
+    "posexplode (i < j over the sorted array; fan-out bounded by "
+    "C(sources-with-it, 2), never doc x doc) into one pair-count "
+    "aggregate, and totals explode from the same materialized arrays. "
+    "2 static + 2 materialization exchanges vs 7. Exact integers plus "
+    "one 6-dp rounded ratio.",
 )
 def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("source", "text")
-    sh = (
+    by_sh = (
         docs.select(
             "source", F.explode(dd.shingles_of("text", 4)).alias("g")
         )
         .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint()
     )
-    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
     pairs = (
-        x.join(
-            y,
-            (F.col("x.g") == F.col("y.g"))
-            & (F.col("x.source") < F.col("y.source")),
+        by_sh.select(
+            F.posexplode("srcs").alias("_i", "source_a"), F.col("srcs")
         )
-        .groupBy(
-            F.col("x.source").alias("source_a"),
-            F.col("y.source").alias("source_b"),
+        .select(
+            "source_a",
+            F.explode(
+                F.expr("slice(srcs, _i + 2, size(srcs))")
+            ).alias("source_b"),
         )
+        .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    tot = (
+        by_sh.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     ta = F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("n_shingles_a")))
     tb = F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("n_shingles_b")))

@@ -15,7 +15,7 @@
   generation replacing self-joins/re-aggregations) cut an exchange, or
   is 6 the honest minimum? Results either way go to SCALE_NOTES.
 
-Usage: python tools/ab_round11_ops.py [drift|bigram|decon|all]
+Usage: python tools/ab_round11_ops.py [drift|bigram|decon|audit|overlap|all]
 """
 
 from __future__ import annotations
@@ -413,6 +413,66 @@ def leg_audit(spark):
         )
 
 
+def leg_overlap(spark):
+    """dd_source_overlap_matrix: the original shingle self-join (its sh
+    subtree recomputed 3x — 7 exchanges) vs the adopted node-iterator
+    form (per-shingle sorted source array materialized once, pairs by
+    double posexplode — 2 static + 2 materialization exchanges)."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+    from wms_data_pipeline_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "source", "text"
+    )
+
+    def joinform():
+        sh = (
+            docs.select(
+                "source", F.explode(dd.shingles_of("text", 4)).alias("g")
+            )
+            .distinct()
+        )
+        x, y = sh.alias("x"), sh.alias("y")
+        return (
+            x.join(
+                y,
+                (F.col("x.g") == F.col("y.g"))
+                & (F.col("x.source") < F.col("y.source")),
+            )
+            .groupBy(
+                F.col("x.source").alias("source_a"),
+                F.col("y.source").alias("source_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+
+    def arrayform():
+        by_sh = (
+            docs.select(
+                "source", F.explode(dd.shingles_of("text", 4)).alias("g")
+            )
+            .distinct()
+            .groupBy("g")
+            .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+            .localCheckpoint()
+        )
+        return (
+            by_sh.select(
+                F.posexplode("srcs").alias("_i", "source_a"), F.col("srcs")
+            )
+            .select(
+                "source_a",
+                F.explode(
+                    F.expr("slice(srcs, _i + 2, size(srcs))")
+                ).alias("source_b"),
+            )
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+
+    _compare("overlap", {"self-join": joinform, "array-posexplode": arrayform})
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -425,6 +485,8 @@ def main():
         leg_decon(spark)
     if which in ("audit", "all"):
         leg_audit(spark)
+    if which in ("overlap", "all"):
+        leg_overlap(spark)
     spark.stop()
 
 

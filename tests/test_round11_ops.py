@@ -354,6 +354,82 @@ def test_ks_and_chi2_probes_bitwise_equal_batch(spark, tmp_path, drift_events):
     assert probe2[0]["n_categories"] == 3
 
 
+# -------------------------------------------------- Adam7 PNG interlace
+def test_png_adam7_roundtrip_all_shapes_and_colortypes():
+    """Adam7 interlace roundtrips bit-exact for every colortype and for
+    the awkward shapes (1x1, 1xN, Nx1, < 8 px) where some passes are
+    empty; interlacing genuinely changes the stored stream."""
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(11)
+    for w, h in ((1, 1), (1, 5), (5, 1), (3, 3), (7, 6), (8, 8), (13, 11)):
+        for ct, bpp in ((0, 1), (2, 3), (4, 2), (6, 4)):
+            px = bytes(rng.randrange(256) for _ in range(bpp * w * h))
+            plain = mm.decode_image_real(
+                mm.encode_png(w, h, px, colortype=ct)
+            )
+            inter = mm.decode_image_real(
+                mm.encode_png(w, h, px, colortype=ct, interlace=True)
+            )
+            assert inter["raster"] == plain["raster"], (w, h, ct)
+            assert inter["width"] == w and inter["height"] == h
+    # palette colortype through the same path
+    pal = bytes(rng.randrange(256) for _ in range(48))
+    idx = bytes(rng.randrange(16) for _ in range(13 * 11))
+    plain = mm.decode_image_real(
+        mm.encode_png(13, 11, idx, colortype=3, palette=pal)
+    )
+    inter = mm.decode_image_real(
+        mm.encode_png(13, 11, idx, colortype=3, palette=pal, interlace=True)
+    )
+    assert inter["raster"] == plain["raster"]
+    # interlacing is not a no-op flag: streams differ for a non-trivial
+    # image
+    px = bytes(range(256)) * (3 * 13 * 11 // 256 + 1)
+    px = px[: 3 * 13 * 11]
+    assert mm.encode_png(13, 11, px) != mm.encode_png(
+        13, 11, px, interlace=True
+    )
+
+
+def test_png_adam7_truncation_raises():
+    import struct
+    import zlib
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_png(8, 8, bytes(192), interlace=True))
+    # rebuild the IDAT with the last pass's scanlines chopped off
+    sig_end = 8
+    pos = sig_end
+    out = bytes(blob[:sig_end])
+    while pos < len(blob):
+        clen = struct.unpack_from(">I", blob, pos)[0]
+        ctype = bytes(blob[pos + 4 : pos + 8])
+        data = bytes(blob[pos + 8 : pos + 8 + clen])
+        if ctype == b"IDAT":
+            lines = zlib.decompress(data)
+            data = zlib.compress(lines[:-5], 6)
+            chunk = (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(
+                    ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+                )
+            )
+            out += chunk
+        else:
+            out += bytes(blob[pos : pos + 12 + clen])
+        pos += 12 + clen
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated interlaced PNG|scanline data"):
+        mm.decode_image_real(out)
+
+
 # -------------------------------------------------------- G.711 A-law
 def test_wav_alaw_decode():
     """A-law: the other half of G.711 (verdict r10 task 5) — same

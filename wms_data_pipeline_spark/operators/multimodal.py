@@ -288,70 +288,49 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(
-    width: int, height: int, pixels: bytes, filter_of=None,
-    colortype: int = 2, palette: bytes | None = None,
-) -> bytes:
-    """PNG encoder with REAL DEFLATE compression via stdlib zlib — the
-    second codec-bearing format after GIF/LZW, and a mainstream one:
-    signature, IHDR/IDAT/IEND chunks with genuine CRC32s, per-scanline
-    filters (``filter_of(y)`` chooses 0-4; default cycles y % 5 so
-    Sub/Up/Average/Paeth are all exercised), zlib-compressed filtered
-    scanlines. ``colortype``: 2 = 8-bit truecolor RGB (default,
-    ``pixels`` is 3*w*h RGB bytes), 0 = 8-bit grayscale (w*h bytes),
-    3 = 8-bit palette-indexed (w*h index bytes + a ``palette`` of RGB
-    triplets emitted as a PLTE chunk), 4 = gray+alpha (2*w*h), 6 =
-    RGBA (4*w*h). The decoder must parse chunks, verify CRCs, inflate,
-    UNDO the filter chain byte-sequentially, map palette indices
-    through PLTE, and strip interleaved alpha (the feature contract is
-    color statistics, not compositing)."""
-    import struct
-    import zlib
+#: Adam7 interlace pass geometry: (col_start, row_start, col_step,
+#: row_step) per pass, PNG spec §8.2. Each pass is an independent
+#: sub-image with its own scanline filter chain.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    if colortype not in (0, 2, 3, 4, 6):
-        raise ValueError(f"encode_png: unsupported colortype {colortype}")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
-    if len(pixels) != bpp * width * height:
-        raise ValueError(
-            f"PNG {width}x{height} needs {bpp * width * height} pixel bytes, "
-            f"got {len(pixels)}"
-        )
-    if colortype == 3:
-        if not palette or len(palette) % 3 or len(palette) > 768:
-            raise ValueError(
-                "palette PNG needs an RGB-triplet palette of <= 256 entries"
-            )
-        n_entries = len(palette) // 3
-        if any(p >= n_entries for p in pixels):
-            raise ValueError("palette PNG pixel index out of palette range")
-    elif palette is not None:
-        raise ValueError("palette only valid with colortype=3")
-    if filter_of is None:
-        filter_of = lambda y: y % 5  # noqa: E731
-    stride = bpp * width
-    raw = memoryview(pixels)
-    out_lines = bytearray()
+
+def _png_filter_rows(rows, bpp: int, filter_of, start: int) -> bytearray:
+    """Apply PNG scanline filters to equal-stride ``rows`` (filter type
+    chosen by ``filter_of(start + k)`` — the global scanline index, so an
+    interlaced image keeps cycling filters across passes). The prior row
+    starts at zeros — per spec, each Adam7 pass filters independently."""
+    out = bytearray()
+    if not rows:
+        return out
+    stride = len(rows[0])
     prior = bytes(stride)
-    for y in range(height):
-        line = raw[y * stride : (y + 1) * stride]
-        ft = filter_of(y)
-        out_lines.append(ft)
+    for k, line in enumerate(rows):
+        ft = filter_of(start + k)
+        out.append(ft)
         if ft == 0:
-            out_lines += line
+            out += line
         elif ft == 1:  # Sub
-            out_lines += bytes(
+            out += bytes(
                 (line[x] - (line[x - bpp] if x >= bpp else 0)) & 0xFF
                 for x in range(stride)
             )
         elif ft == 2:  # Up
-            out_lines += bytes((line[x] - prior[x]) & 0xFF for x in range(stride))
+            out += bytes((line[x] - prior[x]) & 0xFF for x in range(stride))
         elif ft == 3:  # Average
-            out_lines += bytes(
+            out += bytes(
                 (line[x] - ((line[x - bpp] if x >= bpp else 0) + prior[x]) // 2) & 0xFF
                 for x in range(stride)
             )
         elif ft == 4:  # Paeth
-            out_lines += bytes(
+            out += bytes(
                 (
                     line[x]
                     - _paeth(
@@ -366,95 +345,18 @@ def encode_png(
         else:
             raise ValueError(f"unknown PNG filter {ft}")
         prior = bytes(line)
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
-    idat = zlib.compress(bytes(out_lines), 6)
-    plte = chunk(b"PLTE", bytes(palette)) if colortype == 3 else b""
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + plte
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
-    )
+    return out
 
 
-def _decode_png(content: bytes) -> dict:
-    """PNG parse + inflate + filter undo (stdlib zlib, no image library):
-    chunk walk with CRC32 verification, IHDR validation (8-bit
-    truecolor, grayscale, or palette-indexed; no interlace),
-    concatenated-IDAT zlib inflate, the byte-sequential unfilter pass
-    (None/Sub/Up/Average/Paeth), and for palette images the PLTE
-    index→RGB expansion. Raises ValueError on truncation/CRC/filter/
-    palette corruption — the quarantine contract; NotImplementedError
-    for PNG variants (16-bit, alpha, interlaced) a codec library would
-    cover."""
-    import struct
-    import zlib
-
-    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("bad PNG signature")
-    pos = 8
-    width = height = None
-    colortype = 2
-    plte = None
-    idat = bytearray()
-    while pos < len(content):
-        if pos + 8 > len(content):
-            raise ValueError("truncated PNG chunk header")
-        clen = struct.unpack_from(">I", content, pos)[0]
-        ctype = content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + clen]
-        if len(data) < clen or pos + 12 + clen > len(content):
-            raise ValueError(f"truncated PNG chunk {ctype!r}")
-        crc = struct.unpack_from(">I", content, pos + 8 + clen)[0]
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
-        pos += 12 + clen
-        if ctype == b"IHDR":
-            width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or ctype_i not in (0, 2, 3, 4, 6):
-                raise NotImplementedError(
-                    f"only 8-bit PNG colortypes 0/2/3/4/6 supported "
-                    f"(depth={depth}, colortype={ctype_i})"
-                )
-            if interlace:
-                raise NotImplementedError("interlaced PNG not supported")
-            colortype = ctype_i
-        elif ctype == b"PLTE":
-            if len(data) % 3 or not data or len(data) > 768:
-                raise ValueError(f"bad PLTE length {len(data)}")
-            plte = data
-        elif ctype == b"tRNS":
-            raise NotImplementedError("PNG transparency (tRNS) not supported")
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG contains no IHDR")
-    if colortype == 3 and plte is None:
-        raise ValueError("palette PNG contains no PLTE chunk")
-    try:
-        lines = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
-    stride = bpp * width
+def _png_unfilter(lines, width_px: int, height: int, bpp: int) -> bytearray:
+    """Undo the PNG scanline filter chain over one (sub-)image: ``lines``
+    is exactly ``(bpp*width_px + 1) * height`` bytes of
+    filter-byte-prefixed scanlines; the prior row starts at zeros."""
+    stride = bpp * width_px
     if len(lines) != (stride + 1) * height:
         raise ValueError(
             f"PNG scanline data is {len(lines)} bytes, "
-            f"{width}x{height} needs {(stride + 1) * height}"
+            f"{width_px}x{height} needs {(stride + 1) * height}"
         )
     raster = bytearray()
     prior = bytes(stride)
@@ -486,6 +388,207 @@ def _decode_png(content: bytes) -> dict:
             raise ValueError(f"unknown PNG filter {ft} on row {y}")
         raster += line
         prior = bytes(line)
+    return raster
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, filter_of=None,
+    colortype: int = 2, palette: bytes | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """PNG encoder with REAL DEFLATE compression via stdlib zlib — the
+    second codec-bearing format after GIF/LZW, and a mainstream one:
+    signature, IHDR/IDAT/IEND chunks with genuine CRC32s, per-scanline
+    filters (``filter_of(y)`` chooses 0-4; default cycles y % 5 so
+    Sub/Up/Average/Paeth are all exercised), zlib-compressed filtered
+    scanlines. ``colortype``: 2 = 8-bit truecolor RGB (default,
+    ``pixels`` is 3*w*h RGB bytes), 0 = 8-bit grayscale (w*h bytes),
+    3 = 8-bit palette-indexed (w*h index bytes + a ``palette`` of RGB
+    triplets emitted as a PLTE chunk), 4 = gray+alpha (2*w*h), 6 =
+    RGBA (4*w*h). The decoder must parse chunks, verify CRCs, inflate,
+    UNDO the filter chain byte-sequentially, map palette indices
+    through PLTE, and strip interleaved alpha (the feature contract is
+    color statistics, not compositing). ``interlace=True`` stores the
+    seven Adam7 passes, each independently filtered (spec §8.2) — the
+    progressive-rendering layout web PNGs commonly ship."""
+    import struct
+    import zlib
+
+    if colortype not in (0, 2, 3, 4, 6):
+        raise ValueError(f"encode_png: unsupported colortype {colortype}")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    if len(pixels) != bpp * width * height:
+        raise ValueError(
+            f"PNG {width}x{height} needs {bpp * width * height} pixel bytes, "
+            f"got {len(pixels)}"
+        )
+    if colortype == 3:
+        if not palette or len(palette) % 3 or len(palette) > 768:
+            raise ValueError(
+                "palette PNG needs an RGB-triplet palette of <= 256 entries"
+            )
+        n_entries = len(palette) // 3
+        if any(p >= n_entries for p in pixels):
+            raise ValueError("palette PNG pixel index out of palette range")
+    elif palette is not None:
+        raise ValueError("palette only valid with colortype=3")
+    if filter_of is None:
+        filter_of = lambda y: y % 5  # noqa: E731
+    stride = bpp * width
+    raw = memoryview(pixels)
+    if not interlace:
+        rows = [bytes(raw[y * stride : (y + 1) * stride]) for y in range(height)]
+        out_lines = _png_filter_rows(rows, bpp, filter_of, 0)
+    else:
+        # Adam7: seven independently filtered sub-images in pass order;
+        # the filter index keeps counting across passes so the cycling
+        # default still exercises all five filters
+        out_lines = bytearray()
+        emitted = 0
+        for c0, r0, dc, dr in _ADAM7:
+            wp = (width - c0 + dc - 1) // dc if width > c0 else 0
+            hp = (height - r0 + dr - 1) // dr if height > r0 else 0
+            if wp <= 0 or hp <= 0:
+                continue
+            rows = []
+            for i in range(hp):
+                ry = r0 + i * dr
+                rows.append(
+                    b"".join(
+                        bytes(
+                            raw[
+                                (ry * width + c0 + j * dc) * bpp
+                                : (ry * width + c0 + j * dc) * bpp + bpp
+                            ]
+                        )
+                        for j in range(wp)
+                    )
+                )
+            out_lines += _png_filter_rows(rows, bpp, filter_of, emitted)
+            emitted += hp
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, colortype, 0, 0, 1 if interlace else 0
+    )
+    idat = zlib.compress(bytes(out_lines), 6)
+    plte = chunk(b"PLTE", bytes(palette)) if colortype == 3 else b""
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + plte
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(content: bytes) -> dict:
+    """PNG parse + inflate + filter undo (stdlib zlib, no image library):
+    chunk walk with CRC32 verification, IHDR validation (8-bit
+    truecolor, grayscale, palette-indexed, gray+alpha, RGBA; Adam7
+    interlace supported — seven independently filtered passes unfiltered
+    with zeroed priors and scattered back, r11), concatenated-IDAT zlib
+    inflate, the byte-sequential unfilter pass
+    (None/Sub/Up/Average/Paeth), and for palette images the PLTE
+    index→RGB expansion. Raises ValueError on truncation/CRC/filter/
+    palette corruption — the quarantine contract; NotImplementedError
+    for PNG variants (16-bit depth, tRNS) a codec library would
+    cover."""
+    import struct
+    import zlib
+
+    if len(content) < 8 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    width = height = None
+    colortype = 2
+    interlaced = False
+    plte = None
+    idat = bytearray()
+    while pos < len(content):
+        if pos + 8 > len(content):
+            raise ValueError("truncated PNG chunk header")
+        clen = struct.unpack_from(">I", content, pos)[0]
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if len(data) < clen or pos + 12 + clen > len(content):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        crc = struct.unpack_from(">I", content, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype_i not in (0, 2, 3, 4, 6):
+                raise NotImplementedError(
+                    f"only 8-bit PNG colortypes 0/2/3/4/6 supported "
+                    f"(depth={depth}, colortype={ctype_i})"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+            interlaced = bool(interlace)
+            colortype = ctype_i
+        elif ctype == b"PLTE":
+            if len(data) % 3 or not data or len(data) > 768:
+                raise ValueError(f"bad PLTE length {len(data)}")
+            plte = data
+        elif ctype == b"tRNS":
+            raise NotImplementedError("PNG transparency (tRNS) not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG contains no IHDR")
+    if colortype == 3 and plte is None:
+        raise ValueError("palette PNG contains no PLTE chunk")
+    try:
+        lines = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    if not interlaced:
+        raster = _png_unfilter(lines, width, height, bpp)
+    else:
+        # Adam7: seven independently filtered sub-images, each unfiltered
+        # with its own zeroed prior row, then scattered to (r0 + i*dr,
+        # c0 + j*dc) — the same four-pass GIF machinery generalized
+        raster = bytearray(bpp * width * height)
+        consumed = 0
+        for c0, r0, dc, dr in _ADAM7:
+            wp = (width - c0 + dc - 1) // dc if width > c0 else 0
+            hp = (height - r0 + dr - 1) // dr if height > r0 else 0
+            if wp <= 0 or hp <= 0:
+                continue
+            need = (bpp * wp + 1) * hp
+            if consumed + need > len(lines):
+                raise ValueError(
+                    "truncated interlaced PNG: pass data ends "
+                    f"{consumed + need - len(lines)} bytes short"
+                )
+            sub = _png_unfilter(lines[consumed : consumed + need], wp, hp, bpp)
+            consumed += need
+            for i in range(hp):
+                row_base = ((r0 + i * dr) * width + c0) * bpp
+                src_base = i * wp * bpp
+                for j in range(wp):
+                    dst = row_base + j * dc * bpp
+                    src = src_base + j * bpp
+                    raster[dst : dst + bpp] = sub[src : src + bpp]
+        if consumed != len(lines):
+            raise ValueError(
+                f"interlaced PNG has {len(lines) - consumed} trailing "
+                "scanline bytes"
+            )
     if colortype == 3:
         # PLTE index -> RGB expansion; an index past the palette is file
         # corruption, not a variant — quarantine it

@@ -394,7 +394,7 @@ def _png_unfilter(lines, width_px: int, height: int, bpp: int) -> bytearray:
 def encode_png(
     width: int, height: int, pixels: bytes, filter_of=None,
     colortype: int = 2, palette: bytes | None = None,
-    interlace: bool = False,
+    interlace: bool = False, depth: int = 8,
 ) -> bytes:
     """PNG encoder with REAL DEFLATE compression via stdlib zlib — the
     second codec-bearing format after GIF/LZW, and a mainstream one:
@@ -416,7 +416,12 @@ def encode_png(
 
     if colortype not in (0, 2, 3, 4, 6):
         raise ValueError(f"encode_png: unsupported colortype {colortype}")
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    if depth not in (8, 16):
+        raise ValueError(f"encode_png: unsupported bit depth {depth}")
+    if depth == 16 and colortype == 3:
+        raise ValueError("16-bit palette PNG is invalid per spec")
+    # filters act on BYTES: at 16-bit each sample is 2 big-endian bytes
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype] * (depth // 8)
     if len(pixels) != bpp * width * height:
         raise ValueError(
             f"PNG {width}x{height} needs {bpp * width * height} pixel bytes, "
@@ -476,7 +481,8 @@ def encode_png(
         )
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, colortype, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, colortype, 0, 0,
+        1 if interlace else 0,
     )
     idat = zlib.compress(bytes(out_lines), 6)
     plte = chunk(b"PLTE", bytes(palette)) if colortype == 3 else b""
@@ -497,10 +503,14 @@ def _decode_png(content: bytes) -> dict:
     with zeroed priors and scattered back, r11), concatenated-IDAT zlib
     inflate, the byte-sequential unfilter pass
     (None/Sub/Up/Average/Paeth), and for palette images the PLTE
-    index→RGB expansion. Raises ValueError on truncation/CRC/filter/
-    palette corruption — the quarantine contract; NotImplementedError
-    for PNG variants (16-bit depth, tRNS) a codec library would
-    cover."""
+    index→RGB expansion. 16-bit depth decodes through the same
+    byte-wise filter chain (2-byte samples) and reduces to the high
+    byte of each big-endian sample; tRNS transparency is validated then
+    dropped (the same documented contract as the interleaved-alpha
+    strip — the feature surface is color statistics). Raises ValueError
+    on truncation/CRC/filter/palette/tRNS corruption — the quarantine
+    contract; NotImplementedError only for sub-8-bit depths, which a
+    codec library would cover."""
     import struct
     import zlib
 
@@ -510,6 +520,7 @@ def _decode_png(content: bytes) -> dict:
     width = height = None
     colortype = 2
     interlaced = False
+    depth16 = False
     plte = None
     idat = bytearray()
     while pos < len(content):
@@ -528,21 +539,44 @@ def _decode_png(content: bytes) -> dict:
             width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8 or ctype_i not in (0, 2, 3, 4, 6):
+            if depth not in (8, 16) or ctype_i not in (0, 2, 3, 4, 6):
                 raise NotImplementedError(
-                    f"only 8-bit PNG colortypes 0/2/3/4/6 supported "
+                    f"only 8/16-bit PNG colortypes 0/2/3/4/6 supported "
                     f"(depth={depth}, colortype={ctype_i})"
                 )
+            if depth == 16 and ctype_i == 3:
+                raise ValueError("16-bit palette PNG is invalid per spec")
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
             interlaced = bool(interlace)
+            depth16 = depth == 16
             colortype = ctype_i
         elif ctype == b"PLTE":
             if len(data) % 3 or not data or len(data) > 768:
                 raise ValueError(f"bad PLTE length {len(data)}")
             plte = data
         elif ctype == b"tRNS":
-            raise NotImplementedError("PNG transparency (tRNS) not supported")
+            # transparency is DROPPED, same documented contract as the
+            # interleaved alpha strip for colortypes 4/6 (the feature
+            # surface is color statistics, not compositing) — but the
+            # chunk is still validated per spec so corruption quarantines
+            if colortype == 3:
+                if plte is None or len(data) > len(plte) // 3:
+                    raise ValueError(
+                        "tRNS for palette PNG must follow PLTE and have "
+                        "at most one alpha byte per palette entry"
+                    )
+            elif colortype == 0:
+                if len(data) != 2:
+                    raise ValueError("tRNS for grayscale PNG must be 2 bytes")
+            elif colortype == 2:
+                if len(data) != 6:
+                    raise ValueError("tRNS for RGB PNG must be 6 bytes")
+            else:
+                raise ValueError(
+                    f"tRNS invalid for PNG colortype {colortype} "
+                    "(alpha is already a channel)"
+                )
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -555,7 +589,9 @@ def _decode_png(content: bytes) -> dict:
         lines = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+    # filter "bpp" is BYTES per pixel (spec: filters act on bytes; at
+    # 16-bit depth each sample is 2 big-endian bytes)
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype] * (2 if depth16 else 1)
     if not interlaced:
         raster = _png_unfilter(lines, width, height, bpp)
     else:
@@ -589,6 +625,11 @@ def _decode_png(content: bytes) -> dict:
                 f"interlaced PNG has {len(lines) - consumed} trailing "
                 "scanline bytes"
             )
+    if depth16:
+        # 16 -> 8 bit: keep each big-endian sample's HIGH byte (the
+        # standard depth reduction; the feature surface is 8-bit stats)
+        raster = raster[::2]
+        bpp //= 2
     if colortype == 3:
         # PLTE index -> RGB expansion; an index past the palette is file
         # corruption, not a variant — quarantine it

@@ -525,6 +525,54 @@ def test_png_16bit_decodes_to_high_bytes():
         mm.encode_png(2, 2, bytes(8), colortype=3, palette=bytes(6), depth=16)
 
 
+def test_png_packed_depths_roundtrip():
+    """1/2/4-bit packed PNGs (grayscale scaled to 8-bit, palette via
+    PLTE) decode correctly, plain and Adam7, at widths that straddle
+    byte boundaries — completing full spec depth coverage."""
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(19)
+    scale = {1: 255, 2: 85, 4: 17}
+    for depth in (1, 2, 4):
+        for w, h in ((1, 1), (3, 2), (7, 5), (8, 3), (9, 4), (13, 6)):
+            samples = bytes(
+                rng.randrange(1 << depth) for _ in range(w * h)
+            )
+            for inter in (False, True):
+                out = mm.decode_image_real(
+                    mm.encode_png(
+                        w, h, samples, colortype=0, depth=depth,
+                        interlace=inter,
+                    )
+                )
+                assert out["channels"] == 1 and out["width"] == w
+                assert out["raster"] == bytes(
+                    v * scale[depth] for v in samples
+                ), (depth, w, h, inter)
+        # palette at this depth
+        n_pal = 1 << depth
+        pal = bytes(rng.randrange(256) for _ in range(3 * n_pal))
+        idx = bytes(rng.randrange(n_pal) for _ in range(13 * 6))
+        for inter in (False, True):
+            out = mm.decode_image_real(
+                mm.encode_png(
+                    13, 6, idx, colortype=3, palette=pal, depth=depth,
+                    interlace=inter,
+                )
+            )
+            expected = b"".join(
+                pal[3 * i : 3 * i + 3] for i in idx
+            )
+            assert out["raster"] == expected, (depth, inter)
+    # spec-illegal combinations quarantine
+    with pytest.raises(ValueError, match="only valid for grayscale"):
+        mm.encode_png(2, 2, bytes(4), colortype=2, depth=4)
+    with pytest.raises(ValueError, match="out of range for depth"):
+        mm.encode_png(2, 2, bytes([4, 0, 0, 0]), colortype=0, depth=2)
+
+
 # -------------------------------------------------------- G.711 A-law
 def test_wav_alaw_decode():
     """A-law: the other half of G.711 (verdict r10 task 5) — same

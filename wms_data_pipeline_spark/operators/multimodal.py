@@ -348,11 +348,17 @@ def _png_filter_rows(rows, bpp: int, filter_of, start: int) -> bytearray:
     return out
 
 
-def _png_unfilter(lines, width_px: int, height: int, bpp: int) -> bytearray:
+def _png_unfilter(
+    lines, width_px: int, height: int, bpp: int, stride: "int | None" = None
+) -> bytearray:
     """Undo the PNG scanline filter chain over one (sub-)image: ``lines``
-    is exactly ``(bpp*width_px + 1) * height`` bytes of
-    filter-byte-prefixed scanlines; the prior row starts at zeros."""
-    stride = bpp * width_px
+    is exactly ``(stride + 1) * height`` bytes of filter-byte-prefixed
+    scanlines; the prior row starts at zeros. ``stride`` defaults to
+    ``bpp * width_px``; sub-8-bit depths pass the packed byte stride
+    (ceil(width*depth/8)) with ``bpp=1`` (spec: filters act on bytes,
+    and the per-pixel offset is one byte for packed depths)."""
+    if stride is None:
+        stride = bpp * width_px
     if len(lines) != (stride + 1) * height:
         raise ValueError(
             f"PNG scanline data is {len(lines)} bytes, "
@@ -416,17 +422,33 @@ def encode_png(
 
     if colortype not in (0, 2, 3, 4, 6):
         raise ValueError(f"encode_png: unsupported colortype {colortype}")
-    if depth not in (8, 16):
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"encode_png: unsupported bit depth {depth}")
     if depth == 16 and colortype == 3:
         raise ValueError("16-bit palette PNG is invalid per spec")
-    # filters act on BYTES: at 16-bit each sample is 2 big-endian bytes
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype] * (depth // 8)
-    if len(pixels) != bpp * width * height:
+    if depth < 8 and colortype not in (0, 3):
         raise ValueError(
-            f"PNG {width}x{height} needs {bpp * width * height} pixel bytes, "
-            f"got {len(pixels)}"
+            f"PNG depth {depth} only valid for grayscale/palette"
         )
+    if depth < 8:
+        # packed depths: ``pixels`` is one SAMPLE per byte (< 2^depth);
+        # rows pack MSB-first below
+        if len(pixels) != width * height:
+            raise ValueError(
+                f"PNG {width}x{height} needs {width * height} samples, "
+                f"got {len(pixels)}"
+            )
+        if any(p >= (1 << depth) for p in pixels):
+            raise ValueError(f"sample out of range for depth {depth}")
+        bpp = 1  # filter byte offset for packed depths
+    else:
+        # filters act on BYTES: at 16-bit each sample is 2 big-endian bytes
+        bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype] * (depth // 8)
+        if len(pixels) != bpp * width * height:
+            raise ValueError(
+                f"PNG {width}x{height} needs {bpp * width * height} pixel "
+                f"bytes, got {len(pixels)}"
+            )
     if colortype == 3:
         if not palette or len(palette) % 3 or len(palette) > 768:
             raise ValueError(
@@ -439,10 +461,23 @@ def encode_png(
         raise ValueError("palette only valid with colortype=3")
     if filter_of is None:
         filter_of = lambda y: y % 5  # noqa: E731
-    stride = bpp * width
     raw = memoryview(pixels)
+    sample_w = 1 if depth < 8 else bpp
+
+    def _pack(samples: bytes) -> bytes:
+        if depth >= 8:
+            return bytes(samples)
+        per = 8 // depth
+        out = bytearray((len(samples) * depth + 7) // 8)
+        for i, v in enumerate(samples):
+            out[i // per] |= v << (8 - depth * (i % per + 1))
+        return bytes(out)
+
     if not interlace:
-        rows = [bytes(raw[y * stride : (y + 1) * stride]) for y in range(height)]
+        rows = [
+            _pack(bytes(raw[y * sample_w * width : (y + 1) * sample_w * width]))
+            for y in range(height)
+        ]
         out_lines = _png_filter_rows(rows, bpp, filter_of, 0)
     else:
         # Adam7: seven independently filtered sub-images in pass order;
@@ -459,14 +494,17 @@ def encode_png(
             for i in range(hp):
                 ry = r0 + i * dr
                 rows.append(
-                    b"".join(
-                        bytes(
-                            raw[
-                                (ry * width + c0 + j * dc) * bpp
-                                : (ry * width + c0 + j * dc) * bpp + bpp
-                            ]
+                    _pack(
+                        b"".join(
+                            bytes(
+                                raw[
+                                    (ry * width + c0 + j * dc) * sample_w
+                                    : (ry * width + c0 + j * dc) * sample_w
+                                    + sample_w
+                                ]
+                            )
+                            for j in range(wp)
                         )
-                        for j in range(wp)
                     )
                 )
             out_lines += _png_filter_rows(rows, bpp, filter_of, emitted)
@@ -503,14 +541,16 @@ def _decode_png(content: bytes) -> dict:
     with zeroed priors and scattered back, r11), concatenated-IDAT zlib
     inflate, the byte-sequential unfilter pass
     (None/Sub/Up/Average/Paeth), and for palette images the PLTE
-    index→RGB expansion. 16-bit depth decodes through the same
-    byte-wise filter chain (2-byte samples) and reduces to the high
-    byte of each big-endian sample; tRNS transparency is validated then
-    dropped (the same documented contract as the interleaved-alpha
-    strip — the feature surface is color statistics). Raises ValueError
-    on truncation/CRC/filter/palette/tRNS corruption — the quarantine
-    contract; NotImplementedError only for sub-8-bit depths, which a
-    codec library would cover."""
+    index→RGB expansion. FULL spec depth coverage (r11): 16-bit decodes
+    through the same byte-wise filter chain (2-byte samples) and
+    reduces to the high byte of each big-endian sample; packed 1/2/4-bit
+    grayscale and palette rows unfilter at their ceil(w*depth/8) byte
+    stride (filter offset 1 byte, per spec), unpack MSB-first, and
+    grayscale samples scale to 8-bit (x255/85/17). tRNS transparency is
+    validated then dropped (the same documented contract as the
+    interleaved-alpha strip — the feature surface is color statistics).
+    Raises ValueError on truncation/CRC/filter/palette/tRNS/
+    depth-colortype-combination corruption — the quarantine contract."""
     import struct
     import zlib
 
@@ -520,7 +560,7 @@ def _decode_png(content: bytes) -> dict:
     width = height = None
     colortype = 2
     interlaced = False
-    depth16 = False
+    png_depth = 8
     plte = None
     idat = bytearray()
     while pos < len(content):
@@ -539,17 +579,27 @@ def _decode_png(content: bytes) -> dict:
             width, height, depth, ctype_i, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth not in (8, 16) or ctype_i not in (0, 2, 3, 4, 6):
+            # legal (colortype, depth) pairs per PNG spec Table 11.1
+            legal = {
+                0: (1, 2, 4, 8, 16),
+                2: (8, 16),
+                3: (1, 2, 4, 8),
+                4: (8, 16),
+                6: (8, 16),
+            }
+            if ctype_i not in legal:
                 raise NotImplementedError(
-                    f"only 8/16-bit PNG colortypes 0/2/3/4/6 supported "
-                    f"(depth={depth}, colortype={ctype_i})"
+                    f"unsupported PNG colortype {ctype_i}"
                 )
-            if depth == 16 and ctype_i == 3:
-                raise ValueError("16-bit palette PNG is invalid per spec")
+            if depth not in legal[ctype_i]:
+                raise ValueError(
+                    f"PNG depth {depth} invalid for colortype {ctype_i} "
+                    "per spec"
+                )
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
             interlaced = bool(interlace)
-            depth16 = depth == 16
+            png_depth = depth
             colortype = ctype_i
         elif ctype == b"PLTE":
             if len(data) % 3 or not data or len(data) > 768:
@@ -589,47 +639,89 @@ def _decode_png(content: bytes) -> dict:
         lines = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
-    # filter "bpp" is BYTES per pixel (spec: filters act on bytes; at
-    # 16-bit depth each sample is 2 big-endian bytes)
-    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype] * (2 if depth16 else 1)
+    packed = png_depth < 8
+    # filter "bpp" is the per-pixel BYTE offset (spec: filters act on
+    # bytes; 2 bytes per sample at depth 16, ONE byte for packed depths)
+    bpp = (
+        1
+        if packed
+        else {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colortype]
+        * (2 if png_depth == 16 else 1)
+    )
+
+    def _row_stride(px: int) -> int:
+        return (px * png_depth + 7) // 8 if packed else bpp * px
+
+    def _unpack(rowbytes, n: int) -> bytearray:
+        # MSB-first bit unpacking of one packed scanline to n samples
+        out = bytearray(n)
+        per = 8 // png_depth
+        mask = (1 << png_depth) - 1
+        for i in range(n):
+            out[i] = (
+                rowbytes[i // per] >> (8 - png_depth * (i % per + 1))
+            ) & mask
+        return out
+
+    sample_w = 1 if packed else bpp  # bytes per pixel in the raster
     if not interlaced:
-        raster = _png_unfilter(lines, width, height, bpp)
+        stride = _row_stride(width)
+        rows = _png_unfilter(lines, width, height, bpp, stride)
+        if packed:
+            raster = bytearray()
+            for y in range(height):
+                raster += _unpack(rows[y * stride : (y + 1) * stride], width)
+        else:
+            raster = rows
     else:
         # Adam7: seven independently filtered sub-images, each unfiltered
         # with its own zeroed prior row, then scattered to (r0 + i*dr,
         # c0 + j*dc) — the same four-pass GIF machinery generalized
-        raster = bytearray(bpp * width * height)
+        raster = bytearray(sample_w * width * height)
         consumed = 0
         for c0, r0, dc, dr in _ADAM7:
             wp = (width - c0 + dc - 1) // dc if width > c0 else 0
             hp = (height - r0 + dr - 1) // dr if height > r0 else 0
             if wp <= 0 or hp <= 0:
                 continue
-            need = (bpp * wp + 1) * hp
+            stride_p = _row_stride(wp)
+            need = (stride_p + 1) * hp
             if consumed + need > len(lines):
                 raise ValueError(
                     "truncated interlaced PNG: pass data ends "
                     f"{consumed + need - len(lines)} bytes short"
                 )
-            sub = _png_unfilter(lines[consumed : consumed + need], wp, hp, bpp)
+            sub = _png_unfilter(
+                lines[consumed : consumed + need], wp, hp, bpp, stride_p
+            )
             consumed += need
             for i in range(hp):
-                row_base = ((r0 + i * dr) * width + c0) * bpp
-                src_base = i * wp * bpp
+                row = (
+                    _unpack(sub[i * stride_p : (i + 1) * stride_p], wp)
+                    if packed
+                    else sub[i * stride_p : (i + 1) * stride_p]
+                )
+                row_base = ((r0 + i * dr) * width + c0) * sample_w
                 for j in range(wp):
-                    dst = row_base + j * dc * bpp
-                    src = src_base + j * bpp
-                    raster[dst : dst + bpp] = sub[src : src + bpp]
+                    dst = row_base + j * dc * sample_w
+                    raster[dst : dst + sample_w] = row[
+                        j * sample_w : (j + 1) * sample_w
+                    ]
         if consumed != len(lines):
             raise ValueError(
                 f"interlaced PNG has {len(lines) - consumed} trailing "
                 "scanline bytes"
             )
-    if depth16:
+    if png_depth == 16:
         # 16 -> 8 bit: keep each big-endian sample's HIGH byte (the
         # standard depth reduction; the feature surface is 8-bit stats)
         raster = raster[::2]
         bpp //= 2
+    elif packed and colortype == 0:
+        # scale packed grayscale to full 8-bit range (255/85/17 per spec
+        # sample scaling; exact integers)
+        factor = {1: 255, 2: 85, 4: 17}[png_depth]
+        raster = bytearray(v * factor for v in raster)
     if colortype == 3:
         # PLTE index -> RGB expansion; an index past the palette is file
         # corruption, not a variant — quarantine it

@@ -1030,7 +1030,12 @@ def with_png_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     filter type appears across the corpus) — channel statistics are
     arithmetic on the id and therefore ORACLE-EXPRESSIBLE, while the
     bytes carry genuine DEFLATE compression + the full filter chain the
-    decoder must undo."""
+    decoder must undo. The LAYOUT varies by id % 3 — plain 8-bit, Adam7
+    interlaced, 16-bit Adam7 (high byte = the formula value, low byte a
+    second deterministic stream the reduction must discard) — so the
+    driver-verified hash covers the interlace scatter and the depth
+    reduction on two thirds of the corpus while the decoded statistics
+    (and the oracle) stay IDENTICAL by the roundtrip contract."""
 
     @pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
@@ -1038,8 +1043,25 @@ def with_png_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for i in ids:
             i = int(i)
             w, h = i % 8 + 2, i % 4 + 2
-            pixels = bytes(((i + 2 * j) * 29) % 256 for j in range(3 * w * h))
-            out.append(encode_png(w, h, pixels, filter_of=lambda y, i=i: (i + y) % 5))
+            hi = [((i + 2 * j) * 29) % 256 for j in range(3 * w * h)]
+            variant = i % 3
+            if variant == 2:
+                pixels = b"".join(
+                    bytes([v, ((i + 5 * j) * 31) % 256])
+                    for j, v in enumerate(hi)
+                )
+                depth = 16
+            else:
+                pixels = bytes(hi)
+                depth = 8
+            out.append(
+                encode_png(
+                    w, h, pixels,
+                    filter_of=lambda y, i=i: (i + y) % 5,
+                    interlace=variant > 0,
+                    depth=depth,
+                )
+            )
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))

@@ -5803,11 +5803,12 @@ def rel_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CRC32-verified chunks with the full filter chain (None/Sub/Up/"
     "Average/Paeth, cycling per doc+row), and the Arrow feature stage "
     "must chunk-walk, CRC-check, inflate, and undo each row's filter "
-    "byte-sequentially to recover the raster. The oracle reproduces "
+    "byte-sequentially to recover the raster. Layout varies by "
+    "doc_id %% 3 (plain 8-bit / Adam7 interlaced / 16-bit Adam7 with a "
+    "discarded low-byte stream — r11), so the hash also covers the "
+    "seven-pass scatter and the depth reduction. The oracle reproduces "
     "each channel mean arithmetically from doc_id, so one wrong byte "
-    "anywhere in the inflate/unfilter chain breaks the hash. JPEG "
-    "(DCT + Huffman) remains the one format genuinely needing an "
-    "external codec; it still raises loudly.",
+    "anywhere in the inflate/unfilter/deinterlace chain breaks it.",
 )
 def mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")

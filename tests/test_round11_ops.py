@@ -573,6 +573,45 @@ def test_png_packed_depths_roundtrip():
         mm.encode_png(2, 2, bytes([4, 0, 0, 0]), colortype=0, depth=2)
 
 
+# ------------------------------------------------- animated GIF frames
+def test_gif_animation_roundtrip_and_sampling(spark):
+    import random
+
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    rng = random.Random(23)
+    pal = bytes(rng.randrange(256) for _ in range(768))
+    w, h = 5, 4
+    frames = [
+        bytes(rng.randrange(256) for _ in range(w * h)) for _ in range(5)
+    ]
+    blob = mm.encode_gif_animation(w, h, frames, pal, delay_cs=4)
+    got = mm.gif_frames(blob)
+    assert len(got) == 5
+    for f, fr in zip(frames, got):
+        assert fr["indices"] == f and (fr["width"], fr["height"]) == (w, h)
+    # single-frame compatibility: a plain encode_gif blob is one frame,
+    # interlaced included
+    one = mm.gif_frames(mm.encode_gif(w, h, frames[0], pal, interlace=True))
+    assert len(one) == 1 and one[0]["indices"] == frames[0]
+    # the sampled feature stage: every 2nd frame of 5 -> indices 0, 2, 4
+    df = spark.createDataFrame([(3,)], "doc_id bigint")
+    rows = mm.gif_frame_features(
+        mm.with_gif_animation_content(df), every_n=2
+    ).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]  # nf = 3%4+2 = 5
+    assert all(r["n_frames"] == 5 for r in rows)
+    i, fr0 = 3, rows[0]
+    wv, hv = i % 6 + 2, i % 3 + 2
+    idx = [((i + p) * 41) % 251 for p in range(wv * hv)]
+    assert fr0["mean_r"] == round(sum(idx) / (wv * hv), 6)
+    # truncation mid-frame quarantines
+    with pytest.raises(ValueError):
+        mm.gif_frames(blob[: len(blob) // 2])
+    with pytest.raises(ValueError, match="every_n"):
+        mm.gif_frame_features(df, every_n=0)
+
+
 # -------------------------------------------------------- G.711 A-law
 def test_wav_alaw_decode():
     """A-law: the other half of G.711 (verdict r10 task 5) — same

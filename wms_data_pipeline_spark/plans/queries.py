@@ -3704,6 +3704,42 @@ def rel_approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_gif_frames",
+    # with_gif_animation_content: nf = id%4+2 frames of (id%6+2)x(id%3+2),
+    # frame f index at p = ((id + p + 7f)*41) % 251, palette (i,2i,3i);
+    # every 2nd frame sampled.
+    "WITH d AS (SELECT doc_id, doc_id % 4 + 2 AS nf, doc_id % 6 + 2 AS w, "
+    "doc_id % 3 + 2 AS h FROM documents), "
+    "f AS (SELECT doc_id, nf, w, h, unnest(range(0, nf, 2)) AS fi FROM d), "
+    "g AS (SELECT range AS p FROM range(0, 28)) "
+    "SELECT doc_id, nf::BIGINT AS n_frames, fi::BIGINT AS frame_idx, "
+    "w::BIGINT AS width, h::BIGINT AS height, "
+    "round(sum(((doc_id + p + 7*fi) * 41) % 251) / (w*h), 6) AS mean_r, "
+    "round(sum((2 * (((doc_id + p + 7*fi) * 41) % 251)) % 256) / (w*h), 6) "
+    "AS mean_g, "
+    "round(sum((3 * (((doc_id + p + 7*fi) * 41) % 251)) % 256) / (w*h), 6) "
+    "AS mean_b "
+    "FROM f JOIN g ON g.p < w * h GROUP BY doc_id, nf, fi, w, h",
+    doc="REAL animated-GIF frame sampling (multimodal.py gif_frames / "
+    "gif_frame_features — r11): every frame of a genuine multi-frame "
+    "GIF89a (per-frame LZW streams behind GCE/NETSCAPE extensions) "
+    "decodes in the Arrow stage, every 2nd frame is kept, and each "
+    "sampled frame emits palette-expanded channel means — the decode → "
+    "sample → featurize contract a pyav video sampler plugs into, with "
+    "the container this sandbox CAN decode end-to-end (frame "
+    "composition/disposal is documented out of scope; the surface is "
+    "per-stored-frame statistics). The oracle reproduces every sampled "
+    "frame's means arithmetically from (doc_id, frame), so one wrong "
+    "byte in any frame's LZW stream breaks the hash.",
+)
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return mm.gif_frame_features(
+        mm.with_gif_animation_content(docs), every_n=2
+    )
+
+
+@query(
     "mm_frame_sample",
     "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, "
     "CAST(unnest(range(0, greatest(strlen(text) // 1000 + 1, 1), 30)) AS BIGINT) "

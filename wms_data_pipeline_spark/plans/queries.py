@@ -1250,12 +1250,16 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd_source_overlap_matrix",
-    "WITH sh AS (SELECT DISTINCT source, g FROM (SELECT source, "
+    "WITH sh0 AS (SELECT DISTINCT source, g FROM (SELECT source, "
     "unnest(list_distinct(list_transform("
     "range(1, greatest(len(toks) - 2, 1)), "
     "j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2] || ' ' || toks[j + 3]"
     "))) AS g FROM (SELECT source, regexp_extract_all(text, '\\S+') AS toks "
     "FROM documents) WHERE len(toks) >= 4)), "
+    # the df-cut: shingles present in > 256 sources are ubiquitous
+    # language, not mirror evidence — and the quadratic fan-out guard
+    "keep AS (SELECT g FROM sh0 GROUP BY g HAVING count(*) <= 256), "
+    "sh AS (SELECT sh0.source, sh0.g FROM sh0 JOIN keep USING (g)), "
     "tot AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY 1), "
     "p AS (SELECT x.source AS source_a, y.source AS source_b, "
     "count(*)::BIGINT AS n_shared FROM sh x JOIN sh y ON x.g = y.g "
@@ -1280,7 +1284,14 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "C(sources-with-it, 2), never doc x doc) into one pair-count "
     "aggregate, and totals explode from the same materialized arrays. "
     "2 static + 2 materialization exchanges vs 7. Exact integers plus "
-    "one 6-dp rounded ratio.",
+    "one 6-dp rounded ratio. DF-CUT (the 100 TB guard): shingles "
+    "present in > 256 sources are dropped BEFORE pair emission — they "
+    "are ubiquitous language, not mirror evidence, and at web scale "
+    "(10^5 domains) one such shingle would alone emit C(10^5, 2) ~ "
+    "5e9 pairs; totals come from the same filtered set so containment "
+    "stays self-consistent (the PPJoin-family prefix-filter logic "
+    "applied at the source grain). A no-op at the registry's 20 "
+    "sources — the oracle carries the same HAVING.",
 )
 def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("source", "text")
@@ -1291,6 +1302,7 @@ def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("g")
         .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") <= 256)
         .localCheckpoint()
     )
     pairs = (

@@ -908,6 +908,49 @@ def test_personalized_pagerank_semantics(spark):
         gr.personalized_pagerank(bad, seeds, iterations=2)
 
 
+# ------------------------------------------------ ParquetTable time travel
+def test_parquet_table_time_travel(spark, tmp_path):
+    from wms_data_pipeline_spark.operators.merge import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "tt"), keep_versions=3)
+    from datetime import datetime
+
+    rows = [
+        [("a", datetime(2026, 1, 1, h), f"S{h}")] for h in range(1, 5)
+    ]
+    for r in rows:
+        t.upsert_latest(
+            spark.createDataFrame(r, "id string, updated_at timestamp, s string")
+        )
+    assert t.versions() == [2, 3, 4]  # v1 pruned by keep_versions=3
+    assert t.read().collect()[0]["s"] == "S4"
+    assert t.read(version=2).collect()[0]["s"] == "S2"
+    with pytest.raises(ValueError, match="was pruned"):
+        t.read(version=1)
+    with pytest.raises(ValueError, match="not committed yet"):
+        t.read(version=9)
+    # default retention keeps only the current version (original behavior)
+    d = ParquetTable(spark, str(tmp_path / "tt1"))
+    for r in rows[:2]:
+        d.upsert_latest(
+            spark.createDataFrame(r, "id string, updated_at timestamp, s string")
+        )
+    assert d.versions() == [2]
+    # lowering retention on an existing table reclaims older snapshots
+    shrink = ParquetTable(spark, str(tmp_path / "tt"), keep_versions=1)
+    shrink.upsert_latest(
+        spark.createDataFrame(
+            [("a", datetime(2026, 1, 1, 6), "S6")],
+            "id string, updated_at timestamp, s string",
+        )
+    )
+    assert shrink.versions() == [5]
+    with pytest.raises(ValueError):
+        ParquetTable(spark, str(tmp_path / "x"), keep_versions=0)
+    with pytest.raises(ValueError, match="no commits"):
+        ParquetTable(spark, str(tmp_path / "empty")).read(version=1)
+
+
 # ---------------------------------------------------- LAST_ROUNDS keying
 def test_last_rounds_caller_key(spark):
     from wms_data_pipeline_spark.operators import graph as gr

@@ -163,11 +163,25 @@ class ParquetTable:
     Single-writer discipline assumed (reference has the same: one staging
     run per entity); multi-writer needs Delta/Iceberg optimistic concurrency
     (SURVEY §7.3 hard part 3).
+
+    TIME TRAVEL (r11): ``keep_versions`` retains the last K committed
+    versions on disk (default 1 — the original prune-immediately
+    behavior); ``read(version=N)`` reads a retained snapshot and
+    ``versions()`` lists them — the Delta ``VERSION AS OF`` story on the
+    dependency-free sink, the audit shape "what did latest-state look
+    like before batch N". Retention is version-COUNT based because every
+    publish rewrites the full table (storage = K x table size; a real
+    deployment graduates to Delta's log+data layout for long retention).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 1):
+        if keep_versions < 1:
+            raise ValueError(
+                f"keep_versions must be >= 1, got {keep_versions}"
+            )
         self.spark = spark
         self.root = root
+        self.keep_versions = keep_versions
 
     # -- version plumbing ---------------------------------------------------
     @property
@@ -195,11 +209,44 @@ class ParquetTable:
     def _version_path(self, v: int) -> str:
         return os.path.join(self.root, f"v={v}")
 
-    def read(self) -> DataFrame | None:
-        v = self.current_version()
-        if v is None:
+    def read(self, version: "int | None" = None) -> DataFrame | None:
+        cur = self.current_version()
+        if cur is None:
+            if version is not None:
+                raise ValueError(
+                    f"version {version} requested but table has no commits"
+                )
             return None
-        return self.spark.read.parquet(self._version_path(v))
+        if version is None:
+            version = cur
+        elif version > cur:
+            raise ValueError(
+                f"version {version} not committed yet (current is {cur})"
+            )
+        elif not os.path.isdir(self._version_path(version)):
+            raise ValueError(
+                f"version {version} was pruned (keep_versions="
+                f"{self.keep_versions}; retained: {self.versions()})"
+            )
+        return self.spark.read.parquet(self._version_path(version))
+
+    def versions(self) -> "list[int]":
+        """Committed versions still on disk (ascending) — candidates for
+        ``read(version=...)``. Excludes any uncommitted v=N+1 garbage a
+        crashed publish may have left (the pointer is the commit
+        record)."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        found = []
+        for p in glob.glob(os.path.join(self.root, "v=*")):
+            try:
+                n = int(os.path.basename(p).split("=", 1)[1])
+            except ValueError:
+                continue
+            if n <= cur:
+                found.append(n)
+        return sorted(found)
 
     def _publish(self, df: DataFrame) -> int:
         cur = self.current_version()
@@ -232,9 +279,14 @@ class ParquetTable:
         with open(tmp, "w") as f:
             f.write(str(v))
         os.replace(tmp, self._pointer)  # atomic flip
-        old = v - 1
-        if old >= 1:
-            shutil.rmtree(self._version_path(old), ignore_errors=True)
+        # retention prune: drop committed versions older than the last
+        # keep_versions (default 1 == the original prune-immediately);
+        # sweep from the on-disk listing so lowering keep_versions on an
+        # existing table also reclaims its older snapshots
+        cutoff = v - self.keep_versions
+        for old in self.versions():
+            if old <= cutoff:
+                shutil.rmtree(self._version_path(old), ignore_errors=True)
         return v
 
     # -- merge API ----------------------------------------------------------

@@ -32,13 +32,12 @@ the fact history.
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from wms_data_pipeline_spark import fsio
 
 HISTORY_KEY: tuple[str, ...] = ("id", "updated_at", "payload_hash")  # init_dw.sql:31-40
 LATEST_KEY: str = "id"  # init_dw.sql:42-50
@@ -164,6 +163,15 @@ class ParquetTable:
     run per entity); multi-writer needs Delta/Iceberg optimistic concurrency
     (SURVEY §7.3 hard part 3).
 
+    CLUSTER STORAGE (r12): all pointer/stale-dir I/O goes through the
+    Hadoop FileSystem API (``fsio.TableFS``), so the warehouse root — and
+    with it every ParquetTable-backed component: history/latest sinks,
+    ``WatermarkStore``, ``RunLog``, ``QualityAuditLog`` — can live on any
+    scheme Spark reads (``file://``, ``hdfs://``, ``s3a://``). Pointer-flip
+    atomicity per scheme is documented in ``fsio``; on S3 the flip is
+    copy+delete (non-atomic for concurrent readers — graduate to
+    Delta/Iceberg for that).
+
     TIME TRAVEL (r11): ``keep_versions`` retains the last K committed
     versions on disk (default 1 — the original prune-immediately
     behavior); ``read(version=N)`` reads a retained snapshot and
@@ -182,18 +190,18 @@ class ParquetTable:
         self.spark = spark
         self.root = root
         self.keep_versions = keep_versions
+        self._fs = fsio.TableFS(spark, root)
 
     # -- version plumbing ---------------------------------------------------
     @property
     def _pointer(self) -> str:
-        return os.path.join(self.root, "_VERSION")
+        return fsio.join(self.root, "_VERSION")
 
     def current_version(self) -> int | None:
-        try:
-            with open(self._pointer) as f:
-                raw = f.read().strip()
-        except FileNotFoundError:
+        raw = self._fs.read_text(self._pointer)
+        if raw is None:
             return None
+        raw = raw.strip()
         try:
             return int(raw)
         except ValueError:
@@ -207,7 +215,7 @@ class ParquetTable:
             )
 
     def _version_path(self, v: int) -> str:
-        return os.path.join(self.root, f"v={v}")
+        return fsio.join(self.root, f"v={v}")
 
     def read(self, version: "int | None" = None) -> DataFrame | None:
         cur = self.current_version()
@@ -223,7 +231,7 @@ class ParquetTable:
             raise ValueError(
                 f"version {version} not committed yet (current is {cur})"
             )
-        elif not os.path.isdir(self._version_path(version)):
+        elif not self._fs.is_dir(self._version_path(version)):
             raise ValueError(
                 f"version {version} was pruned (keep_versions="
                 f"{self.keep_versions}; retained: {self.versions()})"
@@ -239,9 +247,11 @@ class ParquetTable:
         if cur is None:
             return []
         found = []
-        for p in glob.glob(os.path.join(self.root, "v=*")):
+        for name in self._fs.list_names(self.root):
+            if not name.startswith("v="):
+                continue
             try:
-                n = int(os.path.basename(p).split("=", 1)[1])
+                n = int(name.split("=", 1)[1])
             except ValueError:
                 continue
             if n <= cur:
@@ -258,8 +268,8 @@ class ParquetTable:
             # pointer alongside one means the pointer was lost — publishing
             # would overwrite committed data (advisor r2).
             stale = [
-                p for p in glob.glob(os.path.join(self.root, "v=*"))
-                if os.path.basename(p) != "v=1"
+                name for name in self._fs.list_names(self.root)
+                if name.startswith("v=") and name != "v=1"
             ]
             if stale:
                 raise CorruptTablePointerError(
@@ -274,11 +284,9 @@ class ParquetTable:
         # (crash between write and flip). mode("overwrite") lets a retried
         # publish reclaim it instead of erroring forever on "path exists".
         df.write.mode("overwrite").parquet(path)
-        tmp = self._pointer + ".tmp"
-        os.makedirs(self.root, exist_ok=True)
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer)  # atomic flip
+        # Pointer flip through the Hadoop FS (write tmp + rename); the
+        # parquet write above already created self.root on any scheme.
+        self._fs.write_text_atomic(self._pointer, str(v))
         # retention prune: drop committed versions older than the last
         # keep_versions (default 1 == the original prune-immediately);
         # sweep from the on-disk listing so lowering keep_versions on an
@@ -286,7 +294,7 @@ class ParquetTable:
         cutoff = v - self.keep_versions
         for old in self.versions():
             if old <= cutoff:
-                shutil.rmtree(self._version_path(old), ignore_errors=True)
+                self._fs.delete(self._version_path(old), recursive=True)
         return v
 
     # -- merge API ----------------------------------------------------------

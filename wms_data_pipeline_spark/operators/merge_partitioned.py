@@ -19,13 +19,12 @@ stays dependency-free. Single-writer discipline, like the reference.
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from wms_data_pipeline_spark import fsio
 
 from wms_data_pipeline_spark.operators.merge import (
     HISTORY_KEY,
@@ -46,6 +45,9 @@ class PartitionedMergeTable:
         self.root = root
         self.key = key
         self.n_buckets = n_buckets
+        # Pointer I/O through the Hadoop FS — warehouse root may be
+        # file:// / hdfs:// / s3a:// (atomicity per scheme: see fsio).
+        self._fs = fsio.TableFS(spark, root)
 
     # -- bucket plumbing ----------------------------------------------------
     def _with_bucket(self, df: DataFrame) -> DataFrame:
@@ -54,17 +56,16 @@ class PartitionedMergeTable:
         )
 
     def _bucket_dir(self, b: int) -> str:
-        return os.path.join(self.root, f"b={b}")
+        return fsio.join(self.root, f"b={b}")
 
     def _pointer(self, b: int) -> str:
-        return os.path.join(self._bucket_dir(b), "_VERSION")
+        return fsio.join(self._bucket_dir(b), "_VERSION")
 
     def _current_version(self, b: int) -> int | None:
-        try:
-            with open(self._pointer(b)) as f:
-                raw = f.read().strip()
-        except FileNotFoundError:
+        raw = self._fs.read_text(self._pointer(b))
+        if raw is None:
             return None
+        raw = raw.strip()
         try:
             return int(raw)
         except ValueError:
@@ -77,7 +78,7 @@ class PartitionedMergeTable:
         v = self._current_version(b)
         if v is None:
             return None
-        return self.spark.read.parquet(os.path.join(self._bucket_dir(b), f"v={v}"))
+        return self.spark.read.parquet(fsio.join(self._bucket_dir(b), f"v={v}"))
 
     def _publish_bucket(self, b: int, df: DataFrame) -> None:
         cur = self._current_version(b)
@@ -86,8 +87,8 @@ class PartitionedMergeTable:
             # a v>=2 dir means the pointer was lost after a committed flip —
             # refuse rather than overwrite committed data (advisor r2).
             stale = [
-                p for p in glob.glob(os.path.join(self._bucket_dir(b), "v=*"))
-                if os.path.basename(p) != "v=1"
+                name for name in self._fs.list_names(self._bucket_dir(b))
+                if name.startswith("v=") and name != "v=1"
             ]
             if stale:
                 raise CorruptTablePointerError(
@@ -95,18 +96,14 @@ class PartitionedMergeTable:
                     f"committed version dirs exist: {sorted(stale)}"
                 )
         v = (cur or 0) + 1
-        path = os.path.join(self._bucket_dir(b), f"v={v}")
+        path = fsio.join(self._bucket_dir(b), f"v={v}")
         # Pointer flip is the commit record; overwrite reclaims a stale
         # uncommitted v=N+1 left by a crash between write and flip.
         df.write.mode("overwrite").parquet(path)
-        os.makedirs(self._bucket_dir(b), exist_ok=True)
-        tmp = self._pointer(b) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._pointer(b))
+        self._fs.write_text_atomic(self._pointer(b), str(v))
         if v > 1:
-            shutil.rmtree(os.path.join(self._bucket_dir(b), f"v={v - 1}"),
-                          ignore_errors=True)
+            self._fs.delete(fsio.join(self._bucket_dir(b), f"v={v - 1}"),
+                            recursive=True)
 
     def read_all(self) -> DataFrame | None:
         frames = [

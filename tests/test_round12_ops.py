@@ -1,0 +1,154 @@
+"""Round-12 operator tests: the quantized KS reference store (VERDICT
+r11 #2) and the round's new operators as they land."""
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wms_data_pipeline_spark.operators.quality import (
+    ks_drift,
+    ks_drift_probe,
+    ks_drift_probe_quantized,
+    ks_reference_write,
+    ks_reference_write_quantized,
+)
+
+
+def _pop(spark, ref_vals, cur_vals, group="g1"):
+    rows = [(group, float(v), False) for v in ref_vals] + [
+        (group, float(v), True) for v in cur_vals
+    ]
+    return spark.createDataFrame(rows, "g string, v double, cur boolean")
+
+
+def _ks_rows(df):
+    return {r["g"]: (r["n_ref"], r["n_cur"], r["ks_x1e6"]) for r in df.collect()}
+
+
+# ------------------------------------------------ quantized KS: exactness
+
+def test_ks_quantized_bit_exact_on_small_range_integers(spark, tmp_path):
+    """Integer metric with per-group range < n_bins: the quantizer is
+    injective on observed values, so the quantized probe must be
+    BIT-IDENTICAL to the exact-store probe AND the batch recompute."""
+    rng = random.Random(12)
+    ref = [rng.randint(0, 500) for _ in range(400)]
+    # current drawn shifted but inside the reference range (no clamping,
+    # keeps the quantizer injective on the union)
+    cur = [rng.randint(100, 500) for _ in range(300)]
+    df = _pop(spark, ref, cur)
+
+    exact_p = str(tmp_path / "exact")
+    quant_p = str(tmp_path / "quant")
+    ref_df = df.filter(~F.col("cur"))
+    cur_df = df.filter(F.col("cur"))
+    ks_reference_write(ref_df, "g", "v", exact_p)
+    ks_reference_write_quantized(ref_df, "g", "v", quant_p, n_bins=1024)
+
+    batch = _ks_rows(ks_drift(df, "g", "v", "cur"))
+    exact = _ks_rows(ks_drift_probe(cur_df, "g", "v", exact_p))
+    quant = _ks_rows(ks_drift_probe_quantized(cur_df, "g", "v", quant_p))
+    assert batch == exact == quant
+    assert quant["g1"][2] is not None and quant["g1"][2] > 0
+
+
+def test_ks_quantized_bounded_error_on_continuous_doubles(spark, tmp_path):
+    """Near-continuous doubles: one-sided epsilon-KS —
+    KS_q <= KS_exact <= KS_q + max-bin-mass(either population)."""
+    rng = random.Random(34)
+    ref = [rng.uniform(0.0, 100.0) for _ in range(2000)]
+    cur = [rng.uniform(20.0, 100.0) for _ in range(1500)]  # location drift
+    df = _pop(spark, ref, cur)
+    n_bins = 256
+
+    quant_p = str(tmp_path / "quant")
+    ref_df = df.filter(~F.col("cur"))
+    ks_reference_write_quantized(ref_df, "g", "v", quant_p, n_bins=n_bins)
+
+    exact_ks = _ks_rows(ks_drift(df, "g", "v", "cur"))["g1"][2]
+    quant_ks = _ks_rows(
+        ks_drift_probe_quantized(df.filter(F.col("cur")), "g", "v", quant_p)
+    )["g1"][2]
+
+    # max single-bin probability mass of either population, in 1e6 units
+    # (the analytical error bound from the writer docstring)
+    spark_store = spark.read.parquet(quant_p)
+    max_ref_mass = (
+        spark_store.agg(
+            (F.max("_r") * 1000000 / F.sum("_r")).alias("m")
+        ).collect()[0]["m"]
+    )
+    edges = spark_store.agg(F.max("_mn"), F.max("_mx")).collect()[0]
+    mn, mx = edges[0], edges[1]
+    import collections
+
+    cur_bins = collections.Counter(
+        min(n_bins - 1, max(0, int((v - mn) * n_bins // (mx - mn))))
+        for v in cur
+    )
+    max_cur_mass = max(cur_bins.values()) * 1000000 / len(cur)
+    bound = max(max_ref_mass, max_cur_mass) + 2  # +2: integer-div grain
+
+    assert quant_ks <= exact_ks, (quant_ks, exact_ks)
+    assert exact_ks - quant_ks <= bound, (exact_ks, quant_ks, bound)
+    # and the drift is actually detected (true KS here is 0.2)
+    assert quant_ks > 140000
+
+
+def test_ks_quantized_store_is_bounded_by_grid(spark, tmp_path):
+    """THE point of the quantized store: rows <= groups x n_bins even
+    when every reference value is distinct (the exact store would be
+    one row per distinct value ~= per reference row)."""
+    rng = random.Random(56)
+    ref = [rng.uniform(0, 1) for _ in range(5000)]  # all distinct
+    df = _pop(spark, ref, [0.5])
+    exact_p, quant_p = str(tmp_path / "e"), str(tmp_path / "q")
+    ref_df = df.filter(~F.col("cur"))
+    ks_reference_write(ref_df, "g", "v", exact_p)
+    ks_reference_write_quantized(ref_df, "g", "v", quant_p, n_bins=128)
+    n_exact = spark.read.parquet(exact_p).count()
+    n_quant = spark.read.parquet(quant_p).count()
+    assert n_exact == 5000  # the pathology: store ~= reference
+    assert n_quant <= 128  # the fix: grid-bounded
+
+
+def test_ks_quantized_out_of_range_current_clamps_to_edge_bins(spark, tmp_path):
+    """Current values outside the frozen reference range clamp into the
+    edge bins (out-of-range mass IS edge drift) — a wholly-shifted batch
+    must max out the statistic, not error or vanish."""
+    ref = [float(v) for v in range(100)]
+    cur = [1000.0 + v for v in range(50)]  # entirely above the ref range
+    df = _pop(spark, ref, cur)
+    quant_p = str(tmp_path / "q")
+    ks_reference_write_quantized(
+        df.filter(~F.col("cur")), "g", "v", quant_p, n_bins=64
+    )
+    out = _ks_rows(
+        ks_drift_probe_quantized(df.filter(F.col("cur")), "g", "v", quant_p)
+    )
+    n_ref, n_cur, ks = out["g1"]
+    assert (n_ref, n_cur) == (100, 50)
+    # all current mass in the top bin: KS gap peaks just below it
+    assert ks >= 980000
+
+
+def test_ks_quantized_unknown_group_not_audited(spark, tmp_path):
+    """Groups never seen in the reference have no frozen geometry — the
+    probe must not audit them (the PSI-probe rule)."""
+    df = _pop(spark, [1.0, 2.0, 3.0], [2.0])
+    quant_p = str(tmp_path / "q")
+    ks_reference_write_quantized(
+        df.filter(~F.col("cur")), "g", "v", quant_p
+    )
+    cur = spark.createDataFrame(
+        [("g1", 2.5, True), ("g_new", 9.9, True)],
+        "g string, v double, cur boolean",
+    )
+    out = _ks_rows(ks_drift_probe_quantized(cur, "g", "v", quant_p))
+    assert set(out) == {"g1"}
+
+
+def test_ks_quantized_rejects_degenerate_grid(spark):
+    df = _pop(spark, [1.0], [1.0])
+    with pytest.raises(ValueError, match="n_bins"):
+        ks_reference_write_quantized(df, "g", "v", "/tmp/never", n_bins=1)

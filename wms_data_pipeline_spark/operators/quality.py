@@ -648,9 +648,13 @@ def ks_drift_probe(
         .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
     )
     # audit only groups the store knows: a group with no reference rows
-    # has an undefined KS — same rule as the PSI probe's frozen geometry
-    ref_groups = F.broadcast(store.select("_g").distinct())
-    return _ks_from_counts(merged.join(ref_groups, "_g", "semi"), group_col)
+    # has an undefined KS — same rule as the PSI probe's frozen geometry.
+    # Enforced by the n_ref filter on the tail output, NOT a semi join
+    # against distinct store groups: the distinct cost an exchange over
+    # the store, while unknown-group batch rows already collapse in the
+    # merge aggregate's map-side combine and surface as n_ref = 0 rows
+    # (r12 planlint sweep, 4 -> 3).
+    return _ks_from_counts(merged, group_col).filter(F.col("n_ref") > 0)
 
 
 def ks_reference_write_quantized(
@@ -1008,23 +1012,22 @@ def ks_drift_windows(
         F.col(window_col).alias("_w"),
         F.col(value_col).alias("_v"),
     )
-    windows = (
-        cur.select("_g", "_w")
-        .distinct()
-        .join(F.broadcast(store.select("_g").distinct()), "_g", "semi")
-    )
     # windows is |groups| x |windows| — dimension-sized however large the
-    # store; broadcast it so the replication join never shuffles the store
+    # store; broadcast it so the replication join never shuffles the
+    # store. No semi join against distinct store groups anywhere: the
+    # inner replication join below already restricts ref_rows to store
+    # groups, unknown-group batch rows collapse in the merge aggregate's
+    # map-side combine and surface as n_ref = 0, and the tail filter
+    # drops them — saving the store-distinct exchange + broadcast the
+    # semi joins cost (r12 planlint sweep, 5 -> 4).
+    windows = cur.select("_g", "_w").distinct()
     ref_rows = store.join(F.broadcast(windows), "_g").select(
         "_g", "_w", "_v", "_r", F.lit(0).cast("long").alias("_c")
     )
-    cur_rows = (
-        cur.join(F.broadcast(store.select("_g").distinct()), "_g", "semi")
-        .select(
-            "_g", "_w", "_v",
-            F.lit(0).cast("long").alias("_r"),
-            F.lit(1).cast("long").alias("_c"),
-        )
+    cur_rows = cur.select(
+        "_g", "_w", "_v",
+        F.lit(0).cast("long").alias("_r"),
+        F.lit(1).cast("long").alias("_c"),
     )
     merged = (
         ref_rows.unionByName(cur_rows)
@@ -1033,7 +1036,7 @@ def ks_drift_windows(
     )
     return _ks_from_counts(
         merged, group_col, extra_keys=(("_w", window_col),)
-    )
+    ).filter(F.col("n_ref") > 0)
 
 
 def chi2_drift_windows(

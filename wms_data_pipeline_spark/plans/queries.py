@@ -3484,13 +3484,23 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    pairs = dd.minhash_neardup_pairs(docs)
+    # repartition feeds ONLY the CPU-bound signature stage (md5 shingle
+    # hashing needs the cores; a single parquet file scans as few
+    # partitions); the anti-join side reads the scan directly so the
+    # survivor leg is one map-side pass (r12 planlint sweep, 5 -> 2)
+    pairs = dd.minhash_neardup_pairs(
+        docs.repartition(spark.sparkContext.defaultParallelism)
+    )
     # no .distinct(): anti-join semantics ignore duplicate build keys, so
-    # deduping the drop list only paid an exchange (r11 planlint sweep)
+    # deduping the drop list only paid an exchange (r11 planlint sweep).
+    # broadcast: the drop list is near-dup ids ONLY — bounded by the dup
+    # fraction of the corpus, KB-to-GB at 100 TB for typical post-LSH dup
+    # rates; a corpus where it outgrows broadcast should drop the hint
+    # and let the SMJ form co-partition on doc_id (measured A/B in
+    # SCALE_NOTES r12)
     dropped = pairs.select(F.col("id_b").alias("doc_id"))
     return (
-        docs.join(dropped, "doc_id", "left_anti")
+        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

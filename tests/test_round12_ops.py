@@ -152,3 +152,121 @@ def test_ks_quantized_rejects_degenerate_grid(spark):
     df = _pop(spark, [1.0], [1.0])
     with pytest.raises(ValueError, match="n_bins"):
         ks_reference_write_quantized(df, "g", "v", "/tmp/never", n_bins=1)
+
+
+# --------------------------------------- incremental source-overlap matrix
+
+def _docs(spark, rows):
+    """rows: (doc_id, source, text)"""
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _matrix(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_source_overlap_probe_matches_batch_on_real_split(spark):
+    """THE parity pin (VERDICT r11 #4): index(corpus) + probe(delta) must
+    reproduce the batch matrix over corpus ∪ delta bit-for-bit on the
+    real documents table."""
+    from wms_data_pipeline_spark.plans.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    batch = _matrix(REGISTRY["dd_source_overlap_matrix"].fn(spark, sf))
+    incr = _matrix(REGISTRY["dd_source_overlap_incremental"].fn(spark, sf))
+    assert len(batch) > 0
+    assert incr == batch
+
+
+def test_source_overlap_probe_additions(spark, tmp_path):
+    """A delta source joining existing shingles adds old×new + C(new,2)
+    pairs and bumps totals; containment recomputes from merged counts."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_write,
+        source_overlap_probe,
+    )
+
+    corpus = _docs(
+        spark,
+        [(1, "s1", "alpha beta"), (2, "s2", "alpha gamma")],
+    )
+    delta = _docs(spark, [(3, "s3", "alpha beta delta")])
+    p = str(tmp_path / "idx")
+    source_overlap_index_write(corpus, p, shingle_n=1, max_sources=8)
+    out = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared"], r["n_shingles_a"], r["n_shingles_b"], r["containment"]
+        )
+        for r in source_overlap_probe(spark, delta, p).collect()
+    }
+    # shingles: alpha{s1,s2,s3} beta{s1,s3} gamma{s2} delta{s3}
+    assert out == {
+        ("s1", "s2"): (1, 2, 2, 0.5),
+        ("s1", "s3"): (2, 2, 3, 1.0),
+        ("s2", "s3"): (1, 2, 3, 0.5),
+    }
+
+
+def test_source_overlap_probe_dfcut_crossing_retracts(spark, tmp_path):
+    """A delta pushing a shingle over the df-cut must RETRACT that
+    shingle's old pairs and totals — exactly what the batch recompute
+    over corpus ∪ delta does (it drops the shingle wholesale)."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_write,
+        source_overlap_probe,
+    )
+
+    corpus = _docs(
+        spark,
+        [(1, "s1", "alpha beta"), (2, "s2", "alpha beta")],
+    )
+    delta = _docs(spark, [(3, "s3", "alpha gamma")])
+    p = str(tmp_path / "idx")
+    source_overlap_index_write(corpus, p, shingle_n=1, max_sources=2)
+    probe = _matrix(source_overlap_probe(spark, delta, p))
+    # alpha crosses the cut (3 sources > 2): only beta still links s1-s2
+    full = str(tmp_path / "full")
+    source_overlap_index_write(
+        corpus.unionByName(delta), full, shingle_n=1, max_sources=2
+    )
+    batch = _matrix(
+        source_overlap_probe(
+            spark, _docs(spark, []).limit(0), full
+        )
+    )
+    assert probe == batch
+    assert probe == [("s1", "s2", 1, 1, 1, 1.0)]
+
+
+def test_source_overlap_probe_empty_delta_returns_stored_matrix(spark, tmp_path):
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_write,
+        source_overlap_probe,
+    )
+
+    corpus = _docs(spark, [(1, "s1", "x y"), (2, "s2", "x z")])
+    p = str(tmp_path / "idx")
+    source_overlap_index_write(corpus, p, shingle_n=1)
+    out = _matrix(source_overlap_probe(spark, _docs(spark, []), p))
+    assert out == [("s1", "s2", 1, 2, 2, 0.5)]
+
+
+def test_source_overlap_already_overcut_shingle_stays_dropped(spark, tmp_path):
+    """A shingle stored over the cut (srcs = NULL) contributes nothing
+    when the delta touches it again — and must not crash on the NULL
+    array."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_write,
+        source_overlap_probe,
+    )
+
+    corpus = _docs(
+        spark,
+        [(1, "s1", "hot common"), (2, "s2", "hot common"), (3, "s3", "hot")],
+    )
+    delta = _docs(spark, [(4, "s4", "hot")])
+    p = str(tmp_path / "idx")
+    source_overlap_index_write(corpus, p, shingle_n=1, max_sources=2)
+    # "hot" is over-cut in the corpus (3 sources); "common" links s1-s2
+    out = _matrix(source_overlap_probe(spark, delta, p))
+    assert out == [("s1", "s2", 1, 1, 1, 1.0)]

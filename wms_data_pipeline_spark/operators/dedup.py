@@ -536,6 +536,258 @@ def neardup_incremental(
     )
 
 
+def _pairs_from_sorted_sets(
+    df: DataFrame, arr_col: str, weight: int
+) -> DataFrame:
+    """All i < j ordered pairs from a SORTED string array, emitted
+    map-side (the r11 overlap lesson: never re-join a stream to itself
+    when the pair space is generated from a grouped set). Output
+    (source_a, source_b, w) with source_a < source_b lexicographically
+    — the ordering the sorted array gives for free."""
+    return (
+        df.select(
+            F.posexplode(arr_col).alias("_i", "source_a"), F.col(arr_col)
+        )
+        .select(
+            "source_a",
+            F.explode(
+                F.expr(f"slice({arr_col}, _i + 2, size({arr_col}))")
+            ).alias("source_b"),
+        )
+        .select(
+            "source_a", "source_b", F.lit(weight).cast("long").alias("w")
+        )
+    )
+
+
+def source_overlap_index_write(
+    df: DataFrame,
+    path: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 4,
+    max_sources: int = 256,
+    shingle_buckets: int = 64,
+) -> None:
+    """Persist the cross-source contamination index so a daily delta
+    updates the overlap matrix WITHOUT re-shingling the corpus (VERDICT
+    r11 #4 — the matrix was the last full-recompute audit; same
+    nightly-index + daily-probe story as ``neardup_index_write``). Four
+    Spark-written datasets under ``path`` (any Hadoop filesystem):
+
+    - ``shingle_sets``: (g, n_srcs, srcs) partitioned by ``gb =
+      pmod(xxhash64(g), shingle_buckets)`` — the per-shingle SORTED
+      distinct source array, the matrix's sufficient statistic. For
+      shingles over the ``max_sources`` df-cut the array is stored NULL
+      (only ``n_srcs`` matters: sources are only ever ADDED, so an
+      over-cut shingle can never come back under — the probe just needs
+      to know to skip it). A delta probe reads only the ``gb`` buckets
+      its own shingles hash into.
+    - ``pairs``: the matrix pair counts (source_a, source_b, n_shared)
+      over kept shingles — matrix-sized (≤ C(|sources|, 2) rows).
+    - ``totals``: per-source kept-shingle counts (source, n).
+    - ``meta``: one row pinning (shingle_n, max_sources,
+      shingle_buckets) so the probe self-configures; a delta probed
+      with different geometry would silently corrupt the matrix.
+
+    Build cost is the batch matrix itself plus the shingle_sets write —
+    paid once, amortized over every delta."""
+    base = path.rstrip("/")
+    by_sh = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles_of(text_col, shingle_n)).alias("g"),
+        )
+        .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .localCheckpoint()  # referenced 3x: sets write, pairs, totals
+    )
+    (
+        by_sh.select(
+            "g",
+            F.size("srcs").alias("n_srcs"),
+            F.when(
+                F.size("srcs") <= max_sources, F.col("srcs")
+            ).alias("srcs"),
+            F.pmod(F.xxhash64("g"), F.lit(shingle_buckets)).alias("gb"),
+        )
+        # repartition ON the partition column before partitionBy — one
+        # file per directory, not shuffle-partitions × buckets tiny files
+        # (the neardup_index_write lesson)
+        .repartition("gb")
+        .write.mode("overwrite")
+        .partitionBy("gb")
+        .parquet(base + "/shingle_sets")
+    )
+    kept = by_sh.filter(F.size("srcs") <= max_sources)
+    (
+        _pairs_from_sorted_sets(kept, "srcs", 1)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("w").alias("n_shared"))
+        .write.mode("overwrite")
+        .parquet(base + "/pairs")
+    )
+    (
+        kept.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(base + "/totals")
+    )
+    df.sparkSession.createDataFrame(
+        [(shingle_n, max_sources, shingle_buckets)],
+        schema="shingle_n int, max_sources int, shingle_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
+
+
+def source_overlap_probe(
+    spark,
+    delta_df: DataFrame,
+    index_path: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The UPDATED contamination matrix of corpus ∪ delta, computed from
+    a persisted ``source_overlap_index_write`` index and the delta alone
+    — bit-identical to the batch ``dd_source_overlap_matrix`` over the
+    combined corpus (pinned in test_round12_ops), at a cost that scales
+    with the DELTA, never the corpus:
+
+    - delta shingling: one map pass over the delta;
+    - index lookups: the shingle_sets read is partition-pruned to the
+      delta's ``gb`` buckets (one bounded driver collect ≤
+      shingle_buckets ints), and only TOUCHED shingles join;
+    - matrix merge: per-shingle pair DELTAS emit map-side from the
+      old/new sorted arrays — a shingle with old set O gaining new
+      sources N contributes O×N + C(N,2) new pairs; a shingle the delta
+      pushes OVER the df-cut retracts its C(O,2) old pairs (the batch
+      recompute would drop it wholesale, so the probe must too) — then
+      one matrix-sized merge with the stored pair/total counts.
+
+    Totals and containment are recomputed from the merged counts, so
+    pairs whose shared count retracts to zero disappear exactly as the
+    batch would drop them."""
+    base = index_path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    stored_pairs = spark.read.parquet(base + "/pairs").select(
+        "source_a", "source_b", F.col("n_shared").cast("long").alias("w")
+    )
+    stored_tot = spark.read.parquet(base + "/totals").select(
+        "source", F.col("n").cast("long").alias("w")
+    )
+    dsets = (
+        delta_df.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles_of(text_col, meta.shingle_n)).alias("g"),
+        )
+        .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("dsrcs"))
+        .withColumn(
+            "gb", F.pmod(F.xxhash64("g"), F.lit(meta.shingle_buckets))
+        )
+        .localCheckpoint(eager=False)
+    )
+    # bounded control-plane collect: the delta's shingle buckets
+    # (≤ shingle_buckets ints) become the index partition filter
+    gbs = sorted(r.gb for r in dsets.select("gb").distinct().collect())
+    pair_w = [stored_pairs]
+    tot_w = [stored_tot]
+    if gbs:
+        idx_sets = (
+            spark.read.parquet(base + "/shingle_sets")
+            .filter(F.col("gb").isin(gbs))
+            .select("g", "n_srcs", "srcs")
+        )
+        touched = (
+            dsets.join(idx_sets, "g", "left")
+            .select(
+                F.coalesce(F.col("n_srcs"), F.lit(0)).alias("old_n"),
+                F.coalesce(
+                    F.col("srcs"), F.array().cast("array<string>")
+                ).alias("old"),
+                "dsrcs",
+            )
+            # over-cut shingles never come back under (sources only get
+            # added) — skip before touching the NULL-stored array
+            .filter(F.col("old_n") <= meta.max_sources)
+            .withColumn("newonly", F.array_except("dsrcs", "old"))
+            .filter(F.size("newonly") > 0)
+            .withColumn(
+                "crosses",
+                (F.col("old_n") + F.size("newonly")) > meta.max_sources,
+            )
+            .localCheckpoint(eager=False)  # feeds 4 delta legs
+        )
+        under = touched.filter(~F.col("crosses"))
+        crossed = touched.filter(F.col("crosses"))
+        pair_w += [
+            _pairs_from_sorted_sets(under, "newonly", 1),
+            under.select(F.explode("old").alias("x"), "newonly")
+            .select("x", F.explode("newonly").alias("y"))
+            .select(
+                F.least("x", "y").alias("source_a"),
+                F.greatest("x", "y").alias("source_b"),
+                F.lit(1).cast("long").alias("w"),
+            ),
+            _pairs_from_sorted_sets(
+                crossed.filter(F.size("old") >= 2), "old", -1
+            ),
+        ]
+        tot_w += [
+            under.select(
+                F.explode("newonly").alias("source"),
+                F.lit(1).cast("long").alias("w"),
+            ),
+            crossed.select(
+                F.explode("old").alias("source"),
+                F.lit(-1).cast("long").alias("w"),
+            ),
+        ]
+    from functools import reduce
+
+    merged_pairs = (
+        reduce(DataFrame.unionByName, pair_w)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("w").alias("n_shared"))
+        .filter(F.col("n_shared") > 0)
+    )
+    merged_tot = (
+        reduce(DataFrame.unionByName, tot_w)
+        .groupBy("source")
+        .agg(F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    ta = F.broadcast(
+        merged_tot.select(
+            F.col("source").alias("source_a"),
+            F.col("n").alias("n_shingles_a"),
+        )
+    )
+    tb = F.broadcast(
+        merged_tot.select(
+            F.col("source").alias("source_b"),
+            F.col("n").alias("n_shingles_b"),
+        )
+    )
+    return (
+        merged_pairs.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_shingles_a",
+            "n_shingles_b",
+            F.round(
+                F.col("n_shared") / F.least("n_shingles_a", "n_shingles_b"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
     """SimHash from a pre-hashed token array: bit j is the sign of the sum
     over token hashes of (2*bit_j(h) - 1). Integer arithmetic only — pair

@@ -1248,8 +1248,10 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dd_source_overlap_matrix",
+# the full-corpus contamination-matrix oracle — shared verbatim by the
+# batch query and the index+probe incremental variant (whose contract is
+# exactly "reproduce the batch matrix over corpus ∪ delta")
+_SOURCE_OVERLAP_DUCK = (
     "WITH sh0 AS (SELECT DISTINCT source, g FROM (SELECT source, "
     "unnest(list_distinct(list_transform("
     "range(1, greatest(len(toks) - 2, 1)), "
@@ -1268,7 +1270,13 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ta.n AS n_shingles_a, tb.n AS n_shingles_b, "
     "round(p.n_shared / least(ta.n, tb.n), 6) AS containment "
     "FROM p JOIN tot ta ON p.source_a = ta.source "
-    "JOIN tot tb ON p.source_b = tb.source",
+    "JOIN tot tb ON p.source_b = tb.source"
+)
+
+
+@query(
+    "dd_source_overlap_matrix",
+    _SOURCE_OVERLAP_DUCK,
     doc="Cross-source contamination matrix: for every source pair, the "
     "number of distinct word 4-gram shingles they SHARE plus the "
     "containment ratio (shared / smaller side) — the audit that "
@@ -1341,6 +1349,37 @@ def dd_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@query(
+    "dd_source_overlap_incremental",
+    _SOURCE_OVERLAP_DUCK,
+    doc="Incremental contamination matrix (operators/dedup.py "
+    "source_overlap_index_write / source_overlap_probe, VERDICT r11 "
+    "#4): the per-shingle sorted source arrays — the matrix's "
+    "sufficient statistic — persist once per nightly build (partitioned "
+    "by shingle hash bucket, over-df-cut sets stored as NULL since "
+    "sources are only ever added); each daily delta shingles ONLY "
+    "itself, partition-prunes the index to its own buckets, emits "
+    "per-shingle pair DELTAS map-side (old×new + C(new,2) additions; "
+    "C(old,2) retractions when the delta pushes a shingle over the "
+    "df-cut), and merges them with the stored matrix-sized pair/total "
+    "counts. Bit-identical to the batch dd_source_overlap_matrix over "
+    "corpus ∪ delta (pinned in test_round12_ops) — here the corpus is "
+    "doc_id % 7 != 0 and the delta the rest, so the oracle is the "
+    "batch matrix SQL verbatim. The last full-recompute audit becomes "
+    "O(delta) + a matrix-sized merge.",
+)
+def dd_source_overlap_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    path = _process_cached_index(
+        "srcovl",
+        sf_dir,
+        lambda p: dd.source_overlap_index_write(corpus, p),
+    )
+    return dd.source_overlap_probe(spark, delta, path)
 
 
 @query(

@@ -251,6 +251,100 @@ def test_source_overlap_probe_empty_delta_returns_stored_matrix(spark, tmp_path)
     assert out == [("s1", "s2", 1, 2, 2, 0.5)]
 
 
+# ------------------------------------------------- GIF frame composition
+
+def test_gif_composed_canvas_semantics():
+    """Hand-computed 3x2 animation: disposal-1 persistence, transparent
+    passthrough onto the intact canvas, then disposal-2 black holes."""
+    from wms_data_pipeline_spark.operators.multimodal import (
+        encode_gif_animation_frames,
+        gif_frames,
+    )
+
+    palette = bytes(b for i in range(256) for b in (i, (2 * i) % 256, (3 * i) % 256))
+    specs = [
+        # full-screen base: indices 10..15, keep in place
+        {"indices": bytes(range(10, 16)), "disposal": 1},
+        # 1x1 rect at (1, 0): transparent pixel -> base must show through;
+        # disposal 2 clears the rect afterwards
+        {"left": 1, "top": 0, "width": 1, "height": 1, "disposal": 2,
+         "transparent": 99, "indices": bytes([99])},
+        # same rect, opaque 42 — draws over the now-black hole
+        {"left": 1, "top": 0, "width": 1, "height": 1, "disposal": 2,
+         "transparent": 99, "indices": bytes([42])},
+        # same rect, transparent again — after frame 2's disposal the
+        # hole is black and must STAY black
+        {"left": 1, "top": 0, "width": 1, "height": 1, "disposal": 2,
+         "transparent": 99, "indices": bytes([99])},
+    ]
+    blob = encode_gif_animation_frames(3, 2, specs, palette)
+
+    def reds(fr):
+        return [fr["rgb"][3 * p] for p in range(6)]
+
+    frames = gif_frames(blob, composed=True)
+    assert len(frames) == 4
+    assert all(f["width"] == 3 and f["height"] == 2 for f in frames)
+    assert reds(frames[0]) == [10, 11, 12, 13, 14, 15]
+    assert reds(frames[1]) == [10, 11, 12, 13, 14, 15]  # passthrough
+    assert reds(frames[2]) == [10, 42, 12, 13, 14, 15]  # opaque over hole
+    assert reds(frames[3]) == [10, 0, 12, 13, 14, 15]   # hole stays black
+
+    # the non-composed path still returns stored rasters untouched
+    stored = gif_frames(blob)
+    assert [f["width"] for f in stored] == [3, 1, 1, 1]
+    assert stored[1]["indices"] == bytes([99])
+
+
+def test_gif_composed_disposal3_raises_loudly():
+    from wms_data_pipeline_spark.operators.multimodal import (
+        encode_gif_animation_frames,
+        gif_frames,
+    )
+
+    palette = bytes(768)
+    blob = encode_gif_animation_frames(
+        2, 1, [{"indices": bytes([1, 2]), "disposal": 3}], palette
+    )
+    with pytest.raises(ValueError, match="disposal method 3"):
+        gif_frames(blob, composed=True)
+    # non-composed decode of the same blob is fine (GCE not applied)
+    assert len(gif_frames(blob)) == 1
+
+
+def test_gif_composed_rect_outside_screen_raises():
+    from wms_data_pipeline_spark.operators.multimodal import (
+        encode_gif_animation_frames,
+    )
+
+    with pytest.raises(ValueError, match="exceeds"):
+        encode_gif_animation_frames(
+            2, 2,
+            [{"left": 1, "top": 1, "width": 2, "height": 2,
+              "indices": bytes(4)}],
+            bytes(768),
+        )
+
+
+def test_gif_composed_vs_stored_means_differ(spark):
+    """The point of the operator: rendered-animation statistics are NOT
+    per-stored-frame statistics on partial-rect fixtures."""
+    from wms_data_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(7,), (11,)], "doc_id long")
+    blobs = mm.with_gif_composed_content(docs)
+    composed = mm.gif_frame_features(blobs, every_n=1, composed=True)
+    stored = mm.gif_frame_features(blobs, every_n=1, composed=False)
+    c = {(r["doc_id"], r["frame_idx"]): r["mean_r"] for r in composed.collect()}
+    s = {(r["doc_id"], r["frame_idx"]): r["mean_r"] for r in stored.collect()}
+    assert set(c) == set(s)
+    # frame 0 is full-screen: identical either way
+    assert c[(7, 0)] == s[(7, 0)]
+    # later frames are partial rects: stored stats see only the rect,
+    # composed stats see the whole canvas
+    assert any(c[k] != s[k] for k in c if k[1] > 0)
+
+
 def test_source_overlap_already_overcut_shingle_stays_dropped(spark, tmp_path):
     """A shingle stored over the cut (srcs = NULL) contributes nothing
     when the delta touches it again — and must not crash on the NULL

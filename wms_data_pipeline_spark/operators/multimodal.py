@@ -320,21 +320,96 @@ def encode_gif_animation(
     return bytes(out)
 
 
-def gif_frames(content: bytes) -> "list[dict]":
+def encode_gif_animation_frames(
+    width: int, height: int, specs: "list[dict]", palette: bytes,
+    delay_cs: int = 10,
+) -> bytes:
+    """GIF89a animation encoder with FULL per-frame control — the
+    counterpart ``encode_gif_animation`` (full-screen frames, disposal 1,
+    no transparency) cannot express: each spec dict carries
+    ``indices`` (fw*fh palette-index bytes), optional ``left``/``top``
+    offsets, ``width``/``height`` (default: the logical screen),
+    ``disposal`` (0/1/2/3, default 1) and ``transparent`` (palette index
+    or None). This is what real animated GIFs ship — partial-rect
+    frames with transparency holes over a persistent canvas — and what
+    ``gif_frames(composed=True)`` must render correctly."""
+    import struct
+
+    if not specs:
+        raise ValueError("animation needs at least one frame")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(
+            f"GIF dimensions are u16 fields: {width}x{height} out of range"
+        )
+    if len(palette) != 768:
+        raise ValueError(f"global color table must be 768 bytes, got {len(palette)}")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += palette
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for spec in specs:
+        fl, ft = int(spec.get("left", 0)), int(spec.get("top", 0))
+        fw = int(spec.get("width", width))
+        fh = int(spec.get("height", height))
+        disposal = int(spec.get("disposal", 1))
+        trans = spec.get("transparent")
+        idx_bytes = spec["indices"]
+        if fl + fw > width or ft + fh > height:
+            raise ValueError(
+                f"frame rect ({fl},{ft})+{fw}x{fh} exceeds the "
+                f"{width}x{height} logical screen"
+            )
+        if len(idx_bytes) != fw * fh:
+            raise ValueError(
+                f"GIF frame needs {fw * fh} index bytes, got {len(idx_bytes)}"
+            )
+        if not 0 <= disposal <= 3:
+            raise ValueError(f"GIF disposal method out of range: {disposal}")
+        packed = (disposal << 2) | (1 if trans is not None else 0)
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", packed, delay_cs, trans or 0
+        ) + b"\x00"
+        out += b"," + struct.pack("<HHHHB", fl, ft, fw, fh, 0)
+        out.append(8)
+        comp = _lzw_compress_gif(idx_bytes, 8)
+        for i in range(0, len(comp), 255):
+            chunk = comp[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b";"
+    return bytes(out)
+
+
+def gif_frames(content: bytes, composed: bool = False) -> "list[dict]":
     """Decode EVERY frame of a (possibly animated) GIF: the same
     header/LCT/LZW/interlace machinery as the single-image decode, but
     the walker collects all image descriptors instead of stopping at the
-    first. Each frame returns its OWN stored raster (with left/top
-    offsets reported) — frame COMPOSITION (disposal methods, partial-
-    frame overlay onto the previous canvas) is deliberately out of
-    scope: the feature surface is per-stored-frame statistics, the same
-    documented-drop contract as PNG alpha. Raises ValueError on
-    truncation/corruption — the quarantine contract."""
+    first.
+
+    ``composed=False`` (default): each frame returns its OWN stored
+    raster (with left/top offsets reported) as ``indices`` + ``palette``
+    — per-stored-frame statistics, GCE disposal/transparency validated
+    but not applied.
+
+    ``composed=True`` (r12): frames composite onto the logical-screen
+    canvas the way a viewer renders them — each frame's opaque pixels
+    (index != the GCE transparent index) draw at (left, top); after a
+    frame is emitted its disposal method applies: 0/1 leave the canvas
+    in place, 2 restores the frame's rectangle to the background (RGB
+    zeros — browsers render the GIF background as transparent-over-
+    black, and a deterministic constant is what an oracle can
+    reproduce). Each emitted frame is the FULL canvas as ``rgb`` bytes
+    (``width``/``height`` are the logical screen). Disposal 3
+    (restore-to-previous) raises loudly — the quarantine contract, same
+    as every unsupported codec variant in this module.
+
+    Raises ValueError on truncation/corruption either way."""
     import struct
 
     if len(content) < 13 or content[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("bad GIF signature")
-    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
     pos = 13
     gct = b""
     if flags & 0x80:
@@ -343,14 +418,26 @@ def gif_frames(content: bytes) -> "list[dict]":
         if len(gct) < gct_len:
             raise ValueError("truncated GIF global color table")
         pos += gct_len
+    canvas = None
+    if composed:
+        import numpy as np
+
+        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    disposal = 0
+    transparent: "int | None" = None
     frames = []
     while pos < len(content):
         b0 = content[pos]
         pos += 1
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: skip label + sub-blocks
+        if b0 == 0x21:  # extension: parse GCE state, skip sub-blocks
+            label = content[pos] if pos < len(content) else 0
             pos += 1
+            if label == 0xF9 and pos + 5 <= len(content) and content[pos] == 4:
+                packed = content[pos + 1]
+                disposal = (packed >> 2) & 0x07
+                transparent = content[pos + 4] if packed & 0x01 else None
             while pos < len(content) and content[pos]:
                 pos += content[pos] + 1
             pos += 1
@@ -398,16 +485,53 @@ def gif_frames(content: bytes) -> "list[dict]":
                 f"{width}x{height} needs {width * height}"
             )
         pal = palette + b"\x00" * max(0, 768 - len(palette))
-        frames.append(
-            {
-                "left": left,
-                "top": top,
-                "width": width,
-                "height": height,
-                "indices": indices[: width * height],
-                "palette": pal,
-            }
-        )
+        if not composed:
+            frames.append(
+                {
+                    "left": left,
+                    "top": top,
+                    "width": width,
+                    "height": height,
+                    "indices": indices[: width * height],
+                    "palette": pal,
+                }
+            )
+        else:
+            import numpy as np
+
+            if disposal >= 3:
+                raise ValueError(
+                    f"unsupported GIF disposal method {disposal} "
+                    "(restore-to-previous needs a saved canvas stack)"
+                )
+            if left + width > sw or top + height > sh:
+                raise ValueError(
+                    f"GIF frame rect ({left},{top})+{width}x{height} "
+                    f"exceeds the {sw}x{sh} logical screen"
+                )
+            idx = np.frombuffer(
+                indices[: width * height], dtype=np.uint8
+            ).reshape(height, width)
+            pal_arr = np.frombuffer(pal[:768], dtype=np.uint8).reshape(256, 3)
+            region = canvas[top : top + height, left : left + width]
+            if transparent is None:
+                region[:] = pal_arr[idx]
+            else:
+                mask = idx != transparent
+                region[mask] = pal_arr[idx][mask]
+            frames.append(
+                {
+                    "left": 0,
+                    "top": 0,
+                    "width": sw,
+                    "height": sh,
+                    "rgb": canvas.tobytes(),
+                }
+            )
+            if disposal == 2:
+                canvas[top : top + height, left : left + width] = 0
+            disposal = 0  # GCE applies to one image only (GIF89a spec)
+            transparent = None
     if not frames:
         raise ValueError("GIF contains no image descriptor")
     return frames
@@ -3204,14 +3328,19 @@ def gif_frame_features(
     every_n: int = 2,
     id_col: str = "doc_id",
     content_col: str = "content",
+    composed: bool = False,
 ) -> DataFrame:
     """REAL video-ish frame sampling: decode every frame of an animated
     GIF (``gif_frames``), keep every ``every_n``-th, and emit one row
     per SAMPLED frame with its palette-expanded per-channel intensity
     sums — the decode → sample → featurize contract a pyav video
     sampler plugs into (``frame_sample_stub`` keeps the metadata-only
-    twin for formats this container cannot carry). Exact integer sums
-    in the Arrow stage, the mean division JVM-side (the
+    twin for formats this container cannot carry). ``composed=True``
+    featurizes the RENDERED animation — each sampled frame is the
+    logical-screen canvas after disposal/transparency composition
+    (``gif_frames(composed=True)``), the statistics a viewer actually
+    sees when frames are partial rects with transparency holes. Exact
+    integer sums in the Arrow stage, the mean division JVM-side (the
     ``image_features`` HALF_UP contract)."""
     import numpy as np
 
@@ -3222,14 +3351,19 @@ def gif_frame_features(
         for pdf in batches:
             out = []
             for i, c in zip(pdf[id_col], pdf[content_col]):
-                frames = gif_frames(bytes(c))
+                frames = gif_frames(bytes(c), composed=composed)
                 for fi in range(0, len(frames), every_n):
                     fr = frames[fi]
-                    pal = np.frombuffer(fr["palette"], dtype=np.uint8).reshape(
-                        256, 3
-                    )
-                    idx = np.frombuffer(fr["indices"], dtype=np.uint8)
-                    rgb = pal[idx].astype(np.int64)
+                    if composed:
+                        rgb = np.frombuffer(
+                            fr["rgb"], dtype=np.uint8
+                        ).reshape(-1, 3).astype(np.int64)
+                    else:
+                        pal = np.frombuffer(
+                            fr["palette"], dtype=np.uint8
+                        ).reshape(256, 3)
+                        idx = np.frombuffer(fr["indices"], dtype=np.uint8)
+                        rgb = pal[idx].astype(np.int64)
                     out.append(
                         {
                             "doc_id": int(i),
@@ -3287,6 +3421,66 @@ def with_gif_animation_content(
                 for f in range(nf)
             ]
             out.append(encode_gif_animation(w, h, frames, palette))
+        return pd.Series(out)
+
+    return df.withColumn("content", _blob(F.col(id_col)))
+
+
+def with_gif_composed_content(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Test adapter whose disposal/transparency ACTUALLY exercise the
+    compositor (VERDICT r11 #5): an animated GIF89a per row —
+    nf = id % 3 + 2 frames on a (id % 5 + 4) x (id % 3 + 3) logical
+    screen. Frame 0 is full-screen opaque (raster ((id + p) * 41) % 249,
+    DISPOSAL 1 — it must persist under every later frame). Frames
+    f >= 1 are the partial rect (1, 1, w-2, h-2) with DISPOSAL 2 and
+    transparent index 250: rect position q is transparent when
+    (id + q + f) % 3 == 0, else ((id + q + 7f) * 41) % 249 (the % 249
+    domain can never collide with 250). A correct compositor therefore
+    shows, per rendered frame: outside the rect always the base; frame
+    1's holes the BASE (canvas still intact); frame >= 2's holes BLACK
+    (disposal 2 restored the rect to background). All three semantics
+    land in the channel means, which stay pure arithmetic on
+    (id, frame, pixel) — oracle-expressible. Palette (i, 2i%256,
+    3i%256) as everywhere."""
+    palette = bytes(
+        b for i in range(256) for b in (i, (2 * i) % 256, (3 * i) % 256)
+    )
+
+    @pandas_udf("binary")
+    def _blob(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            nf, w, h = i % 3 + 2, i % 5 + 4, i % 3 + 3
+            rw, rh = w - 2, h - 2
+            specs = [
+                {
+                    "indices": bytes(
+                        ((i + p) * 41) % 249 for p in range(w * h)
+                    ),
+                    "disposal": 1,
+                }
+            ]
+            for f in range(1, nf):
+                specs.append(
+                    {
+                        "left": 1,
+                        "top": 1,
+                        "width": rw,
+                        "height": rh,
+                        "disposal": 2,
+                        "transparent": 250,
+                        "indices": bytes(
+                            250
+                            if (i + q + f) % 3 == 0
+                            else ((i + q + 7 * f) * 41) % 249
+                            for q in range(rw * rh)
+                        ),
+                    }
+                )
+            out.append(encode_gif_animation_frames(w, h, specs, palette))
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))

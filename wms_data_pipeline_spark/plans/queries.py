@@ -3801,6 +3801,56 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_gif_composed",
+    # with_gif_composed_content: nf = id%3+2 frames on a (id%5+4)x(id%3+3)
+    # screen; frame 0 full-screen base ((id+p)*41)%249 disposal 1; frames
+    # f>=1 the rect (1,1,w-2,h-2) disposal 2, transparent where
+    # (id+q+f)%3==0 else ((id+q+7f)*41)%249. Rendered canvas: outside the
+    # rect always base; frame 1 holes show BASE; frame>=2 holes BLACK
+    # (v = -1 marker).
+    "WITH d AS (SELECT doc_id, doc_id % 3 + 2 AS nf, doc_id % 5 + 4 AS w, "
+    "doc_id % 3 + 3 AS h FROM documents), "
+    "f AS (SELECT doc_id, nf, w, h, unnest(range(0, nf)) AS fi FROM d), "
+    "g AS (SELECT range AS p FROM range(0, 40)), "
+    "px AS (SELECT doc_id, nf, w, h, fi, p, p % w AS x, p // w AS y "
+    "FROM f JOIN g ON g.p < w * h), "
+    "vv AS (SELECT doc_id, nf, w, h, fi, CASE "
+    "WHEN fi = 0 OR x < 1 OR x > w - 2 OR y < 1 OR y > h - 2 "
+    "THEN ((doc_id + p) * 41) % 249 "
+    "WHEN (doc_id + (x - 1) + (y - 1) * (w - 2) + fi) % 3 = 0 "
+    "THEN CASE WHEN fi = 1 THEN ((doc_id + p) * 41) % 249 ELSE -1 END "
+    "ELSE ((doc_id + (x - 1) + (y - 1) * (w - 2) + 7 * fi) * 41) % 249 "
+    "END AS v FROM px) "
+    "SELECT doc_id, nf::BIGINT AS n_frames, fi::BIGINT AS frame_idx, "
+    "w::BIGINT AS width, h::BIGINT AS height, "
+    "round(sum(CASE WHEN v < 0 THEN 0 ELSE v END) / (w * h), 6) AS mean_r, "
+    "round(sum(CASE WHEN v < 0 THEN 0 ELSE (2 * v) % 256 END) / (w * h), 6) "
+    "AS mean_g, "
+    "round(sum(CASE WHEN v < 0 THEN 0 ELSE (3 * v) % 256 END) / (w * h), 6) "
+    "AS mean_b FROM vv GROUP BY doc_id, nf, fi, w, h",
+    doc="GIF frame COMPOSITION (multimodal.py gif_frames(composed=True) / "
+    "encode_gif_animation_frames, VERDICT r11 #5): animated GIFs whose "
+    "frames are partial rects with disposal methods and transparency "
+    "holes render onto a persistent canvas — per-frame means of the "
+    "RENDERED animation differ from per-stored-frame means "
+    "(mm_gif_frames). The fixture exercises all three supported "
+    "semantics in every blob: disposal 1 persistence (the full-screen "
+    "base shows outside the rect forever), transparent-index "
+    "passthrough (frame 1's holes show the still-intact base) and "
+    "disposal 2 restore-to-background (frame >= 2's holes are black). "
+    "The oracle reproduces every rendered pixel arithmetically, so a "
+    "compositor that forgets to clear the rect, clears the wrong rect, "
+    "or draws transparent pixels breaks the hash. Disposal 3 raises "
+    "loudly (quarantine contract).",
+)
+def mm_gif_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return mm.gif_frame_features(
+        mm.with_gif_composed_content(docs), every_n=1, composed=True
+    )
+
+
+@query(
     "mm_frame_sample",
     "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, "
     "CAST(unnest(range(0, greatest(strlen(text) // 1000 + 1, 1), 30)) AS BIGINT) "

@@ -251,6 +251,41 @@ def test_source_overlap_probe_empty_delta_returns_stored_matrix(spark, tmp_path)
     assert out == [("s1", "s2", 1, 2, 2, 0.5)]
 
 
+# -------------------------------------------- graph rounds via metadata
+
+def test_graph_rounds_in_result_metadata(spark):
+    """VERDICT r11 #6: executed round counts travel WITH the result
+    (column metadata, read via graph_rounds) instead of module state —
+    both strategies, both operators; metadata survives downstream
+    selects that keep the column."""
+    from wms_data_pipeline_spark.operators import graph as gr
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    srcs = spark.createDataFrame([("a",)], "node string")
+    for strategy in ("local", "distributed"):
+        bfs = gr.bfs_hops(
+            edges, srcs, max_hops=8, strategy=strategy, checkpoint_every=1
+        )
+        r = gr.graph_rounds(bfs)
+        assert r is not None and 1 <= r <= 3, (strategy, r)
+        # survives a projection that keeps the column
+        assert gr.graph_rounds(bfs.select("node", "hops")) == r
+
+    wedges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, cost int"
+    )
+    for strategy in ("local", "distributed"):
+        sp = gr.shortest_paths(
+            wedges, srcs, max_hops=8, strategy=strategy, checkpoint_every=1
+        )
+        r = gr.graph_rounds(sp, col="dist_cost")
+        assert r is not None and 1 <= r <= 4, (strategy, r)
+    # no metadata -> None, never a crash
+    assert gr.graph_rounds(edges) is None
+
+
 # ------------------------------------------------- GIF frame composition
 
 def test_gif_composed_canvas_semantics():

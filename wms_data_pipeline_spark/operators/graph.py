@@ -40,14 +40,27 @@ MAX_SKYLINE_CANDIDATES = 2_000_000
 #: was — the scan stays distributed; only the fixed-point loop moves.
 MAX_LOCAL_GRAPH_EDGES = 1_000_000
 
-#: Rounds actually executed by the most recent fixed-point call, keyed by
-#: operator name (or the caller-supplied ``rounds_key``) — observability
-#: for the distributed early-exit (a test asserts a diameter-2 graph stops
-#: relaxing long before max_hops). Semantics are LAST-CALL-WINS per key:
-#: two concurrent driver threads running the same operator under the
-#: default key race, and the value reports whichever finished last. Pass a
-#: distinct ``rounds_key`` per concurrent caller to disambiguate.
+#: DEPRECATED (r12, removal next round): rounds executed by the most
+#: recent fixed-point call, keyed by operator name or the caller-supplied
+#: ``rounds_key``. Last-call-wins per key, so concurrent callers race —
+#: the reason it is deprecated. The supported path is ``graph_rounds(df)``:
+#: each fixed-point operator now carries its executed round count in the
+#: result column's METADATA, which travels with the DataFrame it describes
+#: instead of through shared module state.
 LAST_ROUNDS: dict[str, int] = {}
+
+
+def graph_rounds(df, col: "str | None" = None) -> "int | None":
+    """Rounds the fixed-point operator that produced ``df`` actually
+    executed, read from the result column's metadata (``bfs_hops`` /
+    ``shortest_paths`` attach it to their value column; both strategies —
+    the local early-exiting loop and the distributed checkpoint-cadence
+    early-exit — report it). None if ``df`` carries no rounds metadata
+    (e.g. the column was dropped or rebuilt)."""
+    for f in df.schema.fields:
+        if (col is None or f.name == col) and "rounds" in (f.metadata or {}):
+            return int(f.metadata["rounds"])
+    return None
 
 #: The triangle census/clustering closure probe builds a hash relation from
 #: the ORIENTED edge list. At or below this many edges the relation is
@@ -380,6 +393,7 @@ def bfs_hops(
             adj.setdefault(r._s, set()).add(r._d)
         hops = {r[0]: 0 for r in sources.select(node).distinct().collect()}
         frontier = set(hops)
+        rounds = max_hops
         for h in range(1, max_hops + 1):
             frontier = {
                 d
@@ -390,15 +404,19 @@ def bfs_hops(
             for d in frontier:
                 hops[d] = h
             if not frontier:
+                rounds = h
                 break
         node_field = T.StructField(
             node, sources.schema[node].dataType, True
         )
-        return edges.sparkSession.createDataFrame(
+        out = edges.sparkSession.createDataFrame(
             sorted(hops.items(), key=_null_safe_key),
             T.StructType(
                 [node_field, T.StructField("hops", T.LongType(), False)]
             ),
+        )
+        return out.select(
+            node, F.col("hops").alias("hops", metadata={"rounds": rounds})
         )
     dist = sources.select(F.col(node).alias("_n")).distinct().withColumn(
         "hops", F.lit(0).cast("long")
@@ -434,8 +452,11 @@ def bfs_hops(
                 rounds = it + 1
                 break
             prev_sig = sig
-    LAST_ROUNDS[rounds_key] = rounds
-    return dist.select(F.col("_n").alias(node), "hops")
+    LAST_ROUNDS[rounds_key] = rounds  # deprecated alias — graph_rounds()
+    return dist.select(
+        F.col("_n").alias(node),
+        F.col("hops").alias("hops", metadata={"rounds": rounds}),
+    )
 
 
 def skyline_nd(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -784,7 +805,8 @@ def shortest_paths(
         for r in e.collect():
             adj.setdefault(r._s, []).append((r._d, int(r._c)))
         dist = {r[0]: 0 for r in sources.select(node).distinct().collect()}
-        for _ in range(max_hops):
+        rounds = max_hops
+        for it in range(max_hops):
             changed = False
             nxt = dict(dist)
             for u, d_u in dist.items():
@@ -794,15 +816,20 @@ def shortest_paths(
                         changed = True
             dist = nxt
             if not changed:
+                rounds = it + 1
                 break
         node_field = T.StructField(
             node, sources.schema[node].dataType, True
         )
-        return edges.sparkSession.createDataFrame(
+        out = edges.sparkSession.createDataFrame(
             sorted(dist.items(), key=_null_safe_key),
             T.StructType(
                 [node_field, T.StructField("dist_cost", T.LongType(), False)]
             ),
+        )
+        return out.select(
+            node,
+            F.col("dist_cost").alias("dist_cost", metadata={"rounds": rounds}),
         )
     dist_df = sources.select(F.col(node).alias("_n")).distinct().withColumn(
         "dist_cost", F.lit(0).cast("long")
@@ -834,8 +861,11 @@ def shortest_paths(
                 rounds = it + 1
                 break
             prev_sig = sig
-    LAST_ROUNDS[rounds_key] = rounds
-    return dist_df.select(F.col("_n").alias(node), "dist_cost")
+    LAST_ROUNDS[rounds_key] = rounds  # deprecated alias — graph_rounds()
+    return dist_df.select(
+        F.col("_n").alias(node),
+        F.col("dist_cost").alias("dist_cost", metadata={"rounds": rounds}),
+    )
 
 
 def personalized_pagerank(

@@ -251,6 +251,199 @@ def test_source_overlap_probe_empty_delta_returns_stored_matrix(spark, tmp_path)
     assert out == [("s1", "s2", 1, 2, 2, 0.5)]
 
 
+# ------------------------------------------ prefix-dim rerank top-k
+
+def test_prefix_rerank_recall_and_validation(spark):
+    from wms_data_pipeline_spark.operators import similarity as sim
+    from wms_data_pipeline_spark.schemas import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.cosine_topk(emb, queries, k=10)
+    pre = sim.prefix_rerank_topk(
+        emb, queries, k=10, prefix_dims=16, shortlist=100
+    )
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    pr_rows = pre.collect()
+    pr = {(r["query_id"], r["vec_id"]) for r in pr_rows}
+    # per-query row count is exactly k
+    assert len(pr_rows) == 30
+    # the re-rank scores are EXACT cosines: any overlap with the exact
+    # top-k must carry identical scores
+    ex_scores = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in exact.collect()}
+    for r in pr_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in ex_scores:
+            assert r["cosine_sim"] == ex_scores[key]
+    # recall on this generic (non-MRL) corpus with a 100-wide shortlist
+    recall = len(ex & pr) / len(ex)
+    assert recall >= 0.5, recall
+
+    with pytest.raises(ValueError, match="shortlist"):
+        sim.prefix_rerank_topk(emb, queries, k=10, shortlist=5)
+    with pytest.raises(ValueError, match="prefix_dims"):
+        sim.prefix_rerank_topk(emb, queries, k=10, prefix_dims=0)
+
+
+# --------------------------------------- source-overlap index UPDATE
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, source string, text string")
+
+
+def test_source_overlap_update_then_probe_matches_batch(spark, tmp_path):
+    """The ingest loop: build(corpus) -> update(d1) -> probe(d2) must
+    equal the batch matrix over corpus ∪ d1 ∪ d2 — including a d1 that
+    pushes a shingle over the df-cut (the stored NULL set must stay
+    dropped when d2 touches it again)."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_update,
+        source_overlap_index_write,
+        source_overlap_probe,
+    )
+
+    corpus = _docs(spark, [(1, "s1", "alpha beta"), (2, "s2", "alpha gamma")])
+    d1 = _docs(spark, [(3, "s3", "alpha beta epsilon")])
+    d2 = _docs(spark, [(4, "s4", "alpha gamma epsilon zeta")])
+    p = str(tmp_path / "idx")
+    # max_sources=2: d1 pushes "alpha" over the cut (s1,s2,s3)
+    source_overlap_index_write(corpus, p, shingle_n=1, max_sources=2)
+    source_overlap_index_update(spark, d1, p)
+    got = _matrix(source_overlap_probe(spark, d2, p))
+
+    full = str(tmp_path / "full")
+    source_overlap_index_write(
+        corpus.unionByName(d1).unionByName(d2), full,
+        shingle_n=1, max_sources=2,
+    )
+    want = _matrix(source_overlap_probe(spark, _empty_docs(spark), full))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_source_overlap_update_is_idempotent(spark, tmp_path):
+    """Re-applying the same delta must be a no-op (crashed-and-retried
+    ingest converges) — including deltas that created new shingles and
+    deltas that crossed the df-cut."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_update,
+        source_overlap_index_write,
+        source_overlap_probe,
+    )
+
+    corpus = _docs(spark, [(1, "s1", "alpha beta"), (2, "s2", "alpha")])
+    d1 = _docs(spark, [(3, "s3", "alpha newword")])
+    p = str(tmp_path / "idx")
+    source_overlap_index_write(corpus, p, shingle_n=1, max_sources=2)
+    source_overlap_index_update(spark, d1, p)
+    once = _matrix(source_overlap_probe(spark, _empty_docs(spark), p))
+    source_overlap_index_update(spark, d1, p)
+    twice = _matrix(source_overlap_probe(spark, _empty_docs(spark), p))
+    assert once == twice
+
+
+def test_source_overlap_update_rewrites_only_touched_buckets(spark, tmp_path):
+    """Dynamic partition overwrite: buckets none of the delta's shingles
+    hash into keep their original files byte-for-byte."""
+    import os
+
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_update,
+        source_overlap_index_write,
+    )
+
+    corpus = _docs(
+        spark,
+        [(i, f"s{i}", f"word{i} shared") for i in range(8)],
+    )
+    p = str(tmp_path / "idx")
+    source_overlap_index_write(corpus, p, shingle_n=1)
+    sets_dir = p + "/shingle_sets"
+    before = {}
+    for gb in os.listdir(sets_dir):
+        if gb.startswith("gb="):
+            d = os.path.join(sets_dir, gb)
+            before[gb] = sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    delta = _docs(spark, [(100, "s9", "word0")])  # touches few buckets
+    source_overlap_index_update(spark, delta, p)
+    untouched_same = 0
+    for gb, files in before.items():
+        d = os.path.join(sets_dir, gb)
+        now = sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+        if now == files:
+            untouched_same += 1
+    # the delta has 1 shingle -> at most 1 bucket rewritten
+    assert untouched_same >= len(before) - 1 > 0
+
+
+# ----------------------------------------------- W1 drift (same store)
+
+def test_w1_quantized_hand_computed_shift(spark, tmp_path):
+    """ref = {0, 10} (50/50), cur = all 10: the ECDF gap is 0.5 across
+    the whole [0, 10] range, so true W1 = 5.0; on the 1024-bin grid the
+    gap spans 1023 steps of width 10/1024 -> exactly 0.5 * 1023 *
+    10/1024 = 4.995117 (one half-bin of quantization transport)."""
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_reference_write_quantized,
+        w1_drift_probe_quantized,
+    )
+
+    df = _pop(spark, [0.0, 10.0], [10.0, 10.0, 10.0])
+    p = str(tmp_path / "q")
+    ks_reference_write_quantized(df.filter(~F.col("cur")), "g", "v", p)
+    rows = w1_drift_probe_quantized(
+        df.filter(F.col("cur")), "g", "v", p
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_ref"], r["n_cur"]) == (2, 3)
+    assert r["w1"] == round(0.5 * 1023 * 10 / 1024, 6)  # 4.995117
+    assert abs(r["w1"] - 5.0) <= 10 / 1024
+
+
+def test_w1_quantized_identical_populations_near_zero(spark, tmp_path):
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_reference_write_quantized,
+        w1_drift_probe_quantized,
+    )
+
+    vals = [float(v) for v in range(100)]
+    df = _pop(spark, vals, vals)
+    p = str(tmp_path / "q")
+    ks_reference_write_quantized(df.filter(~F.col("cur")), "g", "v", p)
+    r = w1_drift_probe_quantized(
+        df.filter(F.col("cur")), "g", "v", p
+    ).collect()[0]
+    assert r["w1"] == 0.0  # same values -> same bins -> zero transport
+
+
+def test_w1_quantized_group_without_current_rows_is_null(spark, tmp_path):
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_reference_write_quantized,
+        w1_drift_probe_quantized,
+    )
+
+    ref = spark.createDataFrame(
+        [("g1", 1.0), ("g1", 2.0), ("g2", 5.0), ("g2", 9.0)],
+        "g string, v double",
+    )
+    p = str(tmp_path / "q")
+    ks_reference_write_quantized(ref, "g", "v", p)
+    cur = spark.createDataFrame([("g1", 2.0)], "g string, v double")
+    out = {r["g"]: (r["n_cur"], r["w1"]) for r in
+           w1_drift_probe_quantized(cur, "g", "v", p).collect()}
+    assert out["g1"][0] == 1 and out["g1"][1] is not None
+    assert out["g2"] == (0, None)
+
+
 # -------------------------------------------- graph rounds via metadata
 
 def test_graph_rounds_in_result_metadata(spark):

@@ -641,6 +641,189 @@ def source_overlap_index_write(
     ).coalesce(1).write.mode("overwrite").parquet(base + "/meta")
 
 
+def _overlap_touched(
+    spark, delta_df, base: str, meta, source_col: str, text_col: str
+):
+    """Shared delta-side computation for the overlap probe/update: the
+    delta's per-shingle sorted source sets, left-joined against the
+    partition-pruned index, filtered to shingles that actually CHANGE.
+    Returns (gbs, touched_or_None); touched carries (g, gb, old_n, old,
+    dsrcs, newonly, crosses) and is checkpointed once — it feeds four
+    delta legs in the probe and additionally the set rewrite in the
+    update."""
+    dsets = (
+        delta_df.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles_of(text_col, meta.shingle_n)).alias("g"),
+        )
+        .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("dsrcs"))
+        .withColumn(
+            "gb", F.pmod(F.xxhash64("g"), F.lit(meta.shingle_buckets))
+        )
+        .localCheckpoint(eager=False)
+    )
+    # bounded control-plane collect: the delta's shingle buckets
+    # (≤ shingle_buckets ints) become the index partition filter
+    gbs = sorted(r.gb for r in dsets.select("gb").distinct().collect())
+    if not gbs:
+        return [], None
+    idx_sets = (
+        spark.read.parquet(base + "/shingle_sets")
+        .filter(F.col("gb").isin(gbs))
+        .select("g", "n_srcs", "srcs")
+    )
+    touched = (
+        dsets.join(idx_sets, "g", "left")
+        .select(
+            "g",
+            "gb",
+            F.coalesce(F.col("n_srcs"), F.lit(0)).alias("old_n"),
+            F.coalesce(
+                F.col("srcs"), F.array().cast("array<string>")
+            ).alias("old"),
+            "dsrcs",
+        )
+        # over-cut shingles never come back under (sources only get
+        # added) — skip before touching the NULL-stored array
+        .filter(F.col("old_n") <= meta.max_sources)
+        .withColumn("newonly", F.array_except("dsrcs", "old"))
+        .filter(F.size("newonly") > 0)
+        .withColumn(
+            "crosses",
+            (F.col("old_n") + F.size("newonly")) > meta.max_sources,
+        )
+        .localCheckpoint(eager=False)
+    )
+    return gbs, touched
+
+
+def _overlap_delta_legs(touched):
+    """Map-side pair/total DELTA legs from a ``_overlap_touched`` frame:
+    additions old×new + C(new, 2) for shingles staying under the df-cut,
+    retractions C(old, 2) for shingles the delta pushes over it."""
+    if touched is None:
+        return [], []
+    under = touched.filter(~F.col("crosses"))
+    crossed = touched.filter(F.col("crosses"))
+    pair_legs = [
+        _pairs_from_sorted_sets(under, "newonly", 1),
+        under.select(F.explode("old").alias("x"), "newonly")
+        .select("x", F.explode("newonly").alias("y"))
+        .select(
+            F.least("x", "y").alias("source_a"),
+            F.greatest("x", "y").alias("source_b"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        _pairs_from_sorted_sets(
+            crossed.filter(F.size("old") >= 2), "old", -1
+        ),
+    ]
+    tot_legs = [
+        under.select(
+            F.explode("newonly").alias("source"),
+            F.lit(1).cast("long").alias("w"),
+        ),
+        crossed.select(
+            F.explode("old").alias("source"),
+            F.lit(-1).cast("long").alias("w"),
+        ),
+    ]
+    return pair_legs, tot_legs
+
+
+def source_overlap_index_update(
+    spark,
+    delta_df: DataFrame,
+    index_path: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Fold a delta INTO the persisted overlap index — the ingest half of
+    the contamination monitor (probe first, then update, exactly the
+    ``neardup_incremental`` → ``neardup_index_append`` discipline): after
+    this, the next ``source_overlap_probe`` sees corpus ∪ delta. Three
+    writes, all delta/matrix-bounded:
+
+    - ``shingle_sets``: only the delta's hash-bucket partitions rewrite
+      (dynamic partition overwrite) — untouched buckets' files are never
+      read or written; updated rows carry the merged sorted source
+      arrays (NULL once a set crosses the df-cut, which is permanent);
+    - ``pairs`` / ``totals``: the merged matrix-sized counts, recomputed
+      exactly as the probe merges them and republished whole.
+
+    IDEMPOTENT by construction: re-applying the same delta finds every
+    one of its (source, shingle) rows already present, the changed-set
+    filter drops everything, and all three datasets rewrite to their
+    current contents — so a crashed-and-retried ingest converges
+    (pinned in test_round12_ops). NOT crash-ATOMIC across the three
+    writes (no version pointer here): single-writer discipline is
+    assumed, and a crash mid-update is repaired by re-running the same
+    update (idempotence) or the nightly rebuild. Readers racing an
+    update can see a torn matrix — acceptable for a monitoring index,
+    documented the same way as the neardup index's at-least-once
+    append."""
+    base = index_path.rstrip("/")
+    meta = spark.read.parquet(base + "/meta").collect()[0]
+    gbs, touched = _overlap_touched(
+        spark, delta_df, base, meta, source_col, text_col
+    )
+    if touched is None:
+        return
+    from functools import reduce
+
+    pair_legs, tot_legs = _overlap_delta_legs(touched)
+    stored_pairs = spark.read.parquet(base + "/pairs").select(
+        "source_a", "source_b", F.col("n_shared").cast("long").alias("w")
+    )
+    stored_tot = spark.read.parquet(base + "/totals").select(
+        "source", F.col("n").cast("long").alias("w")
+    )
+    # materialize BEFORE overwriting the files they read from
+    merged_pairs = (
+        reduce(DataFrame.unionByName, [stored_pairs] + pair_legs)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("w").alias("n_shared"))
+        .filter(F.col("n_shared") > 0)
+        .localCheckpoint()
+    )
+    merged_tot = (
+        reduce(DataFrame.unionByName, [stored_tot] + tot_legs)
+        .groupBy("source")
+        .agg(F.sum("w").alias("n"))
+        .filter(F.col("n") > 0)
+        .localCheckpoint()
+    )
+    n_new = F.col("old_n") + F.size("newonly")
+    updates = touched.select(
+        "g",
+        n_new.alias("n_srcs"),
+        F.when(
+            n_new <= meta.max_sources,
+            F.sort_array(F.concat(F.col("old"), F.col("newonly"))),
+        ).alias("srcs"),
+        "gb",
+    )
+    existing = spark.read.parquet(base + "/shingle_sets").filter(
+        F.col("gb").isin(gbs)
+    ).select("g", "n_srcs", "srcs", "gb")
+    bucket_rows = (
+        existing.join(updates.select("g"), "g", "left_anti")
+        .unionByName(updates)
+        .localCheckpoint()
+    )
+    (
+        bucket_rows.repartition("gb")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gb")
+        .parquet(base + "/shingle_sets")
+    )
+    merged_pairs.write.mode("overwrite").parquet(base + "/pairs")
+    merged_tot.write.mode("overwrite").parquet(base + "/totals")
+
+
 def source_overlap_probe(
     spark,
     delta_df: DataFrame,
@@ -676,75 +859,12 @@ def source_overlap_probe(
     stored_tot = spark.read.parquet(base + "/totals").select(
         "source", F.col("n").cast("long").alias("w")
     )
-    dsets = (
-        delta_df.select(
-            F.col(source_col).alias("source"),
-            F.explode(shingles_of(text_col, meta.shingle_n)).alias("g"),
-        )
-        .distinct()
-        .groupBy("g")
-        .agg(F.sort_array(F.collect_set("source")).alias("dsrcs"))
-        .withColumn(
-            "gb", F.pmod(F.xxhash64("g"), F.lit(meta.shingle_buckets))
-        )
-        .localCheckpoint(eager=False)
+    _gbs, touched = _overlap_touched(
+        spark, delta_df, base, meta, source_col, text_col
     )
-    # bounded control-plane collect: the delta's shingle buckets
-    # (≤ shingle_buckets ints) become the index partition filter
-    gbs = sorted(r.gb for r in dsets.select("gb").distinct().collect())
-    pair_w = [stored_pairs]
-    tot_w = [stored_tot]
-    if gbs:
-        idx_sets = (
-            spark.read.parquet(base + "/shingle_sets")
-            .filter(F.col("gb").isin(gbs))
-            .select("g", "n_srcs", "srcs")
-        )
-        touched = (
-            dsets.join(idx_sets, "g", "left")
-            .select(
-                F.coalesce(F.col("n_srcs"), F.lit(0)).alias("old_n"),
-                F.coalesce(
-                    F.col("srcs"), F.array().cast("array<string>")
-                ).alias("old"),
-                "dsrcs",
-            )
-            # over-cut shingles never come back under (sources only get
-            # added) — skip before touching the NULL-stored array
-            .filter(F.col("old_n") <= meta.max_sources)
-            .withColumn("newonly", F.array_except("dsrcs", "old"))
-            .filter(F.size("newonly") > 0)
-            .withColumn(
-                "crosses",
-                (F.col("old_n") + F.size("newonly")) > meta.max_sources,
-            )
-            .localCheckpoint(eager=False)  # feeds 4 delta legs
-        )
-        under = touched.filter(~F.col("crosses"))
-        crossed = touched.filter(F.col("crosses"))
-        pair_w += [
-            _pairs_from_sorted_sets(under, "newonly", 1),
-            under.select(F.explode("old").alias("x"), "newonly")
-            .select("x", F.explode("newonly").alias("y"))
-            .select(
-                F.least("x", "y").alias("source_a"),
-                F.greatest("x", "y").alias("source_b"),
-                F.lit(1).cast("long").alias("w"),
-            ),
-            _pairs_from_sorted_sets(
-                crossed.filter(F.size("old") >= 2), "old", -1
-            ),
-        ]
-        tot_w += [
-            under.select(
-                F.explode("newonly").alias("source"),
-                F.lit(1).cast("long").alias("w"),
-            ),
-            crossed.select(
-                F.explode("old").alias("source"),
-                F.lit(-1).cast("long").alias("w"),
-            ),
-        ]
+    pair_legs, tot_legs = _overlap_delta_legs(touched)
+    pair_w = [stored_pairs] + pair_legs
+    tot_w = [stored_tot] + tot_legs
     from functools import reduce
 
     merged_pairs = (

@@ -767,6 +767,103 @@ def ks_drift_probe_quantized(
     return _ks_from_counts(merged, group_col)
 
 
+def w1_drift_probe_quantized(
+    cur_df: DataFrame, group_col: str, value_col: str, path: str
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) drift of the current batch against a
+    persisted QUANTIZED reference (``ks_reference_write_quantized`` —
+    the SAME store as the quantized KS probe): where KS is the sup-norm
+    of the ECDF gap (one spike decides it), W1 is its L1 integral —
+    magnitude-aware, in the metric's own units ("the distributions are
+    ~4.2 ms apart"), the other norm a drift dashboard wants. On the
+    frozen grid: ``W1 = Σ_bins |F_ref(b) - F_cur(b)| × bin_width`` —
+    the gap is piecewise constant between OBSERVED bins, so each
+    merged-count row contributes ``gap × (next_bin - bin)`` grid steps
+    (zero-count bins never need materializing) and the final scale is
+    one double multiply by ``(mx - mn) / n_bins`` per group. The gap
+    sums are the shared scaled-integer ECDF arithmetic (bit-stable on
+    any partitioning); quantization error is bounded by one bin width
+    of mass transport, the same epsilon argument as the quantized KS.
+    Returns (group, n_ref, n_cur, w1) — NULL w1 for a group with an
+    empty population; groups absent from the store are not audited."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    n_bins = int(store.agg(F.max("_nb")).collect()[0][0])
+    edges = F.broadcast(
+        store.groupBy("_g").agg(
+            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
+        )
+    )
+    cur_rows = (
+        cur_df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .join(edges, "_g")
+        .select(
+            "_g",
+            _psi_bucket(n_bins).alias("_b"),
+            F.lit(0).cast("long").alias("_r"),
+            F.lit(1).cast("long").alias("_c"),
+        )
+    )
+    merged = (
+        store.select("_g", "_b", "_r", F.lit(0).cast("long").alias("_c"))
+        .unionByName(cur_rows)
+        .groupBy("_g", "_b")
+        .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_next = Window.partitionBy("_g").orderBy("_b")
+    stepped = (
+        merged.withColumn("_cr", F.sum("_r").over(w_cum))
+        .withColumn("_cc", F.sum("_c").over(w_cum))
+        .withColumn("_nr", F.sum("_r").over(w_all))
+        .withColumn("_nc", F.sum("_c").over(w_all))
+        # span to the next observed bin; the last row's gap is 0 (both
+        # ECDFs at 1) so its span never matters — default 0
+        .withColumn(
+            "_span", F.coalesce(F.lead("_b", 1).over(w_next) - F.col("_b"), F.lit(0))
+        )
+    )
+    gap = F.abs(
+        F.expr("(_cr * 1000000) div _nr") - F.expr("(_cc * 1000000) div _nc")
+    )
+    sums = stepped.groupBy("_g").agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+        F.sum(
+            F.when(
+                (F.col("_nr") > 0) & (F.col("_nc") > 0), gap * F.col("_span")
+            )
+        ).alias("_s"),
+    )
+    return (
+        sums.join(edges, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.col("_s").cast("double")
+                * (F.col("_mx") - F.col("_mn"))
+                / n_bins
+                / 1000000,
+                6,
+            ).alias("w1"),
+        )
+        .filter(F.col("n_ref") > 0)
+    )
+
+
 def chi2_reference_write(ref_df: DataFrame, cat_col: str, path: str) -> None:
     """Persist the chi-square reference statistic: per-category counts
     (NULL folded to its own category, same as ``chi2_drift``)."""

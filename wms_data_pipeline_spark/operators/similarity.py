@@ -196,6 +196,80 @@ def cosine_topk(
     )
 
 
+def prefix_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 8,
+    shortlist: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka-style progressive top-k (public method — MRL, Kusupati
+    et al. 2022: representation PREFIXES are themselves usable
+    embeddings): stage 1 scores the corpus by cosine over only the first
+    ``prefix_dims`` dimensions and keeps a per-query ``shortlist``;
+    stage 2 re-ranks the shortlist with full-dimension exact cosine and
+    returns the top ``k``. The coarse pass costs ``prefix_dims / dim``
+    of the FLOPs — and, stored as its own column (or a Parquet struct
+    field), ``prefix_dims / dim`` of the SCAN BYTES via column pruning,
+    which at 100 TB is the real win: the full vectors are read only for
+    |queries| × shortlist rows. Complements the engine's other ANN
+    shapes (LSH buckets, IVF cells, PQ codes) with the one that needs
+    NO index build — the model's own dimension ordering is the index.
+
+    Deterministic: both stages rank by (6dp-rounded score desc, id asc)
+    — the ``cosine_topk`` contract — so the result is exactly
+    SQL-reproducible including which candidates make the shortlist.
+    Recall vs the exact baseline is governed by how front-loaded the
+    embedding's information is (MRL-trained: excellent; generic: pinned
+    in tests for this corpus)."""
+    if prefix_dims < 1:
+        raise ValueError(f"prefix_dims must be >= 1, got {prefix_dims}")
+    if shortlist < k:
+        raise ValueError(
+            f"shortlist ({shortlist}) must be >= k ({k}) — the re-rank "
+            "can only return what the coarse pass kept"
+        )
+    pre_corpus = corpus.select(
+        id_col, F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
+    )
+    pre_queries = queries.select(
+        query_id_col, F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
+    )
+    short = cosine_topk(
+        pre_corpus, pre_queries, k=shortlist,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    # shortlist ids are |queries| x shortlist — broadcast into the corpus
+    # scan so fetching the full vectors is map-side; query vectors ride
+    # the same way
+    full_q = queries.select(
+        query_id_col, F.col(vec_col).alias("__qv")
+    )
+    reranked = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(short), id_col)
+        .join(F.broadcast(full_q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        reranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j =
     (hex64(md5("t:p:j")) % 2001 - 1000) / 1000 ∈ [-1, 1]. Computed driver-side

@@ -1579,6 +1579,48 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_prefix_rerank_topk",
+    "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 5), "
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "p AS (SELECT query_id, vec_id, round("
+    "list_dot_product(pe, pq) / (sqrt(list_dot_product(pe, pe)) * "
+    "sqrt(list_dot_product(pq, pq))), 6) AS ps FROM ("
+    "SELECT e.vec_id, q.query_id, e.v[1:8] AS pe, q.qv[1:8] AS pq "
+    "FROM e CROSS JOIN q)), "
+    "s AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, "
+    "row_number() OVER (PARTITION BY query_id ORDER BY ps DESC, vec_id) "
+    "AS rn FROM p) WHERE rn <= 40), "
+    "r AS (SELECT s.query_id, s.vec_id, round("
+    "list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * "
+    "sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim "
+    "FROM s JOIN e USING (vec_id) JOIN q USING (query_id)) "
+    "SELECT query_id, vec_id, cosine_sim FROM (SELECT query_id, vec_id, "
+    "cosine_sim, row_number() OVER (PARTITION BY query_id "
+    "ORDER BY cosine_sim DESC, vec_id) AS rn FROM r) WHERE rn <= 10",
+    doc="Matryoshka-style progressive top-k (similarity.py "
+    "prefix_rerank_topk; public method — MRL, Kusupati et al. 2022): "
+    "coarse cosine over the first 8 dimensions keeps a 40-candidate "
+    "shortlist per query, full-dimension exact cosine re-ranks to "
+    "top-10. The coarse pass is 8/dim of the FLOPs and — stored as its "
+    "own column — 8/dim of the scan bytes via column pruning; full "
+    "vectors are fetched for |queries| x 40 rows only, broadcast "
+    "map-side. The index-free ANN shape: the model's dimension "
+    "ordering IS the index. Both stages rank by (6dp score, id), so "
+    "the shortlist membership itself is SQL-reproducible — a full "
+    "value-hash oracle on an approximate operator.",
+)
+def sim_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.prefix_rerank_topk(
+        emb, queries, k=10, prefix_dims=8, shortlist=40
+    )
+
+
+@query(
     "sim_ivf_topk",
     # Full value-hash oracle: the coarse quantizer is deterministic
     # hash-seeded medoid selection (md5 is md5 everywhere), so DuckDB can
@@ -8095,6 +8137,66 @@ def dq_ks_drift_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ks_drift_probe_quantized(
+        ev.filter(F.col("ts") >= cut), "event_type", "value", path
+    )
+
+
+@query(
+    "dq_w1_drift_quantized",
+    "WITH v AS (SELECT event_type AS g, value AS v, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    "e AS (SELECT g, min(v) AS mn, max(v) AS mx FROM v WHERE NOT cur "
+    "GROUP BY 1), "
+    "b AS (SELECT v.g, CASE WHEN e.mx = e.mn THEN 0 ELSE "
+    "LEAST(1023, GREATEST(0, "
+    "CAST(FLOOR((v.v - e.mn) * 1024 / (e.mx - e.mn)) AS INT))) END AS b, "
+    "v.cur FROM v JOIN e ON v.g = e.g), "
+    "c AS (SELECT g, b, sum(CASE WHEN cur THEN 0 ELSE 1 END) AS r, "
+    "sum(CASE WHEN cur THEN 1 ELSE 0 END) AS cc FROM b GROUP BY 1, 2), "
+    "s AS (SELECT g, sum(r) OVER (PARTITION BY g ORDER BY b "
+    "ROWS UNBOUNDED PRECEDING) AS cr, sum(cc) OVER (PARTITION BY g "
+    "ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccum, "
+    "sum(r) OVER (PARTITION BY g) AS nr, "
+    "sum(cc) OVER (PARTITION BY g) AS nc, "
+    "coalesce(lead(b) OVER (PARTITION BY g ORDER BY b) - b, 0) AS span "
+    "FROM c), "
+    "t AS (SELECT g, max(nr)::BIGINT AS n_ref, max(nc)::BIGINT AS n_cur, "
+    "sum(CASE WHEN nr > 0 AND nc > 0 THEN "
+    "abs((cr * 1000000) // nr - (ccum * 1000000) // nc) * span END) AS s "
+    "FROM s GROUP BY g) "
+    "SELECT t.g AS event_type, n_ref, n_cur, "
+    "round(s * (e.mx - e.mn) / 1024 / 1000000, 6) AS w1 "
+    "FROM t JOIN e ON t.g = e.g",
+    doc="Wasserstein-1 (earth-mover) drift against the SAME persisted "
+    "quantized store as dq_ks_drift_quantized (operators/quality.py "
+    "w1_drift_probe_quantized): KS is the sup-norm of the ECDF gap — "
+    "one spike decides it — while W1 is its L1 integral, magnitude-"
+    "aware and in the metric's own units ('the distributions sit ~4 "
+    "units apart'), the complementary norm a drift dashboard wants. "
+    "Gap is piecewise constant between observed bins, so each merged "
+    "count row contributes gap x (next_bin - bin) grid steps (zero "
+    "bins never materialize); gap sums are the family's shared scaled-"
+    "integer ECDF arithmetic, the only FP is one final width multiply. "
+    "Quantization transports mass at most one bin width — the same "
+    "epsilon bound as the quantized KS, pinned in test_round12_ops.",
+)
+def dq_w1_drift_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_reference_write_quantized,
+        w1_drift_probe_quantized,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "ksrefq",
+        sf_dir,
+        lambda p: ks_reference_write_quantized(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p
+        ),
+    )
+    return w1_drift_probe_quantized(
         ev.filter(F.col("ts") >= cut), "event_type", "value", path
     )
 

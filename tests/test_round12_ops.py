@@ -384,6 +384,81 @@ def test_source_overlap_update_rewrites_only_touched_buckets(spark, tmp_path):
     assert untouched_same >= len(before) - 1 > 0
 
 
+# ----------------------------------- streaming contamination monitor
+
+def test_overlap_monitor_stream_snapshots_and_updates(spark, tmp_path):
+    """Two micro-batches: batch 2's snapshot must include batch 1's
+    shingles (the index update is visible), and the final snapshot must
+    equal the batch matrix over corpus ∪ batch1 ∪ batch2."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_write,
+        source_overlap_probe,
+    )
+    from wms_data_pipeline_spark.streaming.pipeline import (
+        overlap_monitor_stream,
+    )
+
+    corpus = _docs(spark, [(1, "s1", "alpha beta"), (2, "s2", "alpha gamma")])
+    index = "file://" + str(tmp_path / "ovidx")
+    source_overlap_index_write(corpus, index, shingle_n=1)
+
+    src = str(tmp_path / "incoming")
+    b1 = [(3, "s3", "beta gamma")]
+    b2 = [(4, "s4", "beta delta")]
+    schema = "doc_id long, source string, text string"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    matrix_out = str(tmp_path / "matrix")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        overlap_monitor_stream(
+            stream, index, matrix_out, ckpt
+        ).awaitTermination(120)
+
+    run()
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    snaps = spark.read.parquet(matrix_out)
+    assert {r.batch_id for r in snaps.select("batch_id").distinct().collect()} == {0, 1}
+    last = sorted(
+        map(tuple, snaps.filter(F.col("batch_id") == 1).drop("batch_id").collect())
+    )
+    full = "file://" + str(tmp_path / "full")
+    source_overlap_index_write(
+        corpus.unionByName(_docs(spark, b1)).unionByName(_docs(spark, b2)),
+        full, shingle_n=1,
+    )
+    want = sorted(map(tuple, source_overlap_probe(
+        spark, _empty_docs(spark), full
+    ).collect()))
+    assert last == want
+    # batch-2 snapshot sees the s3-s4 shared "beta" — proof the update
+    # from batch 1 was visible when batch 2 probed
+    assert any(r[0] == "s3" and r[1] == "s4" for r in last)
+
+
+def test_overlap_monitor_stream_requires_bootstrapped_index(spark, tmp_path):
+    from wms_data_pipeline_spark.streaming.pipeline import (
+        overlap_monitor_stream,
+    )
+
+    (tmp_path / "in").mkdir()
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(str(tmp_path / "in"))
+    with pytest.raises(ValueError, match="no source-overlap index"):
+        overlap_monitor_stream(
+            stream, str(tmp_path / "missing"), str(tmp_path / "m"),
+            str(tmp_path / "c"),
+        )
+
+
 # ----------------------------------------------- W1 drift (same store)
 
 def test_w1_quantized_hand_computed_shift(spark, tmp_path):

@@ -338,6 +338,74 @@ def neardup_ingest_stream(
     )
 
 
+def overlap_monitor_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    matrix_out: str,
+    checkpoint_dir: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Contamination-monitoring-on-INGEST: each micro-batch of new
+    documents is probed against the persisted source-overlap index
+    (``source_overlap_index_write``) — emitting the UPDATED cross-source
+    matrix as of that batch into ``matrix_out`` (one matrix snapshot per
+    batch, ``batch_id``-stamped) — and then folded INTO the index
+    (``source_overlap_index_update``), so batch N+1's matrix includes
+    batch N's shingles without ever re-shingling the corpus. The
+    streaming form of the nightly-index + daily-delta contamination
+    story: a mirror site or syndicated feed shows up as a containment
+    spike in the snapshot series within one batch of arriving.
+
+    Probe-before-update inside one ``foreachBatch`` keeps the snapshot
+    honest (updating first would make the probe a no-op read of its own
+    result — same value, but the ordering documents intent and matches
+    ``neardup_ingest_stream``). Delivery is at-least-once: a replayed
+    batch re-probes an index that may already contain it — the update is
+    IDEMPOTENT by construction (changed-set filter drops everything,
+    pinned in test_round12_ops) and the re-emitted snapshot carries the
+    same batch_id with the same values, so readers keying on batch_id
+    converge."""
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_update,
+        source_overlap_probe,
+    )
+
+    spark = stream_df.sparkSession
+    p = spark._jvm.org.apache.hadoop.fs.Path(index_path.rstrip("/") + "/meta")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise ValueError(
+            f"no source-overlap index at {index_path!r} (missing 'meta' "
+            "sidecar): bootstrap it with operators.dedup."
+            "source_overlap_index_write(corpus, index_path) before "
+            "starting the monitor stream"
+        )
+
+    def _probe_then_update(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint()  # two passes: probe + update
+        matrix = source_overlap_probe(
+            spark, batch, index_path,
+            source_col=source_col, text_col=text_col,
+        )
+        matrix.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(matrix_out)
+        source_overlap_index_update(
+            spark, batch, index_path,
+            source_col=source_col, text_col=text_col,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_probe_then_update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curation_ingest_stream(
     stream_df: DataFrame,
     index_path: str,

@@ -187,3 +187,47 @@ def test_priority_sample_is_single_window_exchange(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning\(source", plan)) == 1
     assert "WindowGroupLimit" in plan
+
+
+@needs_testdata
+def test_keep_canonical_broadcasts_drop_list(spark):
+    """r12 rebuild (5 -> 2 exchanges): the survivor leg must be
+    scan -> broadcast LEFT-ANTI -> partial agg — the ids-only drop list
+    broadcasts; the corpus is never co-partitioned on doc_id for it."""
+    plan = _plan(spark, "dd_dedup_keep_canonical", "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan[:1500]
+
+
+@needs_testdata
+def test_ks_probes_have_no_store_distinct_exchange(spark):
+    """r12 rebuild: the audit-only-store-groups rule is an n_ref filter
+    on the ECDF-tail output, not a semi join — no exchange over a
+    distinct of the store's group column may reappear."""
+    import re
+
+    for name, max_exchanges in (
+        ("dq_ks_drift_incremental", 2),
+        ("dq_ks_drift_daily", 3),
+        ("dq_ks_drift_quantized", 4),
+        ("dq_w1_drift_quantized", 4),
+    ):
+        plan = _plan(spark, name, "simple")
+        n = len(re.findall(r"\bExchange hashpartitioning", plan))
+        assert n <= max_exchanges, (name, n)
+        assert "CartesianProduct" not in plan
+
+
+@needs_testdata
+def test_prefix_rerank_fetch_is_broadcast(spark):
+    """The full-vector fetch for the shortlist must broadcast the
+    |queries| x shortlist id set into the corpus scan — never shuffle
+    the vector table (the ivfpq_rerank contract)."""
+    plan = _plan(spark, "sim_prefix_rerank_topk", "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", plan), plan[:1500]

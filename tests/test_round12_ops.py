@@ -519,6 +519,38 @@ def test_w1_quantized_group_without_current_rows_is_null(spark, tmp_path):
     assert out["g2"] == (0, None)
 
 
+def test_ks_windows_quantized_single_window_reproduces_probe(spark, tmp_path):
+    """A window holding the whole batch must reproduce the quantized
+    probe bit-for-bit (the same pin the exact windowed series carries)."""
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_drift_probe_quantized,
+        ks_drift_windows_quantized,
+        ks_reference_write_quantized,
+    )
+
+    rng = random.Random(78)
+    ref = [rng.uniform(0, 50) for _ in range(800)]
+    cur = [rng.uniform(10, 60) for _ in range(600)]
+    df = _pop(spark, ref, cur)
+    p = str(tmp_path / "q")
+    ks_reference_write_quantized(df.filter(~F.col("cur")), "g", "v", p)
+    cur_df = df.filter(F.col("cur")).withColumn("w", F.lit("all"))
+    probe = _ks_rows(ks_drift_probe_quantized(cur_df, "g", "v", p))
+    winr = {
+        r["g"]: (r["n_ref"], r["n_cur"], r["ks_x1e6"])
+        for r in ks_drift_windows_quantized(cur_df, "g", "v", "w", p).collect()
+    }
+    assert probe == winr
+    # and a split into two windows audits each independently
+    cur2 = df.filter(F.col("cur")).withColumn(
+        "w", F.when(F.col("v") < 35, "lo").otherwise("hi")
+    )
+    out = ks_drift_windows_quantized(cur2, "g", "v", "w", p)
+    rows = out.collect()
+    assert {r["w"] for r in rows} == {"lo", "hi"}
+    assert all(r["n_ref"] == 800 for r in rows)
+
+
 # -------------------------------------------- graph rounds via metadata
 
 def test_graph_rounds_in_result_metadata(spark):

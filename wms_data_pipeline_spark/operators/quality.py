@@ -1136,6 +1136,62 @@ def ks_drift_windows(
     ).filter(F.col("n_ref") > 0)
 
 
+def ks_drift_windows_quantized(
+    cur_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    window_col: str,
+    path: str,
+) -> DataFrame:
+    """KS drift TIME SERIES against a persisted QUANTIZED reference
+    (``ks_reference_write_quantized``) — the windowed audit was the
+    place the exact store hurt most: ``ks_drift_windows`` replicates
+    the per-(group, value) reference counts onto EVERY audited window,
+    so a near-continuous metric pays ~|reference| × |windows| merge
+    rows. Here the replicated rows are the frozen grid — |groups| ×
+    n_bins × |windows|, bounded forever — and the batch quantizes onto
+    the same grid (same ``_psi_bucket``, out-of-range clamps to edge
+    bins). Per window this is bit-identical to
+    ``ks_drift_probe_quantized`` on that window's rows alone (pinned in
+    test_round12_ops) and carries the quantized probe's one-sided
+    epsilon bound vs the exact series. Groups absent from the store are
+    not audited (the n_ref tail filter, never a store-distinct semi
+    join — the r12 planlint lesson)."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    n_bins = int(store.agg(F.max("_nb")).collect()[0][0])
+    edges = F.broadcast(
+        store.groupBy("_g").agg(
+            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
+        )
+    )
+    cur = cur_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(window_col).alias("_w"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    windows = cur.select("_g", "_w").distinct()
+    ref_rows = store.join(F.broadcast(windows), "_g").select(
+        "_g", "_w", F.col("_b").alias("_v"), "_r",
+        F.lit(0).cast("long").alias("_c"),
+    )
+    cur_rows = cur.join(edges, "_g").select(
+        "_g",
+        "_w",
+        _psi_bucket(n_bins).alias("_v"),
+        F.lit(0).cast("long").alias("_r"),
+        F.lit(1).cast("long").alias("_c"),
+    )
+    merged = (
+        ref_rows.unionByName(cur_rows)
+        .groupBy("_g", "_w", "_v")
+        .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+    )
+    return _ks_from_counts(
+        merged, group_col, extra_keys=(("_w", window_col),)
+    ).filter(F.col("n_ref") > 0)
+
+
 def chi2_drift_windows(
     cur_df: DataFrame,
     cat_col: str,

@@ -519,6 +519,31 @@ def test_w1_quantized_group_without_current_rows_is_null(spark, tmp_path):
     assert out["g2"] == (0, None)
 
 
+def test_w1_windows_quantized_single_window_reproduces_probe(spark, tmp_path):
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_reference_write_quantized,
+        w1_drift_probe_quantized,
+        w1_drift_windows_quantized,
+    )
+
+    rng = random.Random(90)
+    ref = [rng.uniform(0, 50) for _ in range(700)]
+    cur = [rng.uniform(15, 65) for _ in range(500)]
+    df = _pop(spark, ref, cur)
+    p = str(tmp_path / "q")
+    ks_reference_write_quantized(df.filter(~F.col("cur")), "g", "v", p)
+    cur_df = df.filter(F.col("cur")).withColumn("w", F.lit("all"))
+    probe = {
+        r["g"]: (r["n_ref"], r["n_cur"], r["w1"])
+        for r in w1_drift_probe_quantized(cur_df, "g", "v", p).collect()
+    }
+    winr = {
+        r["g"]: (r["n_ref"], r["n_cur"], r["w1"])
+        for r in w1_drift_windows_quantized(cur_df, "g", "v", "w", p).collect()
+    }
+    assert probe == winr and probe["g1"][2] > 0
+
+
 def test_ks_windows_quantized_single_window_reproduces_probe(spark, tmp_path):
     """A window holding the whole batch must reproduce the quantized
     probe bit-for-bit (the same pin the exact windowed series carries)."""

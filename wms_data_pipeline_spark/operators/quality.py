@@ -814,15 +814,31 @@ def w1_drift_probe_quantized(
         .groupBy("_g", "_b")
         .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
     )
+    return _w1_from_bins(merged, edges, n_bins, group_col)
+
+
+def _w1_from_bins(
+    merged: DataFrame,
+    edges,
+    n_bins: int,
+    group_col: str,
+    extra_keys: "tuple[tuple[str, str], ...]" = (),
+) -> DataFrame:
+    """Shared W1 tail over merged per-(group[, extra...], bin) population
+    counts (_g, …, _b, _r, _c) plus the frozen per-group edges — the same
+    scaled-integer ECDF arithmetic as ``_ks_from_counts`` with
+    sum-of-gap×span instead of max, so the probe and the windowed series
+    are per-window bit-identical by construction."""
+    keys = ["_g"] + [k for k, _ in extra_keys]
     w_cum = (
-        Window.partitionBy("_g")
+        Window.partitionBy(*keys)
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("_g").rowsBetween(
+    w_all = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_next = Window.partitionBy("_g").orderBy("_b")
+    w_next = Window.partitionBy(*keys).orderBy("_b")
     stepped = (
         merged.withColumn("_cr", F.sum("_r").over(w_cum))
         .withColumn("_cc", F.sum("_c").over(w_cum))
@@ -837,7 +853,7 @@ def w1_drift_probe_quantized(
     gap = F.abs(
         F.expr("(_cr * 1000000) div _nr") - F.expr("(_cc * 1000000) div _nc")
     )
-    sums = stepped.groupBy("_g").agg(
+    sums = stepped.groupBy(*keys).agg(
         F.max("_nr").cast("long").alias("n_ref"),
         F.max("_nc").cast("long").alias("n_cur"),
         F.sum(
@@ -846,10 +862,10 @@ def w1_drift_probe_quantized(
             )
         ).alias("_s"),
     )
-    return (
+    out = (
         sums.join(edges, "_g")
         .select(
-            F.col("_g").alias(group_col),
+            *keys,
             "n_ref",
             "n_cur",
             F.round(
@@ -861,6 +877,58 @@ def w1_drift_probe_quantized(
             ).alias("w1"),
         )
         .filter(F.col("n_ref") > 0)
+        .withColumnRenamed("_g", group_col)
+    )
+    for internal, output in extra_keys:
+        out = out.withColumnRenamed(internal, output)
+    return out
+
+
+def w1_drift_windows_quantized(
+    cur_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    window_col: str,
+    path: str,
+) -> DataFrame:
+    """Wasserstein-1 drift TIME SERIES against the persisted quantized
+    store — the L1 companion to ``ks_drift_windows_quantized`` on the
+    same dashboard, with the same grid-bounded replication cost
+    (|groups| × n_bins × |windows|, never reference cardinality). Per
+    window bit-identical to ``w1_drift_probe_quantized`` on that
+    window's rows alone (shared ``_w1_from_bins`` tail, pinned in
+    test_round12_ops)."""
+    spark = cur_df.sparkSession
+    store = spark.read.parquet(path)
+    n_bins = int(store.agg(F.max("_nb")).collect()[0][0])
+    edges = F.broadcast(
+        store.groupBy("_g").agg(
+            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
+        )
+    )
+    cur = cur_df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(window_col).alias("_w"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    windows = cur.select("_g", "_w").distinct()
+    ref_rows = store.join(F.broadcast(windows), "_g").select(
+        "_g", "_w", "_b", "_r", F.lit(0).cast("long").alias("_c")
+    )
+    cur_rows = cur.join(edges, "_g").select(
+        "_g",
+        "_w",
+        _psi_bucket(n_bins).alias("_b"),
+        F.lit(0).cast("long").alias("_r"),
+        F.lit(1).cast("long").alias("_c"),
+    )
+    merged = (
+        ref_rows.unionByName(cur_rows)
+        .groupBy("_g", "_w", "_b")
+        .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+    )
+    return _w1_from_bins(
+        merged, edges, n_bins, group_col, extra_keys=(("_w", window_col),)
     )
 
 

@@ -8203,6 +8203,71 @@ def dq_ks_drift_daily_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_w1_drift_daily_quantized",
+    "WITH v AS (SELECT event_type AS g, value AS v, ts, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    "e AS (SELECT g, min(v) AS mn, max(v) AS mx FROM v WHERE NOT cur "
+    "GROUP BY 1), "
+    "b AS (SELECT v.g, CASE WHEN e.mx = e.mn THEN 0 ELSE "
+    "LEAST(1023, GREATEST(0, "
+    "CAST(FLOOR((v.v - e.mn) * 1024 / (e.mx - e.mn)) AS INT))) END AS b, "
+    "v.cur, CAST(v.ts AS DATE) AS day FROM v JOIN e ON v.g = e.g), "
+    "rc AS (SELECT g, b, count(*)::BIGINT AS r FROM b WHERE NOT cur "
+    "GROUP BY 1, 2), "
+    "days AS (SELECT DISTINCT g, day FROM b WHERE cur), "
+    "cc AS (SELECT g, day, b, count(*)::BIGINT AS c FROM b WHERE cur "
+    "GROUP BY 1, 2, 3), "
+    "u AS (SELECT d.g, d.day, rc.b, rc.r, 0::BIGINT AS c FROM days d "
+    "JOIN rc ON d.g = rc.g "
+    "UNION ALL SELECT g, day, b, 0::BIGINT, c FROM cc), "
+    "m AS (SELECT g, day, b, sum(r) AS r, sum(c) AS c FROM u "
+    "GROUP BY 1, 2, 3), "
+    "s AS (SELECT g, day, sum(r) OVER (PARTITION BY g, day ORDER BY b "
+    "ROWS UNBOUNDED PRECEDING) AS cr, sum(c) OVER (PARTITION BY g, day "
+    "ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccum, "
+    "sum(r) OVER (PARTITION BY g, day) AS nr, "
+    "sum(c) OVER (PARTITION BY g, day) AS nc, "
+    "coalesce(lead(b) OVER (PARTITION BY g, day ORDER BY b) - b, 0) "
+    "AS span FROM m), "
+    "t AS (SELECT g, day, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "sum(CASE WHEN nr > 0 AND nc > 0 THEN "
+    "abs((cr * 1000000) // nr - (ccum * 1000000) // nc) * span END) AS s "
+    "FROM s GROUP BY g, day) "
+    "SELECT t.g AS event_type, t.day, n_ref, n_cur, "
+    "round(s * (e.mx - e.mn) / 1024 / 1000000, 6) AS w1 "
+    "FROM t JOIN e ON t.g = e.g",
+    doc="Wasserstein-1 drift TIME SERIES on the shared quantized store "
+    "(operators/quality.py w1_drift_windows_quantized): the L1 "
+    "companion to dq_ks_drift_daily_quantized — per (group, day), how "
+    "FAR apart (in the metric's own units) the day's distribution sits "
+    "from the frozen reference, where the KS series says how sharply "
+    "the ECDFs separate. Same grid-bounded replication (|groups| x "
+    "bins x |windows|), same shared scaled-integer tail; per window "
+    "bit-identical to dq_w1_drift_quantized on that window's rows "
+    "alone (pinned in test_round12_ops).",
+)
+def dq_w1_drift_daily_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_reference_write_quantized,
+        w1_drift_windows_quantized,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "ksrefq",
+        sf_dir,
+        lambda p: ks_reference_write_quantized(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p
+        ),
+    )
+    cur = ev.filter(F.col("ts") >= cut).withColumn("day", F.to_date("ts"))
+    return w1_drift_windows_quantized(cur, "event_type", "value", "day", path)
+
+
+@query(
     "dq_w1_drift_quantized",
     "WITH v AS (SELECT event_type AS g, value AS v, "
     "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "

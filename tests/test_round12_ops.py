@@ -656,20 +656,51 @@ def test_gif_composed_canvas_semantics():
     assert stored[1]["indices"] == bytes([99])
 
 
-def test_gif_composed_disposal3_raises_loudly():
+def test_gif_composed_disposal3_restores_previous_canvas():
+    """Restore-to-previous: a disposal-3 frame's pixels are visible in
+    ITS OWN emitted canvas only — the next frame composites onto the
+    pre-frame state, even when that state itself came from disposal-2
+    holes."""
     from wms_data_pipeline_spark.operators.multimodal import (
         encode_gif_animation_frames,
         gif_frames,
     )
 
-    palette = bytes(768)
-    blob = encode_gif_animation_frames(
-        2, 1, [{"indices": bytes([1, 2]), "disposal": 3}], palette
+    palette = bytes(b for i in range(256) for b in (i, (2 * i) % 256, (3 * i) % 256))
+    specs = [
+        {"indices": bytes(range(10, 13)), "disposal": 1},  # base 10,11,12
+        # disposal-2 hole at (1,0): emits 50 there, then clears to black
+        {"left": 1, "top": 0, "width": 1, "height": 1, "disposal": 2,
+         "indices": bytes([50])},
+        # disposal-3 frame draws 99 over the BLACK hole — must vanish after
+        {"left": 1, "top": 0, "width": 1, "height": 1, "disposal": 3,
+         "indices": bytes([99])},
+        # transparent frame: shows whatever the canvas holds — the
+        # restored BLACK, not 99
+        {"left": 1, "top": 0, "width": 1, "height": 1, "disposal": 1,
+         "transparent": 7, "indices": bytes([7])},
+    ]
+    blob = encode_gif_animation_frames(3, 1, specs, palette)
+    frames = gif_frames(blob, composed=True)
+    reds = [[f["rgb"][3 * p] for p in range(3)] for f in frames]
+    assert reds[0] == [10, 11, 12]
+    assert reds[1] == [10, 50, 12]
+    assert reds[2] == [10, 99, 12]  # disposal-3 frame itself shows 99
+    assert reds[3] == [10, 0, 12]   # ...but the canvas was restored
+
+    # reserved disposal values still raise loudly
+    bad = encode_gif_animation_frames(
+        2, 1, [{"indices": bytes([1, 2]), "disposal": 3}], bytes(768)
     )
-    with pytest.raises(ValueError, match="disposal method 3"):
-        gif_frames(blob, composed=True)
+    # patch the GCE packed byte to the reserved disposal 5 (offset of the
+    # packed field inside the first GCE after the NETSCAPE block)
+    ba = bytearray(bad)
+    gce = ba.index(b"\x21\xf9\x04")
+    ba[gce + 3] = 5 << 2
+    with pytest.raises(ValueError, match="disposal method 5"):
+        gif_frames(bytes(ba), composed=True)
     # non-composed decode of the same blob is fine (GCE not applied)
-    assert len(gif_frames(blob)) == 1
+    assert len(gif_frames(bytes(ba))) == 1
 
 
 def test_gif_composed_rect_outside_screen_raises():

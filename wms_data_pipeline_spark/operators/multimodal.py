@@ -399,10 +399,11 @@ def gif_frames(content: bytes, composed: bool = False) -> "list[dict]":
     in place, 2 restores the frame's rectangle to the background (RGB
     zeros — browsers render the GIF background as transparent-over-
     black, and a deterministic constant is what an oracle can
-    reproduce). Each emitted frame is the FULL canvas as ``rgb`` bytes
-    (``width``/``height`` are the logical screen). Disposal 3
-    (restore-to-previous) raises loudly — the quarantine contract, same
-    as every unsupported codec variant in this module.
+    reproduce), 3 restores the canvas to its pre-frame state (one saved
+    copy — the spec's restore-to-previous). Each emitted frame is the
+    FULL canvas as ``rgb`` bytes (``width``/``height`` are the logical
+    screen). Reserved disposal values 4-7 raise loudly — the quarantine
+    contract, same as every unsupported codec variant in this module.
 
     Raises ValueError on truncation/corruption either way."""
     import struct
@@ -499,10 +500,10 @@ def gif_frames(content: bytes, composed: bool = False) -> "list[dict]":
         else:
             import numpy as np
 
-            if disposal >= 3:
+            if disposal > 3:
                 raise ValueError(
                     f"unsupported GIF disposal method {disposal} "
-                    "(restore-to-previous needs a saved canvas stack)"
+                    "(values 4-7 are reserved by the GIF89a spec)"
                 )
             if left + width > sw or top + height > sh:
                 raise ValueError(
@@ -513,6 +514,11 @@ def gif_frames(content: bytes, composed: bool = False) -> "list[dict]":
                 indices[: width * height], dtype=np.uint8
             ).reshape(height, width)
             pal_arr = np.frombuffer(pal[:768], dtype=np.uint8).reshape(256, 3)
+            # disposal 3 (restore-to-previous): the canvas reverts to its
+            # state BEFORE this frame drew — one saved copy, not a stack
+            # (the spec restores to the pre-frame state, which is what the
+            # prior iteration's disposal already produced)
+            saved = canvas.copy() if disposal == 3 else None
             region = canvas[top : top + height, left : left + width]
             if transparent is None:
                 region[:] = pal_arr[idx]
@@ -530,6 +536,8 @@ def gif_frames(content: bytes, composed: bool = False) -> "list[dict]":
             )
             if disposal == 2:
                 canvas[top : top + height, left : left + width] = 0
+            elif disposal == 3:
+                canvas = saved
             disposal = 0  # GCE applies to one image only (GIF89a spec)
             transparent = None
     if not frames:

@@ -3882,8 +3882,9 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disposal 2 restore-to-background (frame >= 2's holes are black). "
     "The oracle reproduces every rendered pixel arithmetically, so a "
     "compositor that forgets to clear the rect, clears the wrong rect, "
-    "or draws transparent pixels breaks the hash. Disposal 3 raises "
-    "loudly (quarantine contract).",
+    "or draws transparent pixels breaks the hash. Disposal 3 "
+    "(restore-to-previous) is also supported — one saved canvas copy, "
+    "pytest-pinned; reserved disposals 4-7 raise loudly.",
 )
 def mm_gif_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")

@@ -806,27 +806,40 @@ def w1_drift_probe_quantized(
             _psi_bucket(n_bins).alias("_b"),
             F.lit(0).cast("long").alias("_r"),
             F.lit(1).cast("long").alias("_c"),
+            F.lit(None).cast("double").alias("_mn"),
+            F.lit(None).cast("double").alias("_mx"),
         )
     )
     merged = (
-        store.select("_g", "_b", "_r", F.lit(0).cast("long").alias("_c"))
+        store.select(
+            "_g", "_b", "_r", F.lit(0).cast("long").alias("_c"),
+            "_mn", "_mx",
+        )
         .unionByName(cur_rows)
         .groupBy("_g", "_b")
-        .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+        .agg(
+            F.sum("_r").alias("_r"),
+            F.sum("_c").alias("_c"),
+            F.max("_mn").alias("_mn"),
+            F.max("_mx").alias("_mx"),
+        )
     )
-    return _w1_from_bins(merged, edges, n_bins, group_col)
+    return _w1_from_bins(merged, n_bins, group_col)
 
 
 def _w1_from_bins(
     merged: DataFrame,
-    edges,
     n_bins: int,
     group_col: str,
     extra_keys: "tuple[tuple[str, str], ...]" = (),
 ) -> DataFrame:
     """Shared W1 tail over merged per-(group[, extra...], bin) population
-    counts (_g, …, _b, _r, _c) plus the frozen per-group edges — the same
-    scaled-integer ECDF arithmetic as ``_ks_from_counts`` with
+    counts (_g, …, _b, _r, _c, _mn, _mx) — the frozen edges RIDE THE
+    STORE ROWS through the merge aggregate (every audited key has at
+    least one reference row, so max(_mn)/max(_mx) recover them; cur-only
+    rows carry NULLs and are dropped by the n_ref filter anyway), which
+    saves the separate edges re-join the first cut of this tail paid.
+    Same scaled-integer ECDF arithmetic as ``_ks_from_counts`` with
     sum-of-gap×span instead of max, so the probe and the windowed series
     are per-window bit-identical by construction."""
     keys = ["_g"] + [k for k, _ in extra_keys]
@@ -856,6 +869,8 @@ def _w1_from_bins(
     sums = stepped.groupBy(*keys).agg(
         F.max("_nr").cast("long").alias("n_ref"),
         F.max("_nc").cast("long").alias("n_cur"),
+        F.max("_mn").alias("_mn"),
+        F.max("_mx").alias("_mx"),
         F.sum(
             F.when(
                 (F.col("_nr") > 0) & (F.col("_nc") > 0), gap * F.col("_span")
@@ -863,8 +878,7 @@ def _w1_from_bins(
         ).alias("_s"),
     )
     out = (
-        sums.join(edges, "_g")
-        .select(
+        sums.select(
             *keys,
             "n_ref",
             "n_cur",
@@ -913,7 +927,8 @@ def w1_drift_windows_quantized(
     )
     windows = cur.select("_g", "_w").distinct()
     ref_rows = store.join(F.broadcast(windows), "_g").select(
-        "_g", "_w", "_b", "_r", F.lit(0).cast("long").alias("_c")
+        "_g", "_w", "_b", "_r", F.lit(0).cast("long").alias("_c"),
+        "_mn", "_mx",
     )
     cur_rows = cur.join(edges, "_g").select(
         "_g",
@@ -921,14 +936,21 @@ def w1_drift_windows_quantized(
         _psi_bucket(n_bins).alias("_b"),
         F.lit(0).cast("long").alias("_r"),
         F.lit(1).cast("long").alias("_c"),
+        F.lit(None).cast("double").alias("_mn"),
+        F.lit(None).cast("double").alias("_mx"),
     )
     merged = (
         ref_rows.unionByName(cur_rows)
         .groupBy("_g", "_w", "_b")
-        .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+        .agg(
+            F.sum("_r").alias("_r"),
+            F.sum("_c").alias("_c"),
+            F.max("_mn").alias("_mn"),
+            F.max("_mx").alias("_mx"),
+        )
     )
     return _w1_from_bins(
-        merged, edges, n_bins, group_col, extra_keys=(("_w", window_col),)
+        merged, n_bins, group_col, extra_keys=(("_w", window_col),)
     )
 
 

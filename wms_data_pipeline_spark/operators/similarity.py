@@ -223,8 +223,13 @@ def prefix_rerank_topk(
     — the ``cosine_topk`` contract — so the result is exactly
     SQL-reproducible including which candidates make the shortlist.
     Recall vs the exact baseline is governed by how front-loaded the
-    embedding's information is (MRL-trained: excellent; generic: pinned
-    in tests for this corpus)."""
+    embedding's information is — USE THIS when the model is
+    MRL-trained (or the vectors are PCA-rotated so variance is
+    front-loaded); on generic embeddings, whose information spreads
+    evenly, the measured curve is poor at small prefixes (SCALE_NOTES
+    r12: 0.34 recall@10 at 8/64 dims on the synthetic corpus) — rotate
+    first, or use the sketch/IVF/PQ paths whose candidate generation
+    does not depend on dimension ordering."""
     if prefix_dims < 1:
         raise ValueError(f"prefix_dims must be >= 1, got {prefix_dims}")
     if shortlist < k:

@@ -153,14 +153,12 @@ def test_bfs_distributed_early_exits_on_shallow_graph(spark):
         [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
     )
     src = spark.createDataFrame([("a",)], "node string")
-    got = {
-        r.node: r.hops
-        for r in gr.bfs_hops(
-            edges, src, max_hops=8, strategy="distributed", checkpoint_every=1
-        ).collect()
-    }
+    out = gr.bfs_hops(
+        edges, src, max_hops=8, strategy="distributed", checkpoint_every=1
+    )
+    got = {r.node: r.hops for r in out.collect()}
     assert got == {"a": 0, "b": 1, "c": 1}
-    assert gr.LAST_ROUNDS["bfs_hops"] <= 3
+    assert gr.graph_rounds(out) <= 3
 
 
 def test_shortest_paths_distributed_early_exits(spark):
@@ -168,14 +166,12 @@ def test_shortest_paths_distributed_early_exits(spark):
         [("a", "b", 1), ("b", "c", 1)], "src string, dst string, cost int"
     )
     src = spark.createDataFrame([("a",)], "node string")
-    got = {
-        r.node: r.dist_cost
-        for r in gr.shortest_paths(
-            edges, src, max_hops=8, strategy="distributed", checkpoint_every=1
-        ).collect()
-    }
+    out = gr.shortest_paths(
+        edges, src, max_hops=8, strategy="distributed", checkpoint_every=1
+    )
+    got = {r.node: r.dist_cost for r in out.collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
-    assert gr.LAST_ROUNDS["shortest_paths"] <= 4
+    assert gr.graph_rounds(out) <= 4
 
 
 def test_bfs_early_exit_does_not_fire_prematurely(spark):
@@ -185,14 +181,12 @@ def test_bfs_early_exit_does_not_fire_prematurely(spark):
         [(i, i + 1) for i in range(5)], "src int, dst int"
     )
     src = spark.createDataFrame([(0,)], "node int")
-    got = {
-        r.node: r.hops
-        for r in gr.bfs_hops(
-            edges, src, max_hops=5, strategy="distributed", checkpoint_every=1
-        ).collect()
-    }
+    out = gr.bfs_hops(
+        edges, src, max_hops=5, strategy="distributed", checkpoint_every=1
+    )
+    got = {r.node: r.hops for r in out.collect()}
     assert got == {i: i for i in range(6)}
-    assert gr.LAST_ROUNDS["bfs_hops"] == 5
+    assert gr.graph_rounds(out) == 5
 
 
 # ------------------------------------------------- node_clustering

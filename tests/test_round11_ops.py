@@ -1,5 +1,5 @@
 """Round-11 operator tests: ADVICE fixes (ISO cursor parsing in the mock
-API, truncated-interlaced-GIF loudness, LAST_ROUNDS keying) plus the
+API, truncated-interlaced-GIF loudness, graph_rounds metadata) plus the
 round's new operators as they land."""
 import sys
 from pathlib import Path
@@ -951,8 +951,10 @@ def test_parquet_table_time_travel(spark, tmp_path):
         ParquetTable(spark, str(tmp_path / "empty")).read(version=1)
 
 
-# ---------------------------------------------------- LAST_ROUNDS keying
-def test_last_rounds_caller_key(spark):
+# ------------------------------------------- graph_rounds metadata API
+def test_graph_rounds_metadata(spark):
+    from pyspark.sql import functions as F
+
     from wms_data_pipeline_spark.operators import graph as gr
 
     edges = spark.createDataFrame(
@@ -960,8 +962,20 @@ def test_last_rounds_caller_key(spark):
     )
     srcs = spark.createDataFrame([(1,)], "node bigint")
     out = gr.bfs_hops(
-        edges, srcs, max_hops=6, strategy="distributed",
-        checkpoint_every=1, rounds_key="my_tag",
+        edges, srcs, max_hops=6, strategy="distributed", checkpoint_every=1,
     )
     assert out.count() == 3
-    assert gr.LAST_ROUNDS["my_tag"] <= 4
+    assert gr.graph_rounds(out) <= 4
+    # joining two fixed-point results leaves TWO rounds-carrying columns;
+    # col=None must refuse to guess which operator the caller means
+    costed = edges.withColumn("cost", F.lit(1))
+    sp = gr.shortest_paths(
+        costed, srcs, max_hops=6, strategy="distributed", checkpoint_every=1,
+    )
+    joined = out.join(sp, "node")
+    with pytest.raises(ValueError, match="multiple columns carry rounds"):
+        gr.graph_rounds(joined)
+    assert gr.graph_rounds(joined, col="hops") <= 4
+    assert gr.graph_rounds(joined, col="dist_cost") <= 4
+    # and a frame with no rounds metadata reports None, not an error
+    assert gr.graph_rounds(edges) is None

@@ -11,31 +11,48 @@ probes through ``org.apache.hadoop.fs.FileSystem`` — the same pattern as
 ``streaming.pipeline._require_neardup_index``. Any filesystem Spark can
 read parquet from now also carries the table pointer.
 
-ATOMICITY, by scheme (single-writer discipline is assumed throughout —
-same as the reference's one-staging-run-per-entity model):
+ATOMICITY, by scheme (single-writer discipline is assumed for the default
+``_VERSION`` rewrite protocol — same as the reference's
+one-staging-run-per-entity model; ``ParquetTable(concurrent_writers=True)``
+upgrades to create-exclusive commit markers, see below):
 
 - ``file://`` (and schemeless local paths): ``rename`` maps to POSIX
   ``rename(2)`` which atomically overwrites — identical guarantees to the
   old ``os.replace``.
 - ``hdfs://``: ``FileSystem.rename`` refuses to overwrite, so the flip is
-  try-rename-first, and only on failure delete-dest-then-rename. A reader
-  racing that fallback window can observe a missing pointer for an
-  instant; ``ParquetTable`` already treats missing-pointer-with-committed-
-  dirs as ``CorruptTablePointerError`` rather than silently serving an
-  empty table, and the window only exists on stores without overwriting
-  rename.
+  try-rename-first, and only on failure preserve-dest-as-``.old``-then-
+  rename. A reader racing that fallback window observes the ``.old``
+  pointer (the PREVIOUS committed version — stale but safe) via
+  ``read_text_committed`` instead of a missing pointer; a crash inside the
+  window likewise recovers to the previous version rather than losing the
+  pointer outright (ADVICE r12).
 - ``s3a://``: rename is emulated copy+delete — NOT atomic. Single-writer
   publishes remain correct (the pointer content is a bare integer written
   whole), but concurrent readers may briefly see the old pointer or a
-  missing one. Multi-writer or strict-reader deployments should graduate
-  to Delta/Iceberg optimistic commit (SURVEY §7.3 hard part 3) — exactly
-  the caveat those formats exist to solve.
+  missing one (then the ``.old`` fallback). Multi-writer or strict-reader
+  deployments should graduate to Delta/Iceberg optimistic commit (SURVEY
+  §7.3 hard part 3) — exactly the caveat those formats exist to solve.
+
+CREATE-EXCLUSIVE (``create_exclusive``), the optimistic-concurrency
+primitive behind ``concurrent_writers=True`` commit markers:
+
+- ``file://``/local: driver-side ``O_CREAT|O_EXCL`` — kernel-atomic; two
+  racing claimants get exactly one winner.
+- ``hdfs://``: ``FileSystem.create(path, overwrite=false)`` — the
+  existence check is namenode-side and atomic with the create.
+- ``s3a://``: the same call is check-then-put — NOT conditional at the
+  store, so two racers can both "win". Do not enable
+  ``concurrent_writers`` on s3a; it remains single-writer-only pending a
+  real table format.
 
 Each call is one py4j round-trip; fine for control-plane files, never used
 on the data path.
 """
 
 from __future__ import annotations
+
+import os
+import urllib.parse
 
 from pyspark.sql import SparkSession
 
@@ -115,15 +132,68 @@ class TableFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        # Try the overwriting rename first (atomic on file://); fall back to
-        # delete-then-rename where rename refuses an existing destination.
+        # Try the overwriting rename first (atomic on file://). Where rename
+        # refuses an existing destination (HDFS), PRESERVE the committed
+        # pointer as .old before the second rename instead of deleting it:
+        # a crash (or a racing reader) inside the window then finds the
+        # previous committed version via read_text_committed rather than no
+        # pointer at all (ADVICE r12 — delete-then-rename lost the pointer).
         if not self._fs.rename(tmp, dst):
-            self._fs.delete(dst, False)
+            old = self._p(path + ".old")
+            self._fs.delete(old, False)
+            self._fs.rename(dst, old)
             if not self._fs.rename(tmp, dst):
                 raise IOError(
                     f"could not publish pointer {path!r} (rename failed "
-                    f"twice); tmp file left at {path + '.tmp'!r}"
+                    f"twice); tmp file left at {path + '.tmp'!r}, previous "
+                    f"pointer preserved at {path + '.old'!r}"
                 )
+
+    def read_text_committed(self, path: str) -> "str | None":
+        """``read_text`` with the crashed-flip fallback: when the pointer
+        itself is missing, serve ``<path>.old`` — the PREVIOUS committed
+        pointer preserved by ``write_text_atomic``'s non-overwriting-rename
+        path. Stale-but-safe: the flip that crashed never committed, so the
+        previous version IS the table's current state. (``<path>.tmp`` is
+        never consulted — it holds the UNcommitted flip target.)"""
+        got = self.read_text(path)
+        if got is not None:
+            return got
+        return self.read_text(path + ".old")
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Atomically create ``path`` with ``text`` iff it does not already
+        exist; returns False when another writer holds it. The optimistic-
+        concurrency claim primitive — per-scheme atomicity in the module
+        docstring (kernel O_EXCL locally, namenode-atomic on HDFS, NOT safe
+        on s3a)."""
+        parsed = urllib.parse.urlparse(path)
+        if parsed.scheme in ("", "file"):
+            local = parsed.path if parsed.scheme == "file" else path
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            try:
+                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            try:
+                os.write(fd, text.encode("utf-8"))
+            finally:
+                os.close(fd)
+            return True
+        try:
+            out = self._fs.create(self._p(path), False)
+        except Exception:
+            # Hadoop raises FileAlreadyExistsException (py4j-wrapped) when
+            # overwrite=false loses the race; anything else resurfaces on
+            # the next probe.
+            if self.exists(path):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        return True
 
     # -- mutation -----------------------------------------------------------
     def mkdirs(self, path: str) -> None:

@@ -40,23 +40,25 @@ MAX_SKYLINE_CANDIDATES = 2_000_000
 #: was — the scan stays distributed; only the fixed-point loop moves.
 MAX_LOCAL_GRAPH_EDGES = 1_000_000
 
-#: DEPRECATED (r12, removal next round): rounds executed by the most
-#: recent fixed-point call, keyed by operator name or the caller-supplied
-#: ``rounds_key``. Last-call-wins per key, so concurrent callers race —
-#: the reason it is deprecated. The supported path is ``graph_rounds(df)``:
-#: each fixed-point operator now carries its executed round count in the
-#: result column's METADATA, which travels with the DataFrame it describes
-#: instead of through shared module state.
-LAST_ROUNDS: dict[str, int] = {}
-
-
 def graph_rounds(df, col: "str | None" = None) -> "int | None":
     """Rounds the fixed-point operator that produced ``df`` actually
     executed, read from the result column's metadata (``bfs_hops`` /
     ``shortest_paths`` attach it to their value column; both strategies —
     the local early-exiting loop and the distributed checkpoint-cadence
     early-exit — report it). None if ``df`` carries no rounds metadata
-    (e.g. the column was dropped or rebuilt)."""
+    (e.g. the column was dropped or rebuilt). If ``df`` carries rounds
+    metadata on MORE THAN ONE column (e.g. a join of two fixed-point
+    results), ``col`` is required — silently returning whichever field
+    happens to come first would attribute one operator's round count to
+    the other."""
+    carriers = [
+        f.name for f in df.schema.fields if "rounds" in (f.metadata or {})
+    ]
+    if col is None and len(carriers) > 1:
+        raise ValueError(
+            "graph_rounds: multiple columns carry rounds metadata "
+            f"({carriers}); pass col= to pick one"
+        )
     for f in df.schema.fields:
         if (col is None or f.name == col) and "rounds" in (f.metadata or {}):
             return int(f.metadata["rounds"])
@@ -357,7 +359,6 @@ def bfs_hops(
     node: str = "node",
     checkpoint_every: int = 4,
     strategy: str = "auto",
-    rounds_key: str = "bfs_hops",
 ) -> DataFrame:
     """Multi-source BFS: hop distance from the nearest source node,
     following edge direction, capped at ``max_hops``. Returns
@@ -452,7 +453,6 @@ def bfs_hops(
                 rounds = it + 1
                 break
             prev_sig = sig
-    LAST_ROUNDS[rounds_key] = rounds  # deprecated alias — graph_rounds()
     return dist.select(
         F.col("_n").alias(node),
         F.col("hops").alias("hops", metadata={"rounds": rounds}),
@@ -753,7 +753,6 @@ def shortest_paths(
     node: str = "node",
     checkpoint_every: int = 4,
     strategy: str = "auto",
-    rounds_key: str = "shortest_paths",
 ) -> DataFrame:
     """Weighted single/multi-source shortest paths, bounded at
     ``max_hops`` edges: ``max_hops`` rounds of Bellman-Ford min-plus
@@ -861,7 +860,6 @@ def shortest_paths(
                 rounds = it + 1
                 break
             prev_sig = sig
-    LAST_ROUNDS[rounds_key] = rounds  # deprecated alias — graph_rounds()
     return dist_df.select(
         F.col("_n").alias(node),
         F.col("dist_cost").alias("dist_cost", metadata={"rounds": rounds}),

@@ -32,6 +32,7 @@ the fact history.
 
 from __future__ import annotations
 
+import uuid
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -47,6 +48,26 @@ class CorruptTablePointerError(RuntimeError):
     """The _VERSION pointer is unreadable (or absent) while committed
     version directories exist — publishing would silently overwrite
     committed data, so the table refuses until the pointer is restored."""
+
+
+class ConcurrentPublishError(RuntimeError):
+    """Another writer committed this version first (optimistic-concurrency
+    loss under ``concurrent_writers=True``). The losing publish wrote NO
+    visible state — re-read the table and retry the merge on top of the
+    winner's version."""
+
+
+def _dir_version(name: str) -> "int | None":
+    """Version number a data-dir basename encodes: ``v=<n>`` (single-writer
+    layout) or ``v=<n>-<token>`` (concurrent-writer layout); None for
+    anything else."""
+    if not name.startswith("v="):
+        return None
+    head = name.split("=", 1)[1].split("-", 1)[0]
+    try:
+        return int(head)
+    except ValueError:
+        return None
 
 
 def _single_key_column(keys: DataFrame, key: str) -> str:
@@ -180,9 +201,29 @@ class ParquetTable:
     like before batch N". Retention is version-COUNT based because every
     publish rewrites the full table (storage = K x table size; a real
     deployment graduates to Delta's log+data layout for long retention).
+
+    MULTI-WRITER (r13, VERDICT r12 #7): ``concurrent_writers=True``
+    switches the COMMIT RECORD from the rewritten ``_VERSION`` pointer to
+    create-exclusive markers ``_commits/<n>`` (content = the data dir's
+    basename). Each publish writes its data to a UNIQUE dir
+    (``v=<n>-<token>``) first, then claims the marker: exactly one racer
+    wins (kernel O_EXCL on file://, namenode-atomic create on hdfs:// —
+    NOT safe on s3a, see ``fsio``); losers raise
+    ``ConcurrentPublishError`` having exposed no state, and their dirs are
+    swept by retention. Reads are marker-aware regardless of the flag, so
+    readers need no configuration; a legacy ``_VERSION`` table upgrades on
+    its first concurrent publish (old snapshots stay time-travel
+    readable). The default (False) keeps the byte-identical single-writer
+    layout the reference also assumes.
     """
 
-    def __init__(self, spark: SparkSession, root: str, keep_versions: int = 1):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keep_versions: int = 1,
+        concurrent_writers: bool = False,
+    ):
         if keep_versions < 1:
             raise ValueError(
                 f"keep_versions must be >= 1, got {keep_versions}"
@@ -190,6 +231,7 @@ class ParquetTable:
         self.spark = spark
         self.root = root
         self.keep_versions = keep_versions
+        self.concurrent_writers = concurrent_writers
         self._fs = fsio.TableFS(spark, root)
 
     # -- version plumbing ---------------------------------------------------
@@ -197,8 +239,39 @@ class ParquetTable:
     def _pointer(self) -> str:
         return fsio.join(self.root, "_VERSION")
 
+    @property
+    def _commits(self) -> str:
+        return fsio.join(self.root, "_commits")
+
+    def _marker_versions(self) -> "list[int]":
+        return sorted(
+            int(n) for n in self._fs.list_names(self._commits) if n.isdigit()
+        )
+
+    def _marker_dir(self, v: int) -> "str | None":
+        """Data-dir basename a commit marker names, or None if version ``v``
+        has no marker (legacy ``v=<n>`` layout)."""
+        raw = self._fs.read_text(fsio.join(self._commits, str(v)))
+        if raw is None:
+            return None
+        raw = raw.strip()
+        if not raw.startswith("v="):
+            # An empty/garbage marker means a publish crashed between the
+            # exclusive create and the content write (the one non-atomic
+            # window of the marker protocol, documented in fsio). The dir
+            # name is recoverable from the on-disk v=<n>-<token> listing.
+            raise CorruptTablePointerError(
+                f"unreadable commit marker for version {v} at "
+                f"{self._commits!r} (content {raw!r}); restore it to the "
+                f"v={v}-<token> directory basename before reading"
+            )
+        return raw
+
     def current_version(self) -> int | None:
-        raw = self._fs.read_text(self._pointer)
+        markers = self._marker_versions()
+        if markers:
+            return markers[-1]
+        raw = self._fs.read_text_committed(self._pointer)
         if raw is None:
             return None
         raw = raw.strip()
@@ -215,7 +288,8 @@ class ParquetTable:
             )
 
     def _version_path(self, v: int) -> str:
-        return fsio.join(self.root, f"v={v}")
+        name = self._marker_dir(v)
+        return fsio.join(self.root, name if name is not None else f"v={v}")
 
     def read(self, version: "int | None" = None) -> DataFrame | None:
         cur = self.current_version()
@@ -246,38 +320,49 @@ class ParquetTable:
         cur = self.current_version()
         if cur is None:
             return []
-        found = []
+        found = set()
         for name in self._fs.list_names(self.root):
-            if not name.startswith("v="):
-                continue
-            try:
-                n = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if n <= cur:
-                found.append(n)
-        return sorted(found)
+            n = _dir_version(name)
+            if n is not None and n <= cur:
+                found.add(n)
+        # under concurrent_writers a loser's v=<n>-<token> dir can linger
+        # until retention sweeps it; a version counts only if the dir its
+        # COMMIT MARKER names (or the plain v=<n> dir) is actually on disk
+        return [
+            n for n in sorted(found) if self._fs.is_dir(self._version_path(n))
+        ]
 
     def _publish(self, df: DataFrame) -> int:
         cur = self.current_version()
         if cur is None:
             # Fresh table vs lost pointer: a crashed FIRST publish leaves at
-            # most an uncommitted v=1 dir (reclaimable — the pointer flip is
-            # the commit record). But any v>=2 dir can only exist after a
-            # successful flip (old dirs are pruned post-flip), so a missing
-            # pointer alongside one means the pointer was lost — publishing
-            # would overwrite committed data (advisor r2).
+            # most an uncommitted version-1 dir (reclaimable — the commit
+            # record is the pointer flip / marker claim). But any v>=2 dir
+            # can only exist after a successful commit (old dirs are pruned
+            # post-commit), so a missing record alongside one means it was
+            # lost — publishing would overwrite committed data (advisor r2).
             stale = [
                 name for name in self._fs.list_names(self.root)
-                if name.startswith("v=") and name != "v=1"
+                if (_dir_version(name) or 0) >= 2
             ]
             if stale:
                 raise CorruptTablePointerError(
-                    f"_VERSION pointer missing at {self._pointer!r} but "
+                    f"commit record missing at {self._pointer!r} but "
                     f"committed version dirs exist: {sorted(stale)}; restore "
                     f"the pointer before publishing"
                 )
         v = (cur or 0) + 1
+        if self.concurrent_writers:
+            return self._publish_concurrent(df, v)
+        if cur is not None and self._marker_versions():
+            # current_version resolved from commit markers: a _VERSION flip
+            # here would be INVISIBLE to marker-aware readers (markers win),
+            # silently splitting the table's history across two protocols.
+            raise ValueError(
+                f"table at {self.root!r} was published with "
+                "concurrent_writers=True (commit markers exist); open it "
+                "with concurrent_writers=True to publish"
+            )
         path = self._version_path(v)
         # The _VERSION pointer flip is the commit record, so a v=N+1 dir
         # without a pointer referencing it is garbage from a crashed publish
@@ -287,15 +372,47 @@ class ParquetTable:
         # Pointer flip through the Hadoop FS (write tmp + rename); the
         # parquet write above already created self.root on any scheme.
         self._fs.write_text_atomic(self._pointer, str(v))
+        self._prune(v)
+        return v
+
+    def _publish_concurrent(self, df: DataFrame, v: int) -> int:
+        """Optimistic-concurrency publish: data to a UNIQUE dir first, then
+        one create-exclusive claim on the commit marker. The loser has
+        exposed no state (its dir is unreferenced) and cleans up; readers
+        never see a partial version because the marker appears only after
+        the data write completed (the same ordering the single-writer flip
+        relies on)."""
+        name = f"v={v}-{uuid.uuid4().hex[:8]}"
+        path = fsio.join(self.root, name)
+        df.write.parquet(path)
+        if not self._fs.create_exclusive(
+            fsio.join(self._commits, str(v)), name
+        ):
+            self._fs.delete(path, recursive=True)
+            raise ConcurrentPublishError(
+                f"version {v} of {self.root!r} was committed by another "
+                "writer; re-read and retry the merge on top of it"
+            )
+        self._prune(v)
+        return v
+
+    def _prune(self, v: int) -> None:
         # retention prune: drop committed versions older than the last
         # keep_versions (default 1 == the original prune-immediately);
         # sweep from the on-disk listing so lowering keep_versions on an
-        # existing table also reclaims its older snapshots
+        # existing table also reclaims its older snapshots. Under
+        # concurrent_writers the same sweep reclaims crashed losers'
+        # orphaned v=<n>-<token> dirs once n falls behind the cutoff.
         cutoff = v - self.keep_versions
-        for old in self.versions():
-            if old <= cutoff:
-                self._fs.delete(self._version_path(old), recursive=True)
-        return v
+        for name in self._fs.list_names(self.root):
+            n = _dir_version(name)
+            if n is not None and n <= cutoff:
+                self._fs.delete(fsio.join(self.root, name), recursive=True)
+        for n in self._marker_versions():
+            if n <= cutoff:
+                self._fs.delete(
+                    fsio.join(self._commits, str(n)), recursive=False
+                )
 
     # -- merge API ----------------------------------------------------------
     def append_history(self, batch: DataFrame, key: Sequence[str] = HISTORY_KEY) -> int:

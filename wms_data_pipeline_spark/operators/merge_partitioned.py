@@ -62,7 +62,10 @@ class PartitionedMergeTable:
         return fsio.join(self._bucket_dir(b), "_VERSION")
 
     def _current_version(self, b: int) -> int | None:
-        raw = self._fs.read_text(self._pointer(b))
+        # read_text_committed: a flip that crashed inside the HDFS
+        # non-overwriting-rename window recovers to the .old pointer — the
+        # previous committed version — instead of a missing one (ADVICE r12)
+        raw = self._fs.read_text_committed(self._pointer(b))
         if raw is None:
             return None
         raw = raw.strip()

@@ -531,6 +531,20 @@ def psi_reference_write(
     )
 
 
+def _store_n_bins(store: DataFrame, path: str) -> int:
+    """Grid size of a persisted quantized store, with a loud failure
+    mode: a store built from an all-NULL value column has zero rows, so
+    ``max(_nb)`` is NULL and the former bare ``int(...)`` crashed with
+    an opaque TypeError deep in the probe (ADVICE r12)."""
+    nb = store.agg(F.max("_nb")).collect()[0][0]
+    if nb is None:
+        raise ValueError(
+            f"quantized drift store at {path!r} is empty (the reference "
+            "had no non-null values) — rebuild the reference before probing"
+        )
+    return int(nb)
+
+
 def _psi_bucket(n_buckets: int) -> Column:
     """Equal-width bucket id over frozen per-group edges (_mn, _mx) —
     the ONE expression shared by ``psi_drift``, ``psi_reference_write``
@@ -566,7 +580,7 @@ def psi_drift_probe(
     bounded grid join. Groups absent from the store are not audited."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
-    n_buckets = int(store.agg(F.max("_nb")).collect()[0][0])
+    n_buckets = _store_n_bins(store, path)
     edges = F.broadcast(
         store.groupBy("_g").agg(F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx"))
     )
@@ -733,7 +747,7 @@ def ks_drift_probe_quantized(
     continuous metrics (see writer docstring for the error bound)."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
-    n_bins = int(store.agg(F.max("_nb")).collect()[0][0])
+    n_bins = _store_n_bins(store, path)
     edges = F.broadcast(
         store.groupBy("_g").agg(
             F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
@@ -788,7 +802,7 @@ def w1_drift_probe_quantized(
     empty population; groups absent from the store are not audited."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
-    n_bins = int(store.agg(F.max("_nb")).collect()[0][0])
+    n_bins = _store_n_bins(store, path)
     edges = F.broadcast(
         store.groupBy("_g").agg(
             F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
@@ -914,7 +928,7 @@ def w1_drift_windows_quantized(
     test_round12_ops)."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
-    n_bins = int(store.agg(F.max("_nb")).collect()[0][0])
+    n_bins = _store_n_bins(store, path)
     edges = F.broadcast(
         store.groupBy("_g").agg(
             F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
@@ -1136,7 +1150,7 @@ def psi_drift_windows(
     left-joins a calendar if it wants explicit gaps)."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
-    n_buckets = int(store.agg(F.max("_nb")).collect()[0][0])
+    n_buckets = _store_n_bins(store, path)
     edges = F.broadcast(
         store.groupBy("_g").agg(
             F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
@@ -1249,7 +1263,7 @@ def ks_drift_windows_quantized(
     join — the r12 planlint lesson)."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
-    n_bins = int(store.agg(F.max("_nb")).collect()[0][0])
+    n_bins = _store_n_bins(store, path)
     edges = F.broadcast(
         store.groupBy("_g").agg(
             F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")

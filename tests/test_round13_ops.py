@@ -222,3 +222,137 @@ def test_quantized_probe_empty_store_raises_clearly(spark, tmp_path):
     for probe in (q.ks_drift_probe_quantized, q.w1_drift_probe_quantized):
         with pytest.raises(ValueError, match="empty"):
             probe(cur, "g", "v", path)
+
+
+# ------------------------------------------ equi-depth quantized grids
+def test_exact_quantile_edges_hand_computed(spark):
+    from wms_data_pipeline_spark.operators import quality as q
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [0, 10, 20, 30]]
+        + [("b", float(v)) for v in range(1, 11)],
+        "g string, v double",
+    )
+    got = {r["_g"]: r["_e"] for r in q.exact_quantile_edges(df, "g", "v", 4).collect()}
+    # group a: N=4, n=4 -> edges at ranks 1,2,3 = values 0,10,20
+    assert got["a"] == [0.0, 10.0, 20.0]
+    # group b: N=10, n=4 -> ranks ceil(10/4)=3, ceil(20/4)=5, ceil(30/4)=8
+    assert got["b"] == [3.0, 5.0, 8.0]
+    # fewer rows than bins: edges repeat (N=4, n=8 -> ranks 1,1,2,2,3,3,4)
+    a8 = {
+        r["_g"]: r["_e"]
+        for r in q.exact_quantile_edges(
+            df.filter("g = 'a'"), "g", "v", 8
+        ).collect()
+    }
+    assert a8["a"] == [0.0, 0.0, 10.0, 10.0, 20.0, 20.0, 30.0]
+
+
+def test_equidepth_ks_bitwise_exact_when_injective(spark, tmp_path):
+    """With one distinct bin per distinct value (injective quantizer) the
+    equi-depth probe must equal the exact two-sample KS bit-for-bit."""
+    from wms_data_pipeline_spark.operators import quality as q
+
+    rows = [("a", float(v), False) for v in [0, 10, 20, 30] * 5] + [
+        ("a", float(v), True) for v in [10, 30] * 3
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    path = str(tmp_path / "eq")
+    # n_bins = 8 > 4 distinct values -> injective on group a's support
+    q.ks_reference_write_quantized(
+        df.filter("NOT cur"), "g", "v", path, n_bins=8, edges="quantile_exact"
+    )
+    probe = q.ks_drift_probe_quantized(
+        df.filter("cur"), "g", "v", path
+    ).collect()
+    exact = q.ks_drift(df, "g", "v", "cur").collect()
+    assert probe == exact
+
+
+def test_equidepth_w1_hand_computed(spark, tmp_path):
+    from wms_data_pipeline_spark.operators import quality as q
+
+    df = spark.createDataFrame(
+        [("a", float(v), False) for v in [0, 10, 20, 30]]
+        + [("a", float(v), True) for v in [10, 30]],
+        "g string, v double, cur boolean",
+    )
+    path = str(tmp_path / "w1eq")
+    q.ks_reference_write_quantized(
+        df.filter("NOT cur"), "g", "v", path, n_bins=4, edges="quantile_exact"
+    )
+    row = q.w1_drift_probe_quantized(df.filter("cur"), "g", "v", path).collect()[0]
+    # edges [0,10,20]; ref bins {1:1, 2:1, 3:2}; cur bins {2:1, 3:1};
+    # only the [0,10) segment gaps (1/4 vs 0) -> W1 = 0.25 * 10 = 2.5
+    assert row["n_ref"] == 4 and row["n_cur"] == 2
+    assert row["w1"] == pytest.approx(2.5)
+
+
+def test_equidepth_daily_bitwise_matches_probe_per_window(spark, tmp_path):
+    from wms_data_pipeline_spark.operators import quality as q
+    from pyspark.sql import functions as F
+
+    rows = []
+    for day in (1, 2, 3):
+        for i in range(40):
+            rows.append(("a", float((i * 7 + day * 3) % 50), day, True))
+            rows.append(("b", float((i * 11 + day) % 90), day, True))
+    ref = [("a", float(v % 50), 0, False) for v in range(120)] + [
+        ("b", float(v % 90), 0, False) for v in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows + ref, "g string, v double, day int, cur boolean"
+    )
+    path = str(tmp_path / "dq")
+    q.ks_reference_write_quantized(
+        df.filter("NOT cur"), "g", "v", path, n_bins=16, edges="quantile_exact"
+    )
+    cur = df.filter("cur")
+    daily_ks = q.ks_drift_windows_quantized(cur, "g", "v", "day", path)
+    daily_w1 = q.w1_drift_windows_quantized(cur, "g", "v", "day", path)
+    for day in (1, 2, 3):
+        batch = cur.filter(F.col("day") == day)
+        pk = sorted(
+            map(tuple, q.ks_drift_probe_quantized(batch, "g", "v", path).collect())
+        )
+        dk = sorted(
+            tuple(r[k] for k in ("g", "n_ref", "n_cur", "ks_x1e6"))
+            for r in daily_ks.filter(F.col("day") == day).collect()
+        )
+        assert pk == dk, f"ks day {day}"
+        pw = sorted(
+            map(tuple, q.w1_drift_probe_quantized(batch, "g", "v", path).collect())
+        )
+        dw = sorted(
+            tuple(r[k] for k in ("g", "n_ref", "n_cur", "w1"))
+            for r in daily_w1.filter(F.col("day") == day).collect()
+        )
+        assert pw == dw, f"w1 day {day}"
+
+
+def test_quantile_approx_store_probes_and_bounds(spark, tmp_path):
+    """percentile_approx edges (the 100 TB path): probes run, groups match,
+    and the equi-depth KS is within max-bin-mass of the exact KS."""
+    from wms_data_pipeline_spark.operators import quality as q
+
+    import math
+
+    # heavy-tailed metric: v = exp-ish spread, most mass tiny
+    rows = [("a", float(math.exp(i / 40.0)), False) for i in range(400)] + [
+        ("a", float(math.exp(i / 40.0) * 1.15), True) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    path = str(tmp_path / "qa")
+    q.ks_reference_write_quantized(
+        df.filter("NOT cur"), "g", "v", path, n_bins=64, edges="quantile"
+    )
+    got = q.ks_drift_probe_quantized(df.filter("cur"), "g", "v", path).collect()
+    exact = q.ks_drift(df, "g", "v", "cur").collect()[0]
+    assert len(got) == 1 and got[0]["n_ref"] == 400 and got[0]["n_cur"] == 150
+    # one-sided epsilon: KS_q <= KS_exact, understating by <= max bin mass
+    # (~1/64 of either population on these smooth values)
+    assert got[0]["ks_x1e6"] <= exact["ks_x1e6"]
+    assert exact["ks_x1e6"] - got[0]["ks_x1e6"] <= 2 * 1_000_000 // 64
+    assert q.w1_drift_probe_quantized(
+        df.filter("cur"), "g", "v", path
+    ).collect()[0]["w1"] > 0

@@ -566,6 +566,79 @@ def _psi_bucket(n_buckets: int) -> Column:
     )
 
 
+def _edge_bucket() -> Column:
+    """Equi-depth bucket id over frozen per-group interior edges ``_e``
+    (sorted array<double>, length n_bins - 1): the count of edges the
+    value ``_v`` has reached (``>=`` — a value equal to an edge belongs
+    to the bin ABOVE it). Results lie in [0, n_bins - 1] by construction,
+    so out-of-range clamping is implicit; repeated edges (heavy point
+    masses) simply leave the bins between them empty. One expression
+    shared by the quantile writer and every quantile probe, the same
+    bit-agreement contract as ``_psi_bucket``. Cost is O(n_bins) JVM
+    comparisons per row (no binary-search builtin) — the reason the
+    quantile grid defaults to fewer bins than the width grid: 256
+    equi-depth bins already pin the one-sided KS error bound at
+    max-bin-mass ≈ 1/256 REGARDLESS of skew, where the width grid's
+    bound degrades to the heaviest bin's mass."""
+    return F.aggregate(
+        F.col("_e"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(F.col("_v") >= e, 1).otherwise(0),
+    ).cast("int")
+
+
+def exact_quantile_edges(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group EXACT rank-based interior quantile edges — (group,
+    _e array<double>) where ``_e[i-1]`` is the value at rank
+    ``ceil(i * N / n_bins)`` (1-based, order statistics only, no
+    interpolation). Pure selection arithmetic, so any engine sorting the
+    same values produces bit-identical edges — what makes the equi-depth
+    store ORACLE-REPRODUCIBLE, unlike ``percentile_approx`` whose sketch
+    is merge-order dependent. Cost: one sort shuffle of the reference per
+    group (a ``row_number`` window) — the auditable path; at 100 TB use
+    ``edges="quantile"`` (one ``percentile_approx`` aggregate, no sort)
+    and let the frozen store carry whatever edges the sketch produced.
+    Groups with fewer rows than ``n_bins`` repeat edges (the rank formula
+    assigns one rank to several quantile indices), which downstream
+    probes handle as empty bins."""
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    wa = Window.partitionBy("_g")
+    # rank r carries edge index i iff ceil(i*N/n) == r; the number of such
+    # i is f(r) - f(r-1) with f(r) = min(n-1, floor(r*n/N)) — all BIGINT
+    d = (
+        v.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .withColumn("_nn", F.count(F.lit(1)).over(wa).cast("long"))
+        .withColumn(
+            "_k",
+            (
+                F.least(
+                    F.lit(n_bins - 1),
+                    F.expr(f"(_rn * {n_bins}) div _nn"),
+                )
+                - F.least(
+                    F.lit(n_bins - 1),
+                    F.expr(f"((_rn - 1) * {n_bins}) div _nn"),
+                )
+            ).cast("int"),
+        )
+        .filter(F.col("_k") > 0)
+    )
+    return d.groupBy("_g").agg(
+        F.array_sort(
+            F.flatten(F.collect_list(F.array_repeat(F.col("_v"), F.col("_k"))))
+        ).alias("_e")
+    )
+
+
 def psi_drift_probe(
     cur_df: DataFrame,
     group_col: str,
@@ -677,6 +750,8 @@ def ks_reference_write_quantized(
     value_col: str,
     path: str,
     n_bins: int = 1024,
+    edges: str = "width",
+    accuracy: int = 10000,
 ) -> None:
     """Persist a QUANTIZED KS reference statistic: per-(group, bin)
     counts on a fixed-width integer grid with frozen per-group edges
@@ -704,27 +779,92 @@ def ks_reference_write_quantized(
     the default 1024 bins). EXACT (bit-identical to the exact-store
     probe) whenever the quantizer is injective on the observed values —
     e.g. any integer metric whose per-group range < n_bins — pinned in
-    test_round12_ops."""
+    test_round12_ops.
+
+    EQUI-DEPTH GRIDS (r13, VERDICT r12 #2): the equal-width bound is
+    max-bin-mass, which degrades exactly on heavy-tailed metrics
+    (latency, price) — most mass lands in a few bins. ``edges=
+    "quantile"`` freezes per-group interior edges at the reference's own
+    quantiles instead (one ``percentile_approx`` aggregate, ``accuracy``
+    passed through), pinning every bin's reference mass at ≈ 1/n_bins BY
+    CONSTRUCTION — the one-sided bound becomes distribution-free.
+    ``edges="quantile_exact"`` derives the same edges from exact order
+    statistics (``exact_quantile_edges`` — one sort shuffle, but
+    bit-reproducible on any engine, the oracle-paired path). Both store
+    an extra per-group GEOMETRY ROW (``_b = -1``, ``_e`` = the edge
+    array) that probes broadcast back; probe/daily forms detect the
+    grid kind from the store itself, so callers never re-declare it.
+    Equi-depth quantization costs O(n_bins) comparisons per probed row
+    (``_edge_bucket``) vs the width grid's O(1), so the quantile default
+    is coarser: pick n_bins for the bound you need (256 ⇒ ≤ ~0.4% KS
+    error regardless of skew)."""
     if n_bins < 2:
         raise ValueError(
             f"ks_reference_write_quantized: n_bins must be >= 2, got {n_bins}"
+        )
+    if edges not in ("width", "quantile", "quantile_exact"):
+        raise ValueError(
+            "ks_reference_write_quantized: edges must be 'width', "
+            f"'quantile' or 'quantile_exact', got {edges!r}"
         )
     v = ref_df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("_g"),
         F.col(value_col).cast("double").alias("_v"),
     )
-    edges = v.groupBy("_g").agg(
-        F.max("_v").alias("_mx"), F.min("_v").alias("_mn")
+    if edges == "width":
+        geom = v.groupBy("_g").agg(
+            F.max("_v").alias("_mx"), F.min("_v").alias("_mn")
+        )
+        (
+            v.join(F.broadcast(geom), "_g")
+            .select("_g", "_mn", "_mx", _psi_bucket(n_bins).alias("_b"))
+            .groupBy("_g", "_b")
+            .agg(
+                F.count(F.lit(1)).alias("_r"),
+                F.max("_mn").alias("_mn"),
+                F.max("_mx").alias("_mx"),
+            )
+            .withColumn("_nb", F.lit(n_bins))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return
+    if edges == "quantile":
+        fracs = [i / n_bins for i in range(1, n_bins)]
+        geom = v.groupBy("_g").agg(
+            F.percentile_approx("_v", fracs, accuracy).alias("_e"),
+            F.min("_v").alias("_mn"),
+            F.max("_v").alias("_mx"),
+        )
+    else:  # quantile_exact
+        mnmx = v.groupBy("_g").agg(
+            F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+        )
+        geom = exact_quantile_edges(v, "_g", "_v", n_bins).join(mnmx, "_g")
+    counts = (
+        v.join(F.broadcast(geom.select("_g", "_e")), "_g")
+        .select("_g", _edge_bucket().alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).alias("_r"))
+        .select(
+            "_g",
+            "_b",
+            "_r",
+            F.lit(None).cast("double").alias("_mn"),
+            F.lit(None).cast("double").alias("_mx"),
+            F.lit(None).cast("array<double>").alias("_e"),
+        )
+    )
+    geometry_rows = geom.select(
+        "_g",
+        F.lit(-1).alias("_b"),
+        F.lit(0).cast("long").alias("_r"),
+        "_mn",
+        "_mx",
+        "_e",
     )
     (
-        v.join(F.broadcast(edges), "_g")
-        .select("_g", "_mn", "_mx", _psi_bucket(n_bins).alias("_b"))
-        .groupBy("_g", "_b")
-        .agg(
-            F.count(F.lit(1)).alias("_r"),
-            F.max("_mn").alias("_mn"),
-            F.max("_mx").alias("_mx"),
-        )
+        counts.unionByName(geometry_rows)
         .withColumn("_nb", F.lit(n_bins))
         .write.mode("overwrite")
         .parquet(path)
@@ -744,16 +884,15 @@ def ks_drift_probe_quantized(
     from the store are not audited (no frozen geometry exists — the PSI
     probe's rule). Probe cost: one batch pass + a store read bounded by
     |groups| x n_bins, restoring the unbounded reference-size win on
-    continuous metrics (see writer docstring for the error bound)."""
+    continuous metrics (see writer docstring for the error bound).
+    Detects the store's grid kind itself: an equi-depth store (``_e``
+    geometry rows) quantizes the batch through the SAME frozen edge
+    array (``_edge_bucket``); callers never re-declare the grid."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
     n_bins = _store_n_bins(store, path)
-    edges = F.broadcast(
-        store.groupBy("_g").agg(
-            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
-        )
-    )
-    # the inner edges join doubles as the reference-groups-only filter;
+    geom, bucket, counts = _store_grid(store, n_bins)
+    # the inner geometry join doubles as the reference-groups-only filter;
     # raw quantized rows union straight into the merge aggregate (its
     # map-side partial combine collapses them before the exchange — the
     # r11 planlint lesson on ks_drift_probe)
@@ -763,22 +902,43 @@ def ks_drift_probe_quantized(
             F.col(group_col).alias("_g"),
             F.col(value_col).cast("double").alias("_v"),
         )
-        .join(edges, "_g")
+        .join(geom, "_g")
         .select(
             "_g",
-            _psi_bucket(n_bins).alias("_b"),
+            bucket.alias("_b"),
             F.lit(0).cast("long").alias("_r"),
             F.lit(1).cast("long").alias("_c"),
         )
     )
     merged = (
-        store.select("_g", "_b", "_r", F.lit(0).cast("long").alias("_c"))
+        counts.select("_g", "_b", "_r", F.lit(0).cast("long").alias("_c"))
         .unionByName(cur_rows)
         .groupBy("_g", "_b")
         .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
         .withColumnRenamed("_b", "_v")
     )
     return _ks_from_counts(merged, group_col)
+
+
+def _store_grid(store: DataFrame, n_bins: int):
+    """Resolve a quantized store's frozen geometry: returns ``(geom,
+    bucket, counts)`` — the broadcast per-group geometry frame to join
+    batch rows against, the bucket expression valid after that join, and
+    the store's COUNT rows (geometry rows excluded). Width stores carry
+    (_mn, _mx) on every row; equi-depth stores carry one ``_b = -1``
+    geometry row per group holding the frozen edge array ``_e`` (plus
+    _mn for the W1 position of bin 0)."""
+    if "_e" in store.columns:
+        geom = F.broadcast(
+            store.filter(F.col("_b") == -1).select("_g", "_e", "_mn")
+        )
+        return geom, _edge_bucket(), store.filter(F.col("_b") >= 0)
+    geom = F.broadcast(
+        store.groupBy("_g").agg(
+            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
+        )
+    )
+    return geom, _psi_bucket(n_bins), store
 
 
 def w1_drift_probe_quantized(
@@ -799,10 +959,45 @@ def w1_drift_probe_quantized(
     any partitioning); quantization error is bounded by one bin width
     of mass transport, the same epsilon argument as the quantized KS.
     Returns (group, n_ref, n_cur, w1) — NULL w1 for a group with an
-    empty population; groups absent from the store are not audited."""
+    empty population; groups absent from the store are not audited.
+
+    On an EQUI-DEPTH store the piecewise-constant gap integrates over
+    the frozen edge spacings instead of a uniform bin width: each bin's
+    position is its left edge (bin 0 → the reference min), the span to
+    the next observed bin is an edge DIFFERENCE in the metric's own
+    units, and no final width rescale applies — W1 stays magnitude-true
+    on exactly the skewed metrics the quantile grid exists for."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
     n_bins = _store_n_bins(store, path)
+    if "_e" in store.columns:
+        geom, bucket, counts = _store_grid(store, n_bins)
+        cur_rows = (
+            cur_df.filter(F.col(value_col).isNotNull())
+            .select(
+                F.col(group_col).alias("_g"),
+                F.col(value_col).cast("double").alias("_v"),
+            )
+            .join(geom, "_g")
+            .select(
+                "_g",
+                bucket.alias("_b"),
+                F.lit(0).cast("long").alias("_r"),
+                F.lit(1).cast("long").alias("_c"),
+            )
+        )
+        merged = (
+            counts.select(
+                "_g", "_b", "_r", F.lit(0).cast("long").alias("_c")
+            )
+            .unionByName(cur_rows)
+            .groupBy("_g", "_b")
+            .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+        )
+        return _w1_from_bins(
+            _attach_positions(merged, geom), n_bins, group_col,
+            positions=True,
+        )
     edges = F.broadcast(
         store.groupBy("_g").agg(
             F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
@@ -841,11 +1036,25 @@ def w1_drift_probe_quantized(
     return _w1_from_bins(merged, n_bins, group_col)
 
 
+def _attach_positions(merged: DataFrame, geom) -> DataFrame:
+    """Left-edge VALUE position of each merged equi-depth bin row: bin 0
+    starts at the reference min, bin b >= 1 at frozen edge ``_e[b]``
+    (1-based ``element_at``). The broadcast geometry join is |groups|
+    rows — control-plane sized."""
+    return merged.join(geom, "_g").withColumn(
+        "_pos",
+        F.when(F.col("_b") == 0, F.col("_mn")).otherwise(
+            F.element_at("_e", F.col("_b"))
+        ),
+    )
+
+
 def _w1_from_bins(
     merged: DataFrame,
     n_bins: int,
     group_col: str,
     extra_keys: "tuple[tuple[str, str], ...]" = (),
+    positions: bool = False,
 ) -> DataFrame:
     """Shared W1 tail over merged per-(group[, extra...], bin) population
     counts (_g, …, _b, _r, _c, _mn, _mx) — the frozen edges RIDE THE
@@ -855,7 +1064,13 @@ def _w1_from_bins(
     saves the separate edges re-join the first cut of this tail paid.
     Same scaled-integer ECDF arithmetic as ``_ks_from_counts`` with
     sum-of-gap×span instead of max, so the probe and the windowed series
-    are per-window bit-identical by construction."""
+    are per-window bit-identical by construction.
+
+    ``positions=True`` (equi-depth grids): ``merged`` carries a ``_pos``
+    double column (each bin's left-edge VALUE, ``_attach_positions``)
+    instead of ``_mn``/``_mx``; the span becomes a position difference —
+    already in the metric's units — and the uniform ``(mx-mn)/n_bins``
+    rescale drops away."""
     keys = ["_g"] + [k for k, _ in extra_keys]
     w_cum = (
         Window.partitionBy(*keys)
@@ -866,6 +1081,7 @@ def _w1_from_bins(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     w_next = Window.partitionBy(*keys).orderBy("_b")
+    span_src = "_pos" if positions else "_b"
     stepped = (
         merged.withColumn("_cr", F.sum("_r").over(w_cum))
         .withColumn("_cc", F.sum("_c").over(w_cum))
@@ -874,7 +1090,11 @@ def _w1_from_bins(
         # span to the next observed bin; the last row's gap is 0 (both
         # ECDFs at 1) so its span never matters — default 0
         .withColumn(
-            "_span", F.coalesce(F.lead("_b", 1).over(w_next) - F.col("_b"), F.lit(0))
+            "_span",
+            F.coalesce(
+                F.lead(span_src, 1).over(w_next) - F.col(span_src),
+                F.lit(0.0 if positions else 0),
+            ),
         )
     )
     gap = F.abs(
@@ -883,27 +1103,30 @@ def _w1_from_bins(
     sums = stepped.groupBy(*keys).agg(
         F.max("_nr").cast("long").alias("n_ref"),
         F.max("_nc").cast("long").alias("n_cur"),
-        F.max("_mn").alias("_mn"),
-        F.max("_mx").alias("_mx"),
+        *(
+            ()
+            if positions
+            else (F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx"))
+        ),
         F.sum(
             F.when(
                 (F.col("_nr") > 0) & (F.col("_nc") > 0), gap * F.col("_span")
             )
         ).alias("_s"),
     )
-    out = (
-        sums.select(
-            *keys,
-            "n_ref",
-            "n_cur",
-            F.round(
-                F.col("_s").cast("double")
-                * (F.col("_mx") - F.col("_mn"))
-                / n_bins
-                / 1000000,
-                6,
-            ).alias("w1"),
+    w1 = (
+        F.round(F.col("_s").cast("double") / 1000000, 6)
+        if positions
+        else F.round(
+            F.col("_s").cast("double")
+            * (F.col("_mx") - F.col("_mn"))
+            / n_bins
+            / 1000000,
+            6,
         )
+    )
+    out = (
+        sums.select(*keys, "n_ref", "n_cur", w1.alias("w1"))
         .filter(F.col("n_ref") > 0)
         .withColumnRenamed("_g", group_col)
     )
@@ -929,17 +1152,38 @@ def w1_drift_windows_quantized(
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
     n_bins = _store_n_bins(store, path)
-    edges = F.broadcast(
-        store.groupBy("_g").agg(
-            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
-        )
-    )
     cur = cur_df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("_g"),
         F.col(window_col).alias("_w"),
         F.col(value_col).cast("double").alias("_v"),
     )
     windows = cur.select("_g", "_w").distinct()
+    if "_e" in store.columns:
+        geom, bucket, counts = _store_grid(store, n_bins)
+        ref_rows = counts.join(F.broadcast(windows), "_g").select(
+            "_g", "_w", "_b", "_r", F.lit(0).cast("long").alias("_c")
+        )
+        cur_rows = cur.join(geom, "_g").select(
+            "_g",
+            "_w",
+            bucket.alias("_b"),
+            F.lit(0).cast("long").alias("_r"),
+            F.lit(1).cast("long").alias("_c"),
+        )
+        merged = (
+            ref_rows.unionByName(cur_rows)
+            .groupBy("_g", "_w", "_b")
+            .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
+        )
+        return _w1_from_bins(
+            _attach_positions(merged, geom), n_bins, group_col,
+            extra_keys=(("_w", window_col),), positions=True,
+        )
+    edges = F.broadcast(
+        store.groupBy("_g").agg(
+            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
+        )
+    )
     ref_rows = store.join(F.broadcast(windows), "_g").select(
         "_g", "_w", "_b", "_r", F.lit(0).cast("long").alias("_c"),
         "_mn", "_mx",
@@ -1264,25 +1508,21 @@ def ks_drift_windows_quantized(
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
     n_bins = _store_n_bins(store, path)
-    edges = F.broadcast(
-        store.groupBy("_g").agg(
-            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
-        )
-    )
+    geom, bucket, counts = _store_grid(store, n_bins)
     cur = cur_df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("_g"),
         F.col(window_col).alias("_w"),
         F.col(value_col).cast("double").alias("_v"),
     )
     windows = cur.select("_g", "_w").distinct()
-    ref_rows = store.join(F.broadcast(windows), "_g").select(
+    ref_rows = counts.join(F.broadcast(windows), "_g").select(
         "_g", "_w", F.col("_b").alias("_v"), "_r",
         F.lit(0).cast("long").alias("_c"),
     )
-    cur_rows = cur.join(edges, "_g").select(
+    cur_rows = cur.join(geom, "_g").select(
         "_g",
         "_w",
-        _psi_bucket(n_bins).alias("_v"),
+        bucket.alias("_v"),
         F.lit(0).cast("long").alias("_r"),
         F.lit(1).cast("long").alias("_c"),
     )

@@ -8328,6 +8328,139 @@ def dq_w1_drift_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EQ_EDGES_SQL = (
+    # frozen EQUI-DEPTH geometry: 15 interior edges per group at exact
+    # ranks ceil(i*N/16) (order statistics, no interpolation — the
+    # engine's exact_quantile_edges rank formula verbatim, so both
+    # engines select the same VALUES even under ties)
+    "rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) "
+    "AS rn, count(*) OVER (PARTITION BY g) AS nn FROM v WHERE NOT cur), "
+    "e AS (SELECT rk.g, rk.v AS ev FROM rk JOIN "
+    "(SELECT unnest(generate_series(1, 15)) AS i) i "
+    "ON rk.rn = (i.i * rk.nn + 15) // 16), "
+    # per-(group, value) multiplicities first, then bucket = #edges the
+    # value has reached (>=) — the engine's _edge_bucket rule
+    "vc AS (SELECT g, v, cur, count(*) AS cnt FROM v "
+    "WHERE g IN (SELECT g FROM v WHERE NOT cur) GROUP BY 1, 2, 3), "
+    "bb AS (SELECT vc.g, vc.v, vc.cur, vc.cnt, count(e.ev) AS b "
+    "FROM vc LEFT JOIN e ON e.g = vc.g AND vc.v >= e.ev "
+    "GROUP BY vc.g, vc.v, vc.cur, vc.cnt), "
+    "c AS (SELECT g, b, sum(CASE WHEN cur THEN 0 ELSE cnt END) AS r, "
+    "sum(CASE WHEN cur THEN cnt ELSE 0 END) AS cc FROM bb GROUP BY 1, 2), "
+)
+
+
+@query(
+    "dq_ks_drift_equidepth",
+    "WITH v AS (SELECT event_type AS g, value AS v, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    + _EQ_EDGES_SQL
+    + "s AS (SELECT g, sum(r) OVER (PARTITION BY g ORDER BY b "
+    "ROWS UNBOUNDED PRECEDING) AS cr, sum(cc) OVER (PARTITION BY g "
+    "ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccum, "
+    "sum(r) OVER (PARTITION BY g) AS nr, "
+    "sum(cc) OVER (PARTITION BY g) AS nc FROM c) "
+    "SELECT g AS event_type, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "max(CASE WHEN nr > 0 AND nc > 0 THEN "
+    "abs((cr * 1000000) // nr - (ccum * 1000000) // nc) END)::BIGINT "
+    "AS ks_x1e6 FROM s GROUP BY g",
+    doc="EQUI-DEPTH quantized KS drift (operators/quality.py "
+    "ks_reference_write_quantized(edges='quantile_exact') / "
+    "ks_drift_probe_quantized, VERDICT r12 #2): the equal-width grid's "
+    "one-sided error bound is max-bin-mass, which degrades exactly on "
+    "heavy-tailed metrics — most mass lands in a few bins. Freezing "
+    "the edges at the reference's own rank-based quantiles pins every "
+    "bin's reference mass at ~1/n_bins BY CONSTRUCTION, making the "
+    "bound distribution-free; the probe detects the grid kind from the "
+    "store's geometry rows and quantizes the batch through the same "
+    "frozen edge array (_edge_bucket, >= ties-up). Edges are exact "
+    "order statistics (values at ranks ceil(i*N/n), no interpolation), "
+    "so the oracle selects bit-identical edge VALUES — what "
+    "percentile_approx (the 100 TB one-aggregate path, edges="
+    "'quantile') cannot promise cross-engine; the frozen store makes "
+    "the distinction invisible to probes.",
+)
+def dq_ks_drift_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_drift_probe_quantized,
+        ks_reference_write_quantized,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "ksrefeq",
+        sf_dir,
+        lambda p: ks_reference_write_quantized(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p,
+            n_bins=16, edges="quantile_exact",
+        ),
+    )
+    return ks_drift_probe_quantized(
+        ev.filter(F.col("ts") >= cut), "event_type", "value", path
+    )
+
+
+@query(
+    "dq_w1_drift_equidepth",
+    "WITH v AS (SELECT event_type AS g, value AS v, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    + _EQ_EDGES_SQL
+    + "ei AS (SELECT g, ev, row_number() OVER (PARTITION BY g "
+    "ORDER BY ev) AS idx FROM e), "
+    "mn AS (SELECT g, min(v) AS mn FROM v WHERE NOT cur GROUP BY 1), "
+    "c2 AS (SELECT c.g, c.b, c.r, c.cc, "
+    "CASE WHEN c.b = 0 THEN m.mn ELSE ei.ev END AS pos "
+    "FROM c JOIN mn m ON c.g = m.g "
+    "LEFT JOIN ei ON ei.g = c.g AND ei.idx = c.b), "
+    "s AS (SELECT g, sum(r) OVER (PARTITION BY g ORDER BY b "
+    "ROWS UNBOUNDED PRECEDING) AS cr, sum(cc) OVER (PARTITION BY g "
+    "ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccum, "
+    "sum(r) OVER (PARTITION BY g) AS nr, "
+    "sum(cc) OVER (PARTITION BY g) AS nc, "
+    "coalesce(lead(pos) OVER (PARTITION BY g ORDER BY b) - pos, 0) "
+    "AS span FROM c2) "
+    "SELECT g AS event_type, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "round(sum(CASE WHEN nr > 0 AND nc > 0 THEN "
+    "abs((cr * 1000000) // nr - (ccum * 1000000) // nc) * span END) "
+    "/ 1000000, 6) AS w1 FROM s GROUP BY g",
+    doc="Wasserstein-1 drift on the SAME equi-depth store as "
+    "dq_ks_drift_equidepth (operators/quality.py "
+    "w1_drift_probe_quantized, quantile branch): on a non-uniform grid "
+    "the piecewise-constant ECDF gap integrates over the frozen edge "
+    "SPACINGS — each bin's position is its left edge (bin 0 = the "
+    "reference min), spans are edge differences in the metric's own "
+    "units, and the equal-width tail's uniform (mx-mn)/n_bins rescale "
+    "drops away — so W1 stays magnitude-true on exactly the skewed "
+    "metrics the quantile grid exists for. Gap sums remain the "
+    "family's shared scaled-integer ECDF arithmetic; per-window "
+    "bit-identity with the daily form is pinned in test_round13_ops.",
+)
+def dq_w1_drift_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_reference_write_quantized,
+        w1_drift_probe_quantized,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "ksrefeq",
+        sf_dir,
+        lambda p: ks_reference_write_quantized(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p,
+            n_bins=16, edges="quantile_exact",
+        ),
+    )
+    return w1_drift_probe_quantized(
+        ev.filter(F.col("ts") >= cut), "event_type", "value", path
+    )
+
+
 @query(
     "dq_ks_drift_daily",
     "WITH v AS (SELECT event_type AS g, value AS v, ts, "

@@ -615,10 +615,92 @@ def bpe_train(
 #: every task's closure (the measured-fastest inference shape). At or
 #: below this many vocabulary entries that is a dimension-table-sized
 #: dict (~50 B/entry -> ~100 MB at the cap, the same size class Spark
-#: broadcasts); above it the caller must shard the model or fall back
-#: to the explode + broadcast-join form — fail loudly, never silently
-#: ship a multi-GB closure to every task.
+#: broadcasts); above it a DataFrame-shaped vocabulary AUTO-DISPATCHES
+#: to the explode + join scorer (``strategy="join"`` — needs ``id_col``),
+#: which never materializes the table anywhere whole. Only a DICT larger
+#: than the cap still fails loudly: it already lives in driver memory,
+#: so the fix is upstream (keep the model as a DataFrame).
 MAX_CLASSIFIER_VOCAB = 2_000_000
+
+#: Measured closure-vs-join crossover for DataFrame vocabularies
+#: (tools/ab_classifier_join.py, sf0.1 docs tiled 16x / 80k docs,
+#: SCALE_NOTES r13): the join's cost is nearly FLAT in vocabulary size
+#: (~1.5 s at 50k -> ~2.4 s at 2M — AQE broadcasts or shuffles a JVM
+#: table) while the closure's grows linearly with the dict it collects,
+#: pickles and ships per task (0.7 s at 50k -> 13 s at 2M); they cross
+#: near 300k entries. Above this, ``strategy="auto"`` prefers the join
+#: scorer whenever the caller supplied the ``id_col`` it needs.
+CLASSIFIER_JOIN_DISPATCH = 250_000
+
+
+def _check_weights_df(weights: DataFrame) -> None:
+    cols = set(weights.columns)
+    if not {"tok", "w"} <= cols:
+        raise ValueError(
+            f"weights DataFrame needs tok/w columns, has {sorted(cols)}"
+        )
+
+
+def _join_weight_sum(
+    df: DataFrame, colname: str, weights: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-document weight sums via explode + join — the UNBOUNDED-vocab
+    inference shape (VERDICT r12 #3): tokenize, explode to one row per
+    (doc, token), join the weight table on the token key, re-aggregate
+    per document. Everything stays JVM-side and nothing ever holds the
+    model whole — Spark plans the join by size (AQE broadcasts a small
+    table, shuffles both sides by token for a multi-GB one), which is
+    the point: the closure scorer's ceiling IS the model fitting every
+    task, this path's ceiling is a shuffle. Measured (SCALE_NOTES r13):
+    cost nearly FLAT in vocabulary size (~1.5 s at 50k -> ~2.4 s at 2M on
+    the tiled sf0.1 corpus) where the closure grows linearly with the
+    dict it ships per task — 2x slower at 50k, 5.4x FASTER at 2M, with
+    the crossover near CLASSIFIER_JOIN_DISPATCH.
+
+    Semantics are the closure scorer's exactly (bit-identical on integer
+    weights, pinned in test_round13_ops): unseen tokens weigh 0, an
+    empty/whitespace document sums to 0, a NULL document stays NULL.
+    ``explode_outer`` keeps empty/NULL docs as a single NULL-token row;
+    the text's own nullness (carried through the explode) tells the two
+    apart. Requires ``id_col`` to be unique per row — the join-back key
+    (a deterministic key beats a synthetic monotonically_increasing_id,
+    whose stability across the self-join's two scans Spark does not
+    promise after a shuffle).
+
+    Returns ``df`` plus ``wsum`` (BIGINT for an integer weight column,
+    DOUBLE otherwise)."""
+    wtype = dict(weights.dtypes)["w"]
+    integral = wtype in ("tinyint", "smallint", "int", "bigint")
+    wtab = weights.select(
+        F.col("tok").alias("__cs_tok"),
+        F.col("w").cast("long" if integral else "double").alias("__cs_w"),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("__cs_id"),
+        F.col(colname).isNull().alias("__cs_null"),
+        F.explode_outer(tokens_of(colname)).alias("__cs_tok"),
+    )
+    sums = (
+        exploded.join(wtab, "__cs_tok", "left")
+        .groupBy("__cs_id")
+        .agg(
+            F.max("__cs_null").alias("__cs_null"),
+            F.sum(
+                F.coalesce(
+                    F.col("__cs_w"),
+                    F.lit(0).cast("long" if integral else "double"),
+                )
+            ).alias("__cs_sum"),
+        )
+        .select(
+            "__cs_id",
+            F.when(F.col("__cs_null"), F.lit(None))
+            .otherwise(F.coalesce(F.col("__cs_sum"), F.lit(0)))
+            .cast("long" if integral else "double")
+            .alias("wsum"),
+        )
+    )
+    return df.join(sums, df[id_col] == sums["__cs_id"], "left").drop("__cs_id")
 
 
 def _closure_weight_sum(colname: str, weights: dict | DataFrame) -> Column:
@@ -634,24 +716,15 @@ def _closure_weight_sum(colname: str, weights: dict | DataFrame) -> Column:
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     if isinstance(weights, DataFrame):
-        cols = set(weights.columns)
-        if not {"tok", "w"} <= cols:
-            raise ValueError(
-                f"weights DataFrame needs tok/w columns, has {sorted(cols)}"
-            )
-        n_vocab = weights.count()
-        if n_vocab > MAX_CLASSIFIER_VOCAB:
-            raise ValueError(
-                f"classifier vocabulary {n_vocab} rows exceeds "
-                f"MAX_CLASSIFIER_VOCAB={MAX_CLASSIFIER_VOCAB}; shard the "
-                "model or use an explode + broadcast-join scorer"
-            )
+        _check_weights_df(weights)
         wmap = {r["tok"]: r["w"] for r in weights.select("tok", "w").collect()}
     elif isinstance(weights, dict):
         if len(weights) > MAX_CLASSIFIER_VOCAB:
             raise ValueError(
                 f"classifier vocabulary {len(weights)} entries exceeds "
-                f"MAX_CLASSIFIER_VOCAB={MAX_CLASSIFIER_VOCAB}"
+                f"MAX_CLASSIFIER_VOCAB={MAX_CLASSIFIER_VOCAB}; pass the "
+                "model as a tok/w DataFrame so classifier_score can "
+                "dispatch to the explode + join scorer"
             )
         wmap = dict(weights)
     else:
@@ -693,6 +766,8 @@ def classifier_score(
     scale: float = 4.0,
     keep_threshold: float = 0.55,
     weights: dict | DataFrame | None = None,
+    id_col: "str | None" = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Hashed linear text-classifier INFERENCE as a map-side fold — the
     fasttext-style quality filter shape (hash each token into a weight
@@ -731,19 +806,58 @@ def classifier_score(
     ``scale``=4), then rounds the sigmoid to 6 decimals — the only FP
     steps are the final division/exp, on bit-identical integer inputs.
 
+    VOCABULARY DISPATCH (r13, VERDICT r12 #3): a DataFrame-shaped
+    vocabulary above ``MAX_CLASSIFIER_VOCAB`` rows automatically takes
+    the explode + join scorer (``_join_weight_sum`` — nothing holds the
+    model whole; needs ``id_col``, unique per row, as the join-back
+    key). ``strategy`` forces a path: ``"closure"`` / ``"join"`` /
+    ``"auto"`` (size-based). Both scorers are bit-identical on integer
+    weights (pinned in test_round13_ops).
+
     Returns the input plus ``n_tokens`` (INT), ``wsum`` (BIGINT),
     ``quality_score`` (sigmoid, rounded to 6), and ``keep``
     (score >= keep_threshold). Empty/whitespace-only documents score a
     neutral 0.5 (zero logit)."""
+    if strategy not in ("auto", "closure", "join"):
+        raise ValueError(f"classifier_score: unknown strategy {strategy!r}")
     toks = tokens_of(colname)
     n = F.size(toks)
-    if weights is not None:
-        wsum = _closure_weight_sum(colname, weights)
+    use_join = False
+    if isinstance(weights, DataFrame):
+        _check_weights_df(weights)
+        if strategy == "join":
+            use_join = True
+        elif strategy == "auto":
+            n_vocab = weights.count()
+            # above the hard cap the closure is not an option; between the
+            # measured crossover and the cap, prefer the join whenever the
+            # caller gave it the key it needs (CLASSIFIER_JOIN_DISPATCH)
+            use_join = n_vocab > MAX_CLASSIFIER_VOCAB or (
+                n_vocab > CLASSIFIER_JOIN_DISPATCH and id_col is not None
+            )
+    elif strategy == "join":
+        raise ValueError(
+            "classifier_score: strategy='join' needs a tok/w DataFrame "
+            f"vocabulary, got {type(weights)!r}"
+        )
+    if use_join:
+        if id_col is None:
+            raise ValueError(
+                "classifier_score: the explode + join scorer needs "
+                "id_col= (a column unique per row) to re-attach "
+                "per-document weight sums"
+            )
+        base = _join_weight_sum(df, colname, weights, id_col)
+    elif weights is not None:
+        base = df.withColumn("wsum", _closure_weight_sum(colname, weights))
     else:
-        wsum = F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + (hex64(t) % 1001 - 500),
+        base = df.withColumn(
+            "wsum",
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + (hex64(t) % 1001 - 500),
+            ),
         )
     denom = 1000.0 / scale  # 250 at the default scale
     logit = F.when(n > 0, F.col("wsum") / (n * F.lit(denom))).otherwise(
@@ -753,10 +867,10 @@ def classifier_score(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6
     )
     return (
-        df.withColumn("n_tokens", n)
-        .withColumn("wsum", wsum)
+        base.withColumn("n_tokens", n)
         .withColumn("quality_score", score)
         .withColumn("keep", F.col("quality_score") >= F.lit(keep_threshold))
+        .select(*df.columns, "n_tokens", "wsum", "quality_score", "keep")
     )
 
 

@@ -438,3 +438,143 @@ def test_classifier_join_float_weights_double(spark):
     )
     assert dict(out.dtypes)["wsum"] == "double"
     assert out.collect()[0]["wsum"] == pytest.approx(0.0)
+
+
+# ------------------------------------------ PCA rotation for prefix-rerank
+@pytest.fixture()
+def aniso_vectors(spark):
+    """Deterministic anisotropic cloud whose energy is NOT axis-aligned:
+    3 strong latent signals + tiny noise, mixed through a Hadamard
+    rotation so every raw coordinate carries an equal share — the
+    'generic embedding' worst case prefix truncation measured poorly on
+    (SCALE_NOTES r12), and exactly what pca_fit should undo."""
+    import math
+
+    h = [
+        [1, 1, 1, 1, 1, 1, 1, 1],
+        [1, -1, 1, -1, 1, -1, 1, -1],
+        [1, 1, -1, -1, 1, 1, -1, -1],
+        [1, -1, -1, 1, 1, -1, -1, 1],
+        [1, 1, 1, 1, -1, -1, -1, -1],
+        [1, -1, 1, -1, -1, 1, -1, 1],
+        [1, 1, -1, -1, -1, -1, 1, 1],
+        [1, -1, -1, 1, -1, 1, 1, -1],
+    ]
+    rows = []
+    for i in range(200):
+        s = [
+            math.sin(i * 0.7) * 5.0,
+            math.cos(i * 1.3) * 2.0,
+            math.sin(i * 2.9) * 0.5,
+            0.05 * math.sin(i * 3.7),
+            0.05 * math.cos(i * 4.1),
+            0.02 * math.sin(i * 5.3),
+            0.02 * math.cos(i * 6.1),
+            0.02 * math.sin(i * 7.9),
+        ]
+        v = [sum(h[r][c] * s[c] for c in range(8)) / 8**0.5 for r in range(8)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_pca_fit_orthonormal_and_front_loaded(spark, aniso_vectors):
+    import numpy as np
+
+    from wms_data_pipeline_spark.operators import similarity as sim
+
+    model = sim.pca_fit(aniso_vectors)
+    r = np.asarray(model["rotation"])
+    assert np.allclose(r @ r.T, np.eye(r.shape[0]), atol=1e-9)
+    vals = model["eigenvalues"]
+    assert vals == sorted(vals, reverse=True)
+    # energy is front-loaded: top-2 components carry most of it
+    assert sum(model["explained"][:2]) > 0.8
+    # deterministic sign: each component's largest-|entry| is positive
+    for row in r:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_pca_rotate_roundtrip_and_nulls(spark, aniso_vectors):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import similarity as sim
+
+    withnull = aniso_vectors.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    model = sim.pca_fit(withnull)
+    back = sim.pca_rotate(
+        sim.pca_rotate(withnull, model), model, inverse=True
+    ).orderBy("vec_id").collect()
+    orig = withnull.orderBy("vec_id").collect()
+    for o, b in zip(orig, back):
+        if o["embedding"] is None:
+            assert b["embedding"] is None
+        else:
+            assert np.allclose(o["embedding"], b["embedding"], atol=1e-4)
+
+
+def test_pca_rotation_preserves_exact_topk(spark, aniso_vectors):
+    """center=False is a pure orthogonal map: full-dim cosine top-k on the
+    rotated corpus must return the same ids in the same order."""
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import similarity as sim
+
+    queries = aniso_vectors.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = sim.pca_fit(aniso_vectors)
+    rc = sim.pca_rotate(aniso_vectors, model)
+    rq = sim.pca_rotate(queries, model)
+    base = [
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk(aniso_vectors, queries, k=10)
+        .orderBy("query_id", "vec_id").collect()
+    ]
+    rot = [
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk(rc, rq, k=10)
+        .orderBy("query_id", "vec_id").collect()
+    ]
+    assert base == rot
+
+
+def test_pca_prefix_rerank_recall_lift(spark, aniso_vectors):
+    """The operator's reason to exist: on anisotropic vectors, rotating
+    before prefix_rerank_topk lifts small-prefix recall."""
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import similarity as sim
+
+    queries = aniso_vectors.filter("vec_id % 20 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.cosine_topk(aniso_vectors, queries, k=5).collect()
+    }
+
+    def recall(corpus, qs):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in sim.prefix_rerank_topk(
+                corpus, qs, k=5, prefix_dims=2, shortlist=15
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    model = sim.pca_fit(aniso_vectors)
+    plain = recall(aniso_vectors, queries)
+    rotated = recall(
+        sim.pca_rotate(aniso_vectors, model), sim.pca_rotate(queries, model)
+    )
+    # rotated full-dim re-rank scores equal the originals (orthogonal
+    # invariance), so recall compares apples to apples
+    assert rotated >= plain
+    assert rotated >= 0.9

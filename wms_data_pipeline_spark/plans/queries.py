@@ -1621,6 +1621,48 @@ def sim_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_pca_prefix_rerank",
+    None,  # rows-only: the dim x dim eigendecomposition at the heart of
+    # pca_fit has no SQL expression, so no oracle can reproduce the
+    # rotated coordinates. Correctness is carried by test_round13_ops
+    # instead: rotation orthonormality, exact inverse reconstruction,
+    # and — the load-bearing pin — full-dimension cosine top-k on
+    # rotated vectors returning EXACTLY the unrotated top-k (orthogonal
+    # invariance), which ties this query's re-rank stage back to the
+    # fully oracle-paired cosine_topk semantics.
+    doc="PCA-rotated Matryoshka prefix-rerank (operators/similarity.py "
+    "pca_fit / pca_rotate + prefix_rerank_topk, VERDICT r12 #5): the "
+    "r12 recall curve said generic embeddings need variance "
+    "front-loaded before dimension prefixes are usable; this is the "
+    "rotation. pca_fit = one distributed moment pass (per-partition "
+    "n/Σx/Σxxᵀ via vectorized Arrow batches, driver eigh on the "
+    "dim x dim result, deterministic component signs); center=False "
+    "diagonalizes the SECOND moment so the map is purely orthogonal — "
+    "dot products, norms and therefore full-dim cosine are preserved "
+    "EXACTLY, meaning the re-rank stage is unchanged and only the "
+    "coarse prefix pass sees the energy-ordered basis. Measured on "
+    "sf0.1 embeddings (SCALE_NOTES r13): recall@10 at 8/64 dims "
+    "0.28 -> 0.395 rotated, at 32/64 0.775 -> 0.86 — modest because "
+    "this corpus is near-isotropic (16% variance in the top 8 dims vs "
+    "12.5% floor), with the full lift pinned on an anisotropic cloud "
+    "in test_round13_ops (prefix-2 recall 0.9+ after rotation).",
+)
+def sim_pca_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    model = sim.pca_fit(emb)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.prefix_rerank_topk(
+        sim.pca_rotate(emb, model),
+        sim.pca_rotate(queries, model),
+        k=10,
+        prefix_dims=16,
+        shortlist=100,
+    )
+
+
+@query(
     "sim_ivf_topk",
     # Full value-hash oracle: the coarse quantizer is deterministic
     # hash-seeded medoid selection (md5 is md5 everywhere), so DuckDB can

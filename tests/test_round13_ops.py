@@ -578,3 +578,78 @@ def test_pca_prefix_rerank_recall_lift(spark, aniso_vectors):
     # invariance), so recall compares apples to apples
     assert rotated >= plain
     assert rotated >= 0.9
+
+
+# ------------------------------------------ overlap monitor replay safety
+def test_overlap_monitor_replay_replaces_snapshot(spark, tmp_path):
+    """At-least-once replay must REPLACE a batch's matrix snapshot, not
+    append a duplicate (ADVICE r12): matrix_out is partitioned by
+    batch_id and written with dynamic partition overwrite, so replaying
+    the whole source against a fresh checkpoint leaves exactly one
+    snapshot per batch_id and downstream sums never double-count."""
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators.dedup import (
+        source_overlap_index_write,
+    )
+    from wms_data_pipeline_spark.streaming.pipeline import (
+        overlap_monitor_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "s1", "alpha beta gamma"), (2, "s2", "alpha beta delta")],
+        "doc_id long, source string, text string",
+    )
+    index = "file://" + str(tmp_path / "ovidx")
+    source_overlap_index_write(corpus, index, shingle_n=1)
+    src = str(tmp_path / "incoming")
+    schema = "doc_id long, source string, text string"
+    spark.createDataFrame(
+        [(3, "s3", "beta gamma epsilon")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    matrix_out = str(tmp_path / "matrix")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        overlap_monitor_stream(
+            stream, index, matrix_out, str(tmp_path / ckpt)
+        ).awaitTermination(120)
+
+    run("ckpt1")
+    first = spark.read.parquet(matrix_out)
+    n_first = first.count()
+    assert n_first > 0
+    # fresh checkpoint = full replay of batch 0 (the at-least-once case)
+    run("ckpt2")
+    again = spark.read.parquet(matrix_out)
+    assert again.count() == n_first  # replaced, not duplicated
+    assert {r["batch_id"] for r in again.select("batch_id").distinct().collect()} == {0}
+
+
+# ------------------------------------------ keep-canonical broadcast gate
+def test_broadcast_drop_list_gate(monkeypatch):
+    from wms_data_pipeline_spark.operators import dedup as dd
+
+    assert dd.broadcast_drop_list_ok(1000)
+    assert dd.broadcast_drop_list_ok(
+        int(dd.MAX_BROADCAST_DROP_IDS / dd.EXPECTED_DUP_FRACTION)
+    )
+    assert not dd.broadcast_drop_list_ok(
+        int(dd.MAX_BROADCAST_DROP_IDS / dd.EXPECTED_DUP_FRACTION) + 1
+    )
+
+
+def test_keep_canonical_unhinted_same_answer(spark, monkeypatch):
+    """Above the gate the hint drops; the answer must not change."""
+    from wms_data_pipeline_spark.operators import dedup as dd
+    from wms_data_pipeline_spark.plans.queries import REGISTRY
+
+    fn = REGISTRY["dd_dedup_keep_canonical"].fn
+    base = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    monkeypatch.setattr(dd, "MAX_BROADCAST_DROP_IDS", 0)
+    gated = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
+    assert gated == base

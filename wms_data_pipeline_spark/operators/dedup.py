@@ -32,6 +32,25 @@ from wms_data_pipeline_spark.operators.text import tokens_of
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 4  # rows per band = NUM_PERM / BANDS
 
+#: keep-canonical's drop-list anti join broadcast-hints the minhash-pair
+#: subtree (ids only) — the measured 5 -> 2 exchange win (SCALE_NOTES
+#: r12). The hint is safe while the DUP COUNT stays broadcast-sized, and
+#: that is a property of the corpus nothing used to enforce (ADVICE r12):
+#: callers gate it as ``n_docs * EXPECTED_DUP_FRACTION <=
+#: MAX_BROADCAST_DROP_IDS`` — a metadata-cheap count times a deployment
+#: expectation — and fall back to the un-hinted join (AQE picks SMJ or
+#: broadcast from RUNTIME sizes) when the expectation says the list may
+#: outgrow an executor. 50M ids ~ 400 MB hashed relation; 0.25 is the
+#: upper end of published web-corpus near-dup fractions.
+MAX_BROADCAST_DROP_IDS = 50_000_000
+EXPECTED_DUP_FRACTION = 0.25
+
+
+def broadcast_drop_list_ok(n_docs: int) -> bool:
+    """Whether a keep-canonical drop list over ``n_docs`` documents is
+    expected to fit a broadcast (see MAX_BROADCAST_DROP_IDS)."""
+    return n_docs * EXPECTED_DUP_FRACTION <= MAX_BROADCAST_DROP_IDS
+
 
 def shingles_of(colname: str = "text", n: int = 3, distinct: bool = True) -> Column:
     """Word n-gram shingles as an array, map-side — distinct per doc by

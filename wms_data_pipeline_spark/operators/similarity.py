@@ -2063,8 +2063,19 @@ def maxsim_topk(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    partial = tokens.select(doc_col, vec_col).mapInPandas(
-        _partial_max, schema=out_schema
+    # ONE doc-keyed exchange after the kernel serves BOTH aggregates (r13
+    # planlint sweep, 4 -> 3): hash(doc) is a subset of the per-(doc,
+    # qtoken) max key AND of the per-(qdoc, doc) sum key, so each reuses
+    # the repartition's ClusteredDistribution with no further shuffle —
+    # only the final top-k window (qdoc) exchanges again. The repartition
+    # must sit AFTER mapInPandas: the kernel emits fresh output
+    # attributes, so any partitioning of its INPUT is invisible to the
+    # planner downstream. Skew bound: a doc's partial-max rows are
+    # |its partitions| x |query tokens| — bounded by the closure cap.
+    partial = (
+        tokens.select(doc_col, vec_col)
+        .mapInPandas(_partial_max, schema=out_schema)
+        .repartition(F.col(doc_col))
     )
     qmap = spark.createDataFrame(
         [(i, d) for i, d in enumerate(q_docs)],

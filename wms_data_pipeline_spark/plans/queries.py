@@ -2139,15 +2139,28 @@ def txt_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def txt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()  # metadata-only count; embedded as a literal
-    toks = docs.select("doc_id", F.explode(txt.tokens_of("text")).alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    score = F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
-    scored = (
-        tf.join(dfreq, "token")
-        .filter(F.col("doc_id") < 50)
-        .withColumn("__score", score)
+    # r13 planlint sweep (4 -> 3): document frequency = plain count over
+    # per-doc DISTINCT tokens (array_distinct map-side, then explode) —
+    # countDistinct(doc_id) planned a second exchange for its two-phase
+    # distinct aggregate; deduping inside the row costs zero shuffles.
+    # The tf side aggregates only the scored docs (filter pushed to its
+    # scan) and is bounded by construction (50 docs), so it BROADCASTS
+    # into the corpus-sized df stream instead of exchanging it.
+    tf = (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(txt.tokens_of("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    dfreq = (
+        docs.select(
+            F.explode(F.array_distinct(txt.tokens_of("text"))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    score = F.col("tf") * F.log(F.lit(n_docs) / F.col("df"))
+    scored = dfreq.join(F.broadcast(tf), "token").withColumn("__score", score)
     w = Window.partitionBy("doc_id").orderBy(F.col("__score").desc(), F.col("token"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -3617,13 +3630,17 @@ def dd_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no .distinct(): anti-join semantics ignore duplicate build keys, so
     # deduping the drop list only paid an exchange (r11 planlint sweep).
     # broadcast: the drop list is near-dup ids ONLY — bounded by the dup
-    # fraction of the corpus, KB-to-GB at 100 TB for typical post-LSH dup
-    # rates; a corpus where it outgrows broadcast should drop the hint
-    # and let the SMJ form co-partition on doc_id (measured A/B in
-    # SCALE_NOTES r12)
+    # fraction of the corpus. The hint is GATED now (ADVICE r12): a
+    # metadata-cheap doc count times the deployment's expected dup
+    # fraction (dd.EXPECTED_DUP_FRACTION) must fit
+    # dd.MAX_BROADCAST_DROP_IDS, else the hint drops and AQE picks the
+    # join strategy from runtime sizes (the SMJ co-partition form
+    # measured in SCALE_NOTES r12).
     dropped = pairs.select(F.col("id_b").alias("doc_id"))
+    if dd.broadcast_drop_list_ok(docs.count()):
+        dropped = F.broadcast(dropped)
     return (
-        docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+        docs.join(dropped, "doc_id", "left_anti")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
@@ -4331,18 +4348,29 @@ def dq_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    per_nation = (
+    # r13 planlint sweep (4 -> 2): ONE region-keyed exchange up front —
+    # hash(region) is a subset of the per-nation sketch key, so the
+    # partial-sketch aggregate, the region-level union, the exact-count
+    # aggregate AND the final region join all reuse it with no further
+    # shuffle. The exact side counts c_custkey plainly: it is customer's
+    # primary key (TPC-H contract, one row per key), so count == count
+    # distinct without the distinct's second exchange — the sketch side
+    # still proves the HLL merge; the exact side is the yardstick.
+    base = (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_regionkey", "n_nationkey")
-        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+        .select(
+            F.col("n_regionkey").alias("region"), "n_nationkey", "c_custkey"
+        )
+        .repartition("region")
     )
-    merged = per_nation.groupBy(F.col("n_regionkey").alias("region")).agg(
+    per_nation = base.groupBy("region", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    merged = per_nation.groupBy("region").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
     )
-    exact = (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_regionkey").alias("region"))
-        .agg(F.countDistinct("c_custkey").alias("exact_customers"))
+    exact = base.groupBy("region").agg(
+        F.count("c_custkey").alias("exact_customers")
     )
     return exact.join(merged, "region").select(
         "region",
@@ -5014,8 +5042,15 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = sim.cosine_topk(emb, queries, k=11).filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # r13 planlint sweep (4 -> 2): nn is bounded queries x k by
+    # construction (MAX_CLOSURE_QUERIES x 11), so BROADCAST it into the
+    # label scan — the corpus-sized side streams map-side — then ONE
+    # query_id exchange serves both the vote aggregate (query_id is a
+    # subset of its grouping key) and the argmax window.
     votes = (
-        nn.join(emb.select("vec_id", "label"), "vec_id")
+        emb.select("vec_id", "label")
+        .join(F.broadcast(nn.select("query_id", "vec_id")), "vec_id")
+        .repartition("query_id")
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )

@@ -361,11 +361,16 @@ def overlap_monitor_stream(
     honest (updating first would make the probe a no-op read of its own
     result — same value, but the ordering documents intent and matches
     ``neardup_ingest_stream``). Delivery is at-least-once: a replayed
-    batch re-probes an index that may already contain it — the update is
-    IDEMPOTENT by construction (changed-set filter drops everything,
-    pinned in test_round12_ops) and the re-emitted snapshot carries the
-    same batch_id with the same values, so readers keying on batch_id
-    converge."""
+    batch re-probes an index that may already contain it — the index
+    update is IDEMPOTENT by construction (changed-set filter drops
+    everything, pinned in test_round12_ops), and the snapshot lands in a
+    ``batch_id=`` PARTITION written with dynamic partition overwrite
+    (ADVICE r12): a replay REPLACES its own snapshot instead of
+    appending a duplicate, so downstream aggregations over matrix_out
+    never double-count and need no reader-side dedup. (A replayed
+    snapshot can carry slightly HIGHER containment than the lost
+    original — the index already holds the batch's shingles — which is
+    the honest 'as of the index now' reading.)"""
     from wms_data_pipeline_spark.operators.dedup import (
         source_overlap_index_update,
         source_overlap_probe,
@@ -390,9 +395,13 @@ def overlap_monitor_stream(
             spark, batch, index_path,
             source_col=source_col, text_col=text_col,
         )
-        matrix.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(matrix_out)
+        (
+            matrix.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(matrix_out)
+        )
         source_overlap_index_update(
             spark, batch, index_path,
             source_col=source_col, text_col=text_col,

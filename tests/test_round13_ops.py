@@ -653,3 +653,88 @@ def test_keep_canonical_unhinted_same_answer(spark, monkeypatch):
     monkeypatch.setattr(dd, "MAX_BROADCAST_DROP_IDS", 0)
     gated = sorted(map(tuple, fn(spark, "/root/testdata/sf0.001").collect()))
     assert gated == base
+
+
+# ------------------------------------------ decile PSI
+def test_psi_decile_store_equidepth_and_probe(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import quality as q
+
+    rows = [("a", float(i), False) for i in range(200)] + [
+        ("a", float(i * 2), True) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    path = str(tmp_path / "psidec")
+    q.psi_reference_write(
+        df.filter("NOT cur"), "g", "v", path,
+        n_buckets=10, edges="quantile_exact",
+    )
+    store = spark.read.parquet(path)
+    # equi-depth property: every decile bin holds exactly N/10 reference
+    # rows on this tie-free metric, and the grid is COMPLETE
+    counts = {r["_b"]: r["_ref"] for r in store.collect()}
+    assert sorted(counts) == list(range(10))
+    # equi-depth within the >=-edge convention's off-by-one: each edge
+    # value itself belongs to the bin ABOVE it, so bins hold N/10 ± 1
+    assert sum(counts.values()) == 200
+    assert all(19 <= c <= 21 for c in counts.values())
+    probe = q.psi_drift_probe(df.filter("cur"), "g", "v", path).collect()[0]
+    assert probe["n_ref"] == 200 and probe["n_cur"] == 60
+    assert probe["psi"] > 0.1  # the doubled scale IS a shift
+    # identical population drifts ~nothing
+    same = q.psi_drift_probe(
+        df.filter("NOT cur"), "g", "v", path
+    ).collect()[0]
+    assert abs(same["psi"]) < 0.01
+
+
+def test_psi_decile_windows_bitwise_matches_probe(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import quality as q
+
+    rows = [("a", float((i * 13) % 97), 0, False) for i in range(300)] + [
+        ("a", float((i * 7 + d) % 97), d, True)
+        for d in (1, 2)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, day int, cur boolean")
+    path = str(tmp_path / "psidecw")
+    q.psi_reference_write(
+        df.filter("NOT cur"), "g", "v", path,
+        n_buckets=10, edges="quantile_exact",
+    )
+    cur = df.filter("cur")
+    daily = q.psi_drift_windows(cur, "g", "v", "day", path)
+    for d in (1, 2):
+        pw = sorted(
+            map(tuple, q.psi_drift_probe(
+                cur.filter(F.col("day") == d), "g", "v", path
+            ).collect())
+        )
+        dw = sorted(
+            tuple(r[k] for k in ("g", "n_ref", "n_cur", "psi"))
+            for r in daily.filter(F.col("day") == d).collect()
+        )
+        assert pw == dw, f"day {d}"
+
+
+def test_psi_width_store_unchanged(spark, tmp_path):
+    """The default width grid must be byte-compatible with r12 stores:
+    probe a width store written by the current writer and one written
+    without the new kwargs — identical schema, identical results."""
+    from wms_data_pipeline_spark.operators import quality as q
+
+    rows = [("a", float(i % 37), False) for i in range(150)] + [
+        ("a", float(i % 23), True) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    p1 = str(tmp_path / "w1")
+    q.psi_reference_write(df.filter("NOT cur"), "g", "v", p1)
+    store = spark.read.parquet(p1)
+    assert "_e" not in store.columns
+    probe = q.psi_drift_probe(df.filter("cur"), "g", "v", p1).collect()
+    batch = q.psi_drift(df, "g", "v", "cur").collect()
+    # frozen geometry == attained [mn, mx] here, so probe == batch
+    assert probe == batch

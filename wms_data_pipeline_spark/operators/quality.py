@@ -482,30 +482,69 @@ def psi_reference_write(
     value_col: str,
     path: str,
     n_buckets: int = 10,
+    edges: str = "width",
+    accuracy: int = 10000,
 ) -> None:
     """Persist the PSI reference histogram: a grid-complete
     (group, bucket, ref_count, mn, mx, n_ref, n_buckets) parquet,
     |groups| x n_buckets rows. One pass over the reference population,
     once per retrain — every subsequent ``psi_drift_probe`` pays only
-    the current batch."""
+    the current batch.
+
+    ``edges`` (r13): ``"width"`` is the original equal-width grid over
+    the group's frozen [mn, mx]. ``"quantile"`` /
+    ``"quantile_exact"`` freeze the bin edges at the REFERENCE's own
+    quantiles instead — classical DECILE PSI, the form model-monitoring
+    practice actually standardizes on, and the same heavy-tail argument
+    as the quantized KS store (equal-width concentrates all reference
+    mass in a few bins on skewed metrics, making the smoothed terms
+    insensitive): reference mass ≈ 1/n_buckets per bin BY CONSTRUCTION,
+    so every bucket's (q-p)ln(q/p) term carries signal.
+    ``"quantile"`` = one percentile_approx aggregate (the scale path);
+    ``"quantile_exact"`` = rank-based order statistics
+    (``exact_quantile_edges`` — engine-reproducible, the oracle-paired
+    path). The grid stays COMPLETE (zero bins included) and carries the
+    frozen edge array ``_e`` on every row (n_buckets is dimension-sized
+    for PSI, so the duplication is bytes); probes detect the grid kind
+    from the store itself."""
     if n_buckets < 2:
         raise ValueError(
             f"psi_reference_write: n_buckets must be >= 2, got {n_buckets}"
+        )
+    if edges not in ("width", "quantile", "quantile_exact"):
+        raise ValueError(
+            "psi_reference_write: edges must be 'width', 'quantile' or "
+            f"'quantile_exact', got {edges!r}"
         )
     v = ref_df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("_g"),
         F.col(value_col).cast("double").alias("_v"),
     )
-    edges = v.groupBy("_g").agg(
-        F.max("_v").alias("_mx"), F.min("_v").alias("_mn")
-    )
+    if edges == "width":
+        geom = v.groupBy("_g").agg(
+            F.max("_v").alias("_mx"), F.min("_v").alias("_mn")
+        )
+        bucket = _psi_bucket(n_buckets)
+    else:
+        mnmx = v.groupBy("_g").agg(
+            F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+        )
+        if edges == "quantile":
+            fracs = [i / n_buckets for i in range(1, n_buckets)]
+            eg = v.groupBy("_g").agg(
+                F.percentile_approx("_v", fracs, accuracy).alias("_e")
+            )
+        else:
+            eg = exact_quantile_edges(v, "_g", "_v", n_buckets)
+        geom = eg.join(mnmx, "_g")
+        bucket = _edge_bucket()
     counts = (
-        v.join(F.broadcast(edges), "_g")
-        .select("_g", _psi_bucket(n_buckets).alias("_b"))
+        v.join(F.broadcast(geom), "_g")
+        .select("_g", bucket.alias("_b"))
         .groupBy("_g", "_b")
         .agg(F.count(F.lit(1)).alias("_ref"))
     )
-    grid = edges.crossJoin(
+    grid = geom.crossJoin(
         F.broadcast(
             ref_df.sparkSession.range(n_buckets).select(
                 F.col("id").cast("int").alias("_b")
@@ -523,6 +562,7 @@ def psi_reference_write(
             F.coalesce(F.col("_ref"), F.lit(0)).alias("_ref"),
             "_mn",
             "_mx",
+            *(["_e"] if edges != "width" else []),
         )
         .withColumn("_nref", F.sum("_ref").over(w_g))
         .withColumn("_nb", F.lit(n_buckets))
@@ -543,6 +583,28 @@ def _store_n_bins(store: DataFrame, path: str) -> int:
             "had no non-null values) — rebuild the reference before probing"
         )
     return int(nb)
+
+
+def _psi_store_grid(store: DataFrame, n_buckets: int):
+    """Resolve a PSI store's frozen geometry: ``(geom, bucket)`` — the
+    broadcast per-group frame to join batch rows against and the bucket
+    expression valid after that join. A quantile store carries its edge
+    array ``_e`` on every grid row (the PSI grid is complete, so bin 0
+    always exists to read it from); a width store resolves to the
+    frozen [mn, mx]."""
+    if "_e" in store.columns:
+        return (
+            F.broadcast(store.filter(F.col("_b") == 0).select("_g", "_e")),
+            _edge_bucket(),
+        )
+    return (
+        F.broadcast(
+            store.groupBy("_g").agg(
+                F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
+            )
+        ),
+        _psi_bucket(n_buckets),
+    )
 
 
 def _psi_bucket(n_buckets: int) -> Column:
@@ -650,21 +712,22 @@ def psi_drift_probe(
     and arithmetic as ``psi_drift``, but the reference population is
     never rescanned: the store is |groups| x n_buckets rows (broadcast-
     sized), so the probe costs one pass over the current batch plus a
-    bounded grid join. Groups absent from the store are not audited."""
+    bounded grid join. Groups absent from the store are not audited.
+    Detects the store's grid kind itself (equal-width [mn, mx] vs
+    frozen quantile edges — decile PSI), so callers never re-declare
+    it."""
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
     n_buckets = _store_n_bins(store, path)
-    edges = F.broadcast(
-        store.groupBy("_g").agg(F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx"))
-    )
+    geom, bucket = _psi_store_grid(store, n_buckets)
     cur_counts = (
         cur_df.filter(F.col(value_col).isNotNull())
         .select(
             F.col(group_col).alias("_g"),
             F.col(value_col).cast("double").alias("_v"),
         )
-        .join(edges, "_g")
-        .select("_g", _psi_bucket(n_buckets).alias("_b"))
+        .join(geom, "_g")
+        .select("_g", bucket.alias("_b"))
         .groupBy("_g", "_b")
         .agg(F.count(F.lit(1)).alias("_curn"))
     )
@@ -1395,19 +1458,15 @@ def psi_drift_windows(
     spark = cur_df.sparkSession
     store = spark.read.parquet(path)
     n_buckets = _store_n_bins(store, path)
-    edges = F.broadcast(
-        store.groupBy("_g").agg(
-            F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
-        )
-    )
+    geom, bucket = _psi_store_grid(store, n_buckets)
     cur = cur_df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("_g"),
         F.col(window_col).alias("_w"),
         F.col(value_col).cast("double").alias("_v"),
     )
     cur_counts = (
-        cur.join(edges, "_g")
-        .select("_g", "_w", _psi_bucket(n_buckets).alias("_b"))
+        cur.join(geom, "_g")
+        .select("_g", "_w", bucket.alias("_b"))
         .groupBy("_g", "_w", "_b")
         .agg(F.count(F.lit(1)).alias("_curn"))
     )

@@ -8539,6 +8539,74 @@ def dq_w1_drift_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_psi_drift_decile",
+    "WITH v AS (SELECT event_type AS g, value AS v, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    # frozen decile geometry: 9 interior edges at exact ranks
+    # ceil(i*N/10) — the engine's exact_quantile_edges rank formula
+    "rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) "
+    "AS rn, count(*) OVER (PARTITION BY g) AS nn FROM v WHERE NOT cur), "
+    "e AS (SELECT rk.g, rk.v AS ev FROM rk JOIN "
+    "(SELECT unnest(generate_series(1, 9)) AS i) i "
+    "ON rk.rn = (i.i * rk.nn + 9) // 10), "
+    "vc AS (SELECT g, v, cur, count(*) AS cnt FROM v "
+    "WHERE g IN (SELECT g FROM v WHERE NOT cur) GROUP BY 1, 2, 3), "
+    "bb AS (SELECT vc.g, vc.v, vc.cur, vc.cnt, count(e.ev) AS b "
+    "FROM vc LEFT JOIN e ON e.g = vc.g AND vc.v >= e.ev "
+    "GROUP BY vc.g, vc.v, vc.cur, vc.cnt), "
+    "c AS (SELECT g, b, sum(CASE WHEN cur THEN 0 ELSE cnt END) AS r, "
+    "sum(CASE WHEN cur THEN cnt ELSE 0 END) AS cc FROM bb GROUP BY 1, 2), "
+    # COMPLETE grid: zero bins still contribute their smoothed term
+    "grid AS (SELECT gg.g, i.b FROM (SELECT DISTINCT g FROM c) gg "
+    "CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) i), "
+    "f AS (SELECT grid.g, grid.b, coalesce(c.r, 0) AS r, "
+    "coalesce(c.cc, 0) AS cc FROM grid LEFT JOIN c "
+    "ON c.g = grid.g AND c.b = grid.b), "
+    "s AS (SELECT g, b, r, cc, sum(r) OVER (PARTITION BY g) AS nr, "
+    "sum(cc) OVER (PARTITION BY g) AS nc FROM f) "
+    "SELECT g AS event_type, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "round(sum(((cc + 1.0) / (nc + 10) - (r + 1.0) / (nr + 10)) * "
+    "ln(((cc + 1.0) / (nc + 10)) / ((r + 1.0) / (nr + 10)))), 6) AS psi "
+    "FROM s GROUP BY g",
+    doc="DECILE PSI — the form model-monitoring practice standardizes "
+    "on (operators/quality.py psi_reference_write(edges="
+    "'quantile_exact') / psi_drift_probe): bin edges frozen at the "
+    "REFERENCE's own deciles rather than an equal-width [mn, max] "
+    "grid, so every bucket holds ~10% of reference mass by "
+    "construction and each smoothed (q-p)ln(q/p) term carries signal "
+    "— on a heavy-tailed metric the width grid parks ~all mass in one "
+    "bin and PSI goes numb exactly when it is needed (the quantized-KS "
+    "A/B measured the same failure mode, SCALE_NOTES r13). Edges are "
+    "exact order statistics (ranks ceil(i*N/10)), bit-reproducible in "
+    "SQL; the probe detects the grid kind from the store's carried "
+    "edge array, so dashboards switch grids by re-writing the "
+    "reference only. Same add-one smoothing / complete-grid tail as "
+    "the oracle-green dq_psi_drift family.",
+)
+def dq_psi_drift_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        psi_drift_probe,
+        psi_reference_write,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "psirefdec",
+        sf_dir,
+        lambda p: psi_reference_write(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p,
+            n_buckets=10, edges="quantile_exact",
+        ),
+    )
+    return psi_drift_probe(
+        ev.filter(F.col("ts") >= cut), "event_type", "value", path
+    )
+
+
+@query(
     "dq_ks_drift_daily",
     "WITH v AS (SELECT event_type AS g, value AS v, ts, "
     "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "

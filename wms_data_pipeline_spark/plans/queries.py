@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wms_data_pipeline_spark.operators import dedup as dd
@@ -6910,9 +6910,14 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("day_no"),
     ).agg(F.count(F.lit(1)).alias("n"))
-    t = d.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nd"),
-        F.sum("n").cast("bigint").alias("s"),
+    # r13 planlint sweep (4 -> 2, and ONE scan instead of two): the
+    # per-type totals were a groupBy + self-join — a duplicated d
+    # subtree with its own pair of exchanges. As unbounded WINDOW
+    # aggregates they ride the same event_type exchange the running
+    # cusum and the peak-argmax window already need (the r10 IQR-screen
+    # lesson applied again).
+    wall = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     wrun = (
         Window.partitionBy("event_type")
@@ -6920,7 +6925,8 @@ def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = (
-        d.join(t, "event_type")
+        d.withColumn("nd", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("s", F.sum("n").over(wall).cast("bigint"))
         .withColumn(
             "cusum",
             F.sum(F.col("nd") * F.col("n") - F.col("s")).over(wrun).cast("bigint"),
@@ -7360,7 +7366,8 @@ _ACF_ORACLE = (
     "only FP is the final ratio/sqrt — single correctly-rounded IEEE "
     "ops on identical integers, deterministic cross-engine, rounded "
     "6dp. Day-level pre-aggregation collapses the scan map-side to "
-    "~series-length rows; the three lag legs share one sorted window.",
+    "~series-length rows; one fused conditional aggregate computes all "
+    "four lags' moments in a single pass (r13: 4 scalar exchanges -> 1).",
 )
 def evt_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -7372,41 +7379,46 @@ def evt_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     led = daily.select(
         "x",
         *[F.lead("x", k).over(w).alias(f"x{k}") for k in ACF_LAGS],
-    ).localCheckpoint()  # tiny (days) — reused by the lag legs
-    legs = []
+    )
+    # r13: ONE fused conditional aggregate computes every lag's six
+    # moments in a single pass (all BIGINT, order-free) instead of four
+    # per-lag scalar aggregates — 4 SinglePartition exchanges -> 1, and
+    # the localCheckpoint the legs existed to share goes away. Lag rows
+    # come back via stack on the one-row result.
+    aggs = []
     for k in ACF_LAGS:
         xk = F.col(f"x{k}")
-        agg = led.filter(xk.isNotNull()).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(xk).alias("sy"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum(xk * xk).alias("syy"),
-            F.sum(F.col("x") * xk).alias("sxy"),
+        on = xk.isNotNull()
+        aggs += [
+            F.sum(F.when(on, 1).otherwise(0)).alias(f"n_{k}"),
+            F.sum(F.when(on, F.col("x"))).alias(f"sx_{k}"),
+            F.sum(F.when(on, xk)).alias(f"sy_{k}"),
+            F.sum(F.when(on, F.col("x") * F.col("x"))).alias(f"sxx_{k}"),
+            F.sum(F.when(on, xk * xk)).alias(f"syy_{k}"),
+            F.sum(F.when(on, F.col("x") * xk)).alias(f"sxy_{k}"),
+        ]
+    one = led.agg(*aggs)
+
+    def _acf(k: int) -> Column:
+        n, sx, sy = F.col(f"n_{k}"), F.col(f"sx_{k}"), F.col(f"sy_{k}")
+        sxx, syy, sxy = (
+            F.col(f"sxx_{k}"), F.col(f"syy_{k}"), F.col(f"sxy_{k}")
         )
-        legs.append(
-            agg.select(
-                F.lit(k).cast("int").alias("lag"),
-                F.round(
-                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                    / F.sqrt(
-                        (
-                            F.col("n") * F.col("sxx")
-                            - F.col("sx") * F.col("sx")
-                        )
-                        * (
-                            F.col("n") * F.col("syy")
-                            - F.col("sy") * F.col("sy")
-                        )
-                    ),
-                    6,
-                ).alias("acf"),
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        )
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag"), _acf(k).alias("acf")
             )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+            for k in ACF_LAGS
+        ]
+    )
+    return one.select(F.explode(pairs).alias("p")).select("p.lag", "p.acf")
 
 
 _SP_ORACLE = (

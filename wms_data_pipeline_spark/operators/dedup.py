@@ -693,8 +693,19 @@ def _overlap_touched(
         .filter(F.col("gb").isin(gbs))
         .select("g", "n_srcs", "srcs")
     )
+    # r13 (measured in the fixed-batch/10x-corpus study): the delta-side
+    # LEFT join cannot broadcast its small PRESERVED side, so the planner
+    # was SMJ-shuffling the corpus postings — probe cost grew 1.55x at
+    # 10x corpus. Semi-reduce the index to the delta's own shingles
+    # map-side first (broadcast the delta's shingle keys into the
+    # postings scan — nothing corpus-sized ever shuffles), then broadcast
+    # the REDUCED postings into the left join: bounded by |delta
+    # shingles| rows x the df-cut source arrays, delta-sized by
+    # construction. Re-measured FLAT: 1.84 -> 1.58 s at 10x corpus
+    # (was 1.86 -> 2.87 s).
+    idx_hits = idx_sets.join(F.broadcast(dsets.select("g")), "g")
     touched = (
-        dsets.join(idx_sets, "g", "left")
+        dsets.join(F.broadcast(idx_hits), "g", "left")
         .select(
             "g",
             "gb",

@@ -8550,6 +8550,130 @@ def dq_w1_drift_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EQ_DAILY_PRELUDE = (
+    "WITH v AS (SELECT event_type AS g, value AS v, ts, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    "rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) "
+    "AS rn, count(*) OVER (PARTITION BY g) AS nn FROM v WHERE NOT cur), "
+    "e AS (SELECT rk.g, rk.v AS ev FROM rk JOIN "
+    "(SELECT unnest(generate_series(1, 15)) AS i) i "
+    "ON rk.rn = (i.i * rk.nn + 15) // 16), "
+    "vc AS (SELECT g, v, cur, CAST(ts AS DATE) AS day, count(*) AS cnt "
+    "FROM v WHERE g IN (SELECT g FROM v WHERE NOT cur) "
+    "GROUP BY 1, 2, 3, 4), "
+    "bb AS (SELECT vc.g, vc.day, vc.cur, vc.cnt, count(e.ev) AS b "
+    "FROM vc LEFT JOIN e ON e.g = vc.g AND vc.v >= e.ev "
+    "GROUP BY vc.g, vc.day, vc.cur, vc.cnt, vc.v), "
+    "rc AS (SELECT g, b, sum(cnt)::BIGINT AS r FROM bb WHERE NOT cur "
+    "GROUP BY 1, 2), "
+    "days AS (SELECT DISTINCT g, day FROM bb WHERE cur), "
+    "cc AS (SELECT g, day, b, sum(cnt)::BIGINT AS c FROM bb WHERE cur "
+    "GROUP BY 1, 2, 3), "
+    "u AS (SELECT d.g, d.day, rc.b, rc.r, 0::BIGINT AS c FROM days d "
+    "JOIN rc ON d.g = rc.g "
+    "UNION ALL SELECT g, day, b, 0::BIGINT, c FROM cc), "
+    "m AS (SELECT g, day, b, sum(r) AS r, sum(c) AS c FROM u "
+    "GROUP BY 1, 2, 3), "
+)
+
+
+def _eq_daily_store(spark: SparkSession, sf_dir: str) -> str:
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_reference_write_quantized,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return _process_cached_index(
+        "ksrefeq",
+        sf_dir,
+        lambda p: ks_reference_write_quantized(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p,
+            n_bins=16, edges="quantile_exact",
+        ),
+    )
+
+
+@query(
+    "dq_ks_drift_daily_equidepth",
+    _EQ_DAILY_PRELUDE
+    + "s AS (SELECT g, day, sum(r) OVER (PARTITION BY g, day ORDER BY b "
+    "ROWS UNBOUNDED PRECEDING) AS cr, sum(c) OVER (PARTITION BY g, day "
+    "ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccum, "
+    "sum(r) OVER (PARTITION BY g, day) AS nr, "
+    "sum(c) OVER (PARTITION BY g, day) AS nc FROM m) "
+    "SELECT g AS event_type, day, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "max(CASE WHEN nr > 0 AND nc > 0 THEN "
+    "abs((cr * 1000000) // nr - (ccum * 1000000) // nc) END)::BIGINT "
+    "AS ks_x1e6 FROM s GROUP BY g, day",
+    doc="EQUI-DEPTH quantized KS drift TIME SERIES — the windowed form "
+    "of dq_ks_drift_equidepth on the SAME frozen rank-quantile store "
+    "(operators/quality.py ks_drift_windows_quantized, quantile "
+    "branch): replicated merge rows stay |groups| x n_bins x |windows| "
+    "— bounded forever — while the grid's one-sided error bound is now "
+    "distribution-free (~1/n_bins) instead of max-bin-mass, i.e. the "
+    "daily drift dashboard keeps its sensitivity on exactly the "
+    "heavy-tailed metrics it monitors. Per window bit-identical to the "
+    "single-batch equi-depth probe (pinned in test_round13_ops).",
+)
+def dq_ks_drift_daily_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        ks_drift_windows_quantized,
+    )
+
+    path = _eq_daily_store(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cur = ev.filter(F.col("ts") >= cut).withColumn("day", F.to_date("ts"))
+    return ks_drift_windows_quantized(cur, "event_type", "value", "day", path)
+
+
+@query(
+    "dq_w1_drift_daily_equidepth",
+    _EQ_DAILY_PRELUDE
+    + "ei AS (SELECT g, ev, row_number() OVER (PARTITION BY g "
+    "ORDER BY ev) AS idx FROM e), "
+    "mn AS (SELECT g, min(v) AS mn FROM v WHERE NOT cur GROUP BY 1), "
+    "m2 AS (SELECT m.g, m.day, m.b, m.r, m.c, "
+    "CASE WHEN m.b = 0 THEN x.mn ELSE ei.ev END AS pos "
+    "FROM m JOIN mn x ON m.g = x.g "
+    "LEFT JOIN ei ON ei.g = m.g AND ei.idx = m.b), "
+    "s AS (SELECT g, day, sum(r) OVER (PARTITION BY g, day ORDER BY b "
+    "ROWS UNBOUNDED PRECEDING) AS cr, sum(c) OVER (PARTITION BY g, day "
+    "ORDER BY b ROWS UNBOUNDED PRECEDING) AS ccum, "
+    "sum(r) OVER (PARTITION BY g, day) AS nr, "
+    "sum(c) OVER (PARTITION BY g, day) AS nc, "
+    "coalesce(lead(pos) OVER (PARTITION BY g, day ORDER BY b) - pos, 0) "
+    "AS span FROM m2) "
+    "SELECT g AS event_type, day, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "round(sum(CASE WHEN nr > 0 AND nc > 0 THEN "
+    "abs((cr * 1000000) // nr - (ccum * 1000000) // nc) * span END) "
+    "/ 1000000, 6) AS w1 FROM s GROUP BY g, day",
+    doc="EQUI-DEPTH Wasserstein-1 drift TIME SERIES on the SAME store "
+    "as dq_ks_drift_daily_equidepth (operators/quality.py "
+    "w1_drift_windows_quantized, quantile branch): per (group, day), "
+    "the ECDF gap integrates over frozen edge SPACINGS — left-edge "
+    "positions, spans in the metric's own units, no uniform rescale — "
+    "so the daily earth-mover series stays magnitude-true on skewed "
+    "metrics. Per window bit-identical to dq_w1_drift_equidepth on "
+    "that window's rows alone (shared _w1_from_bins positions tail, "
+    "pinned in test_round13_ops).",
+)
+def dq_w1_drift_daily_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        w1_drift_windows_quantized,
+    )
+
+    path = _eq_daily_store(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cur = ev.filter(F.col("ts") >= cut).withColumn("day", F.to_date("ts"))
+    return w1_drift_windows_quantized(cur, "event_type", "value", "day", path)
+
+
 @query(
     "dq_psi_drift_decile",
     "WITH v AS (SELECT event_type AS g, value AS v, "

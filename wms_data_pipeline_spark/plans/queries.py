@@ -8743,6 +8743,74 @@ def dq_psi_drift_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_psi_drift_daily_decile",
+    "WITH v AS (SELECT event_type AS g, value AS v, ts, "
+    "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "
+    "WHERE value IS NOT NULL), "
+    "rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) "
+    "AS rn, count(*) OVER (PARTITION BY g) AS nn FROM v WHERE NOT cur), "
+    "e AS (SELECT rk.g, rk.v AS ev FROM rk JOIN "
+    "(SELECT unnest(generate_series(1, 9)) AS i) i "
+    "ON rk.rn = (i.i * rk.nn + 9) // 10), "
+    "vc AS (SELECT g, v, cur, CAST(ts AS DATE) AS day, count(*) AS cnt "
+    "FROM v WHERE g IN (SELECT g FROM v WHERE NOT cur) "
+    "GROUP BY 1, 2, 3, 4), "
+    "bb AS (SELECT vc.g, vc.day, vc.cur, vc.cnt, count(e.ev) AS b "
+    "FROM vc LEFT JOIN e ON e.g = vc.g AND vc.v >= e.ev "
+    "GROUP BY vc.g, vc.day, vc.cur, vc.cnt, vc.v), "
+    "rc AS (SELECT g, b, sum(cnt)::BIGINT AS r FROM bb WHERE NOT cur "
+    "GROUP BY 1, 2), "
+    "days AS (SELECT DISTINCT g, day FROM bb WHERE cur), "
+    "cc AS (SELECT g, day, b, sum(cnt)::BIGINT AS c FROM bb WHERE cur "
+    "GROUP BY 1, 2, 3), "
+    # COMPLETE grid per audited (group, day): zero bins contribute
+    "grid AS (SELECT d.g, d.day, i.b FROM days d "
+    "CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) i), "
+    "f AS (SELECT grid.g, grid.day, grid.b, coalesce(rc.r, 0) AS r, "
+    "coalesce(cc.c, 0) AS c FROM grid "
+    "LEFT JOIN rc ON rc.g = grid.g AND rc.b = grid.b "
+    "LEFT JOIN cc ON cc.g = grid.g AND cc.day = grid.day "
+    "AND cc.b = grid.b), "
+    "s AS (SELECT g, day, b, r, c, "
+    "sum(r) OVER (PARTITION BY g, day) AS nr, "
+    "sum(c) OVER (PARTITION BY g, day) AS nc FROM f) "
+    "SELECT g AS event_type, day, max(nr)::BIGINT AS n_ref, "
+    "max(nc)::BIGINT AS n_cur, "
+    "round(sum(((c + 1.0) / (nc + 10) - (r + 1.0) / (nr + 10)) * "
+    "ln(((c + 1.0) / (nc + 10)) / ((r + 1.0) / (nr + 10)))), 6) AS psi "
+    "FROM s GROUP BY g, day",
+    doc="DECILE PSI TIME SERIES (operators/quality.py psi_drift_windows "
+    "over a psi_reference_write(edges='quantile_exact') store): the "
+    "daily model-monitoring dashboard in the decile form practice "
+    "standardizes on — reference mass pinned at ~10% per bucket by the "
+    "frozen rank-quantile edges, so every day's smoothed terms carry "
+    "signal on skewed metrics where the width grid goes numb. "
+    "Replication cost stays |groups| x 10 x |windows|; per window "
+    "bit-identical to dq_psi_drift_decile on that window's rows alone "
+    "(the shared _psi_from_filled tail, pinned for the decile store in "
+    "test_round13_ops).",
+)
+def dq_psi_drift_daily_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wms_data_pipeline_spark.operators.quality import (
+        psi_drift_windows,
+        psi_reference_write,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    path = _process_cached_index(
+        "psirefdec",
+        sf_dir,
+        lambda p: psi_reference_write(
+            ev.filter(F.col("ts") < cut), "event_type", "value", p,
+            n_buckets=10, edges="quantile_exact",
+        ),
+    )
+    cur = ev.filter(F.col("ts") >= cut).withColumn("day", F.to_date("ts"))
+    return psi_drift_windows(cur, "event_type", "value", "day", path)
+
+
+@query(
     "dq_ks_drift_daily",
     "WITH v AS (SELECT event_type AS g, value AS v, ts, "
     "ts >= TIMESTAMP '2024-01-16 00:00:00' AS cur FROM events "

@@ -738,3 +738,32 @@ def test_psi_width_store_unchanged(spark, tmp_path):
     batch = q.psi_drift(df, "g", "v", "cur").collect()
     # frozen geometry == attained [mn, mx] here, so probe == batch
     assert probe == batch
+
+
+def test_audit_batch_works_with_decile_store(spark, tmp_path):
+    """The streaming per-batch audit's PSI leg must transparently accept a
+    decile (quantile-edged) reference store — the probe detects the grid
+    kind from the store, so the foreachBatch wiring needs no change."""
+    from wms_data_pipeline_spark.control.audit import audit_batch
+    from wms_data_pipeline_spark.operators import quality as q
+
+    ref = spark.createDataFrame(
+        [("a", float(i % 50)) for i in range(300)], "g string, v double"
+    )
+    path = str(tmp_path / "decref")
+    q.psi_reference_write(
+        ref, "g", "v", path, n_buckets=10, edges="quantile_exact"
+    )
+    batch = spark.createDataFrame(
+        [("a", float((i * 3) % 80)) for i in range(100)],
+        "g string, v double",
+    )
+    rows = audit_batch(
+        batch, batch_id=7, entity="events", drift=("g", "v", path)
+    ).collect()
+    psi_rows = [r for r in rows if r["kind"] == "psi_drift"]
+    assert psi_rows, rows
+    # the out-of-range tail ([50, 80)) clamps into the top decile — a
+    # real shift the decile probe must flag with a finite positive PSI
+    psi = {r["metric"]: r["value"] for r in psi_rows}
+    assert psi["psi"] > 0.0

@@ -288,3 +288,69 @@ def test_psi_probe_equals_python_model(spark, tmp_path_factory, rows):
             psi += (q - p) * math.log(q / p)
         assert got[g][0] == len(rv) and got[g][1] == len(cv)
         assert abs(got[g][2] - psi) < 2e-6, (g, got[g][2], psi)
+
+
+# --------------------------------------------------------------------------
+# r13: the equi-depth drift grid against an independent Python model
+# --------------------------------------------------------------------------
+
+values = st.lists(
+    st.integers(-50, 50).map(float), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ref=values, n_bins=st.integers(2, 12))
+def test_exact_quantile_edges_matches_rank_model(spark, ref, n_bins):
+    """exact_quantile_edges == the plain-Python order-statistics model:
+    edge i (1-based) is the value at rank ceil(i*N/n_bins) of the sorted
+    reference — sorted output, values drawn from the data, length
+    n_bins - 1 with repeats when N < n_bins."""
+    from wms_data_pipeline_spark.operators.quality import exact_quantile_edges
+
+    df = spark.createDataFrame([("g", v) for v in ref], "g string, v double")
+    got = exact_quantile_edges(df, "g", "v", n_bins).collect()[0]["_e"]
+    s = sorted(ref)
+    n = len(s)
+    want = [
+        s[min((i * n + n_bins - 1) // n_bins, n) - 1]
+        for i in range(1, n_bins)
+    ]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ref=values, cur=values)
+def test_equidepth_ks_one_sided_bound(spark, ref, cur, tmp_path_factory):
+    """The quantized KS is ONE-SIDED under any inputs: it never exceeds
+    the exact two-sample KS, and understates by at most the heaviest
+    single-bin mass of either population (the store's own bound)."""
+    from wms_data_pipeline_spark.operators import quality as q
+
+    path = str(tmp_path_factory.mktemp("eqks") / "store")
+    rows = [("g", v, False) for v in ref] + [("g", v, True) for v in cur]
+    df = spark.createDataFrame(rows, "g string, v double, cur boolean")
+    q.ks_reference_write_quantized(
+        df.filter("NOT cur"), "g", "v", path, n_bins=8,
+        edges="quantile_exact",
+    )
+    got = q.ks_drift_probe_quantized(
+        df.filter("cur"), "g", "v", path
+    ).collect()[0]["ks_x1e6"]
+    exact = q.ks_drift(df, "g", "v", "cur").collect()[0]["ks_x1e6"]
+    assert got <= exact
+    # bound: heaviest bin mass of either population on the frozen grid
+    import collections
+
+    s = sorted(ref)
+    n = len(s)
+    edges = [s[min((i * n + 7) // 8, n) - 1] for i in range(1, 8)]
+
+    def bucket(v):
+        return sum(1 for e in edges if v >= e)
+
+    worst = 0.0
+    for pop in (ref, cur):
+        c = collections.Counter(bucket(v) for v in pop)
+        worst = max(worst, max(c.values()) / len(pop))
+    assert exact - got <= worst * 1_000_000 + 1  # +1 for the div floor

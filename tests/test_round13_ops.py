@@ -767,3 +767,36 @@ def test_audit_batch_works_with_decile_store(spark, tmp_path):
     # real shift the decile probe must flag with a finite positive PSI
     psi = {r["metric"]: r["value"] for r in psi_rows}
     assert psi["psi"] > 0.0
+
+
+def test_prefix_rerank_rotate_param(spark, aniso_vectors):
+    """rotate= applies the model to BOTH sides (the half-rotated footgun
+    cannot happen) and equals hand-rotating; centered models refused."""
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import similarity as sim
+
+    queries = aniso_vectors.filter("vec_id % 40 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = sim.pca_fit(aniso_vectors)
+    via_param = sorted(
+        map(tuple, sim.prefix_rerank_topk(
+            aniso_vectors, queries, k=5, prefix_dims=2, shortlist=15,
+            rotate=model,
+        ).collect())
+    )
+    by_hand = sorted(
+        map(tuple, sim.prefix_rerank_topk(
+            sim.pca_rotate(aniso_vectors, model),
+            sim.pca_rotate(queries, model),
+            k=5, prefix_dims=2, shortlist=15,
+        ).collect())
+    )
+    assert via_param == by_hand
+    centered = sim.pca_fit(aniso_vectors, center=True)
+    with pytest.raises(ValueError, match="UNCENTERED"):
+        sim.prefix_rerank_topk(
+            aniso_vectors, queries, k=5, prefix_dims=2, shortlist=15,
+            rotate=centered,
+        )

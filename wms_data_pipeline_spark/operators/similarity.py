@@ -205,6 +205,7 @@ def prefix_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    rotate: "dict | None" = None,
 ) -> DataFrame:
     """Matryoshka-style progressive top-k (public method — MRL, Kusupati
     et al. 2022: representation PREFIXES are themselves usable
@@ -229,7 +230,14 @@ def prefix_rerank_topk(
     evenly, the measured curve is poor at small prefixes (SCALE_NOTES
     r12: 0.34 recall@10 at 8/64 dims on the synthetic corpus) — rotate
     first, or use the sketch/IVF/PQ paths whose candidate generation
-    does not depend on dimension ordering."""
+    does not depend on dimension ordering.
+
+    ``rotate`` (r13): a fitted ``pca_fit`` model applied to BOTH sides
+    here, so the rotating-the-corpus-but-not-the-queries footgun cannot
+    happen (a half-rotated pair scores garbage silently — the prefixes
+    live in different bases). Must be an UNCENTERED model: a centered
+    one shifts vectors and changes full-dimension cosine, breaking the
+    exact re-rank contract — refused loudly."""
     if prefix_dims < 1:
         raise ValueError(f"prefix_dims must be >= 1, got {prefix_dims}")
     if shortlist < k:
@@ -237,6 +245,16 @@ def prefix_rerank_topk(
             f"shortlist ({shortlist}) must be >= k ({k}) — the re-rank "
             "can only return what the coarse pass kept"
         )
+    if rotate is not None:
+        if rotate.get("center"):
+            raise ValueError(
+                "prefix_rerank_topk: rotate= needs an UNCENTERED pca_fit "
+                "model (center=False) — centering shifts vectors and "
+                "changes full-dimension cosine, so the exact re-rank "
+                "would no longer rank by the original similarities"
+            )
+        corpus = pca_rotate(corpus, rotate, vec_col=vec_col)
+        queries = pca_rotate(queries, rotate, vec_col=vec_col)
     pre_corpus = corpus.select(
         id_col, F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
     )

@@ -1654,11 +1654,7 @@ def sim_pca_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim.prefix_rerank_topk(
-        sim.pca_rotate(emb, model),
-        sim.pca_rotate(queries, model),
-        k=10,
-        prefix_dims=16,
-        shortlist=100,
+        emb, queries, k=10, prefix_dims=16, shortlist=100, rotate=model,
     )
 
 

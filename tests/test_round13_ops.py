@@ -800,3 +800,48 @@ def test_prefix_rerank_rotate_param(spark, aniso_vectors):
             aniso_vectors, queries, k=5, prefix_dims=2, shortlist=15,
             rotate=centered,
         )
+
+
+def test_concurrent_writers_retry_loop_liveness(spark, tmp_path):
+    """Four writers race repeatedly, each retrying on ConcurrentPublishError
+    until its merge lands: every writer eventually succeeds (liveness),
+    the final state holds all four keys (no lost update), and the version
+    count equals the number of successful publishes (linearized)."""
+    root = str(tmp_path / "mw")
+    ParquetTable(spark, root, concurrent_writers=True).upsert_latest(
+        _rec(spark, [("seed", T1, "base", "h0")])
+    )
+    errors = []
+    attempts = {}
+    barrier = threading.Barrier(4)
+
+    def writer(i):
+        t = ParquetTable(spark, root, concurrent_writers=True)
+        batch = _rec(spark, [(f"w{i}", T2, f"payload-{i}", f"h{i}")])
+        barrier.wait()
+        tries = 0
+        while True:
+            tries += 1
+            try:
+                t.upsert_latest(batch)
+                attempts[i] = tries
+                return
+            except ConcurrentPublishError:
+                if tries > 20:
+                    errors.append(i)
+                    return
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    t = ParquetTable(spark, root, concurrent_writers=True)
+    got = {r["id"]: r["payload"] for r in t.read().collect()}
+    assert got == {
+        "seed": "base",
+        **{f"w{i}": f"payload-{i}" for i in range(4)},
+    }
+    # one version per successful publish on top of the seed
+    assert t.current_version() == 5

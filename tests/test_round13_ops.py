@@ -845,3 +845,13 @@ def test_concurrent_writers_retry_loop_liveness(spark, tmp_path):
     }
     # one version per successful publish on top of the seed
     assert t.current_version() == 5
+
+
+def test_pca_fit_all_null_raises(spark):
+    from wms_data_pipeline_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        sim.pca_fit(df)

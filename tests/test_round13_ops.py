@@ -165,14 +165,20 @@ def test_legacy_table_upgrades_and_mixing_refused(spark, tmp_path):
         legacy.upsert_latest(_rec(spark, [("a", T3, "split", "h3")]))
 
 
-def test_empty_marker_is_corrupt_not_silent(spark, tmp_path):
+def test_empty_marker_serves_previous_version(spark, tmp_path):
+    """r14 revision of this pin (ADVICE r13 medium): an empty top marker —
+    a publish crashed (or still in flight past the retry budget) between
+    the exclusive create and the content write — must NOT fail reads of a
+    table whose previous version is intact; current_version falls back.
+    The loud CorruptTablePointerError remains for EXPLICIT reads of the
+    damaged version (test_round14_ops pins both sides)."""
     root = str(tmp_path / "cm")
     t = ParquetTable(spark, root, concurrent_writers=True)
     t.upsert_latest(_rec(spark, [("a", T1, "v1", "h1")]))
     # simulate a crash between the exclusive create and the content write
     (tmp_path / "cm" / "_commits" / "2").write_text("")
-    with pytest.raises(CorruptTablePointerError, match="commit marker"):
-        t.read()
+    assert t.current_version() == 1
+    assert t.read().collect()[0]["payload"] == "v1"
 
 
 # ------------------------------------------ .old pointer-flip fallback

@@ -36,6 +36,11 @@ upgrades to create-exclusive commit markers, see below):
 CREATE-EXCLUSIVE (``create_exclusive``), the optimistic-concurrency
 primitive behind ``concurrent_writers=True`` commit markers:
 
+- Dispatch is on the RESOLVED filesystem's scheme (``fs.getUri()``), not
+  the raw path string: a schemeless root resolves through ``fs.defaultFS``
+  exactly like every other TableFS op, so on a cluster with
+  ``defaultFS=hdfs://`` a schemeless table takes the Hadoop leg rather
+  than silently writing markers to the driver's local disk (ADVICE r13).
 - ``file://``/local: driver-side ``O_CREAT|O_EXCL`` — kernel-atomic; two
   racing claimants get exactly one winner.
 - ``hdfs://``: ``FileSystem.create(path, overwrite=false)`` — the
@@ -167,19 +172,38 @@ class TableFS:
         concurrency claim primitive — per-scheme atomicity in the module
         docstring (kernel O_EXCL locally, namenode-atomic on HDFS, NOT safe
         on s3a)."""
+        # Dispatch on the RESOLVED filesystem's scheme, not on the raw path
+        # string: a schemeless path resolves through fs.defaultFS (same as
+        # every other TableFS op), so on a cluster with defaultFS=hdfs:// a
+        # schemeless table root must take the Hadoop create(overwrite=false)
+        # leg. urlparse-dispatch would write the marker to the DRIVER'S
+        # local disk while _marker_versions lists HDFS — invisible markers,
+        # every concurrent publisher "winning" the same version (ADVICE r13
+        # high). Only a root that actually resolves to the local/raw-local
+        # filesystem takes the kernel O_EXCL fast path.
+        try:
+            resolved_scheme = self._fs.getUri().getScheme()
+        except Exception:
+            resolved_scheme = None
+        if resolved_scheme == "file":
+            return self._create_exclusive_local(path, text)
+        return self._create_exclusive_hadoop(path, text)
+
+    def _create_exclusive_local(self, path: str, text: str) -> bool:
         parsed = urllib.parse.urlparse(path)
-        if parsed.scheme in ("", "file"):
-            local = parsed.path if parsed.scheme == "file" else path
-            os.makedirs(os.path.dirname(local), exist_ok=True)
-            try:
-                fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                return False
-            try:
-                os.write(fd, text.encode("utf-8"))
-            finally:
-                os.close(fd)
-            return True
+        local = parsed.path if parsed.scheme == "file" else path
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, text.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return True
+
+    def _create_exclusive_hadoop(self, path: str, text: str) -> bool:
         try:
             out = self._fs.create(self._p(path), False)
         except Exception:

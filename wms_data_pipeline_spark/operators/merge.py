@@ -32,6 +32,7 @@ the fact history.
 
 from __future__ import annotations
 
+import time
 import uuid
 from typing import Sequence
 
@@ -248,29 +249,48 @@ class ParquetTable:
             int(n) for n in self._fs.list_names(self._commits) if n.isdigit()
         )
 
+    # create_exclusive creates the marker and writes its content in two
+    # steps, so a reader racing a HEALTHY publish can observe an empty
+    # marker for a moment (ADVICE r13 medium). Retry briefly before
+    # concluding the marker is a crash residue.
+    _MARKER_READ_RETRIES = 4
+    _MARKER_RETRY_SLEEP_S = 0.05
+
     def _marker_dir(self, v: int) -> "str | None":
         """Data-dir basename a commit marker names, or None if version ``v``
-        has no marker (legacy ``v=<n>`` layout)."""
-        raw = self._fs.read_text(fsio.join(self._commits, str(v)))
-        if raw is None:
-            return None
-        raw = raw.strip()
-        if not raw.startswith("v="):
-            # An empty/garbage marker means a publish crashed between the
-            # exclusive create and the content write (the one non-atomic
-            # window of the marker protocol, documented in fsio). The dir
-            # name is recoverable from the on-disk v=<n>-<token> listing.
-            raise CorruptTablePointerError(
-                f"unreadable commit marker for version {v} at "
-                f"{self._commits!r} (content {raw!r}); restore it to the "
-                f"v={v}-<token> directory basename before reading"
-            )
-        return raw
+        has no marker (legacy ``v=<n>`` layout). Empty/garbage content is
+        retried briefly (a racing publish is between its exclusive create
+        and its content write); content that stays unreadable past the
+        retries means the publish crashed inside that window and raises."""
+        for attempt in range(self._MARKER_READ_RETRIES):
+            raw = self._fs.read_text(fsio.join(self._commits, str(v)))
+            if raw is None:
+                return None
+            raw = raw.strip()
+            if raw.startswith("v="):
+                return raw
+            if attempt + 1 < self._MARKER_READ_RETRIES:
+                time.sleep(self._MARKER_RETRY_SLEEP_S)
+        # The dir name is recoverable from the on-disk v=<n>-<token> listing.
+        raise CorruptTablePointerError(
+            f"unreadable commit marker for version {v} at "
+            f"{self._commits!r} (content {raw!r}); restore it to the "
+            f"v={v}-<token> directory basename before reading"
+        )
 
     def current_version(self) -> int | None:
         markers = self._marker_versions()
-        if markers:
-            return markers[-1]
+        # Serve the highest marker whose CONTENT is valid: a crashed (or
+        # still-in-flight past the retry budget) top marker must not fail
+        # reads of a table whose previous version is intact and servable
+        # (ADVICE r13 medium). CorruptTablePointerError is reserved for an
+        # EXPLICIT read(version=N) of the crashed version.
+        for v in reversed(markers):
+            try:
+                self._marker_dir(v)
+                return v
+            except CorruptTablePointerError:
+                continue
         raw = self._fs.read_text_committed(self._pointer)
         if raw is None:
             return None
@@ -327,10 +347,17 @@ class ParquetTable:
                 found.add(n)
         # under concurrent_writers a loser's v=<n>-<token> dir can linger
         # until retention sweeps it; a version counts only if the dir its
-        # COMMIT MARKER names (or the plain v=<n> dir) is actually on disk
-        return [
-            n for n in sorted(found) if self._fs.is_dir(self._version_path(n))
-        ]
+        # COMMIT MARKER names (or the plain v=<n> dir) is actually on disk.
+        # A crashed content-less marker (skipped by current_version) is not
+        # a committed version — drop it rather than raising.
+        out = []
+        for n in sorted(found):
+            try:
+                if self._fs.is_dir(self._version_path(n)):
+                    out.append(n)
+            except CorruptTablePointerError:
+                continue
+        return out
 
     def _publish(self, df: DataFrame) -> int:
         cur = self.current_version()
@@ -353,6 +380,14 @@ class ParquetTable:
                 )
         v = (cur or 0) + 1
         if self.concurrent_writers:
+            # current_version skips markers with crashed (content-less)
+            # claims, so claim STRICTLY ABOVE every existing marker number —
+            # otherwise a publish after such a crash would collide with the
+            # dead claim forever (create_exclusive can never win a marker
+            # that already exists).
+            markers = self._marker_versions()
+            if markers:
+                v = max(v, markers[-1] + 1)
             return self._publish_concurrent(df, v)
         if cur is not None and self._marker_versions():
             # current_version resolved from commit markers: a _VERSION flip

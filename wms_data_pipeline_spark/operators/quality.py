@@ -812,7 +812,7 @@ def ks_reference_write_quantized(
     group_col: str,
     value_col: str,
     path: str,
-    n_bins: int = 1024,
+    n_bins: "int | None" = None,
     edges: str = "width",
     accuracy: int = 10000,
 ) -> None:
@@ -859,8 +859,25 @@ def ks_reference_write_quantized(
     grid kind from the store itself, so callers never re-declare it.
     Equi-depth quantization costs O(n_bins) comparisons per probed row
     (``_edge_bucket``) vs the width grid's O(1), so the quantile default
-    is coarser: pick n_bins for the bound you need (256 ⇒ ≤ ~0.4% KS
-    error regardless of skew)."""
+    is coarser: ``n_bins=None`` resolves to 1024 on the width grid but
+    256 on the quantile grids, and an explicit quantile n_bins past 512
+    warns (ADVICE r13 — measured ~2.5x probe cost at 1024 equi-depth
+    bins, SCALE_NOTES r13, for a bound the distribution-free grid never
+    needs). Pick n_bins for the bound you need (256 ⇒ ≤ ~0.4% KS error
+    regardless of skew)."""
+    if n_bins is None:
+        n_bins = 1024 if edges == "width" else 256
+    elif edges != "width" and n_bins > 512:
+        import warnings
+
+        warnings.warn(
+            f"ks_reference_write_quantized: edges={edges!r} probes scan "
+            f"O(n_bins) edges per row; n_bins={n_bins} costs ~2.5x the "
+            "probe time of the 256-bin grid for error the "
+            "distribution-free ~1/n_bins bound does not need "
+            "(SCALE_NOTES r13)",
+            stacklevel=2,
+        )
     if n_bins < 2:
         raise ValueError(
             f"ks_reference_write_quantized: n_bins must be >= 2, got {n_bins}"

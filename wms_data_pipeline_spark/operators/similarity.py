@@ -426,6 +426,101 @@ def pca_rotate(
     return df.withColumn(target, _rotate(F.col(vec_col)))
 
 
+def hadamard_model(dim: int) -> dict:
+    """A LITERAL orthonormal rotation in ``pca_fit``'s model shape: the
+    Sylvester-Hadamard matrix scaled by ``1/sqrt(dim)`` (``dim`` must be a
+    power of two, so every entry is ``±2^-k`` — EXACT in binary floating
+    point, which makes the matrix-vector products' only rounding the
+    additions).
+
+    Two jobs (VERDICT r13 #3):
+    - **Certification**: unlike the eigendecomposition inside ``pca_fit``,
+      this basis is a pure literal an ANSI-SQL oracle can apply with list
+      HOFs, so the ``pca_rotate`` Arrow kernel — the same code path the
+      PCA model rides — gets a FULL value-hash DuckDB pairing
+      (``sim_rotated_prefix_rerank``); measured bitwise-identical to the
+      kernel's float64-matmul-then-float32-cast on every test corpus.
+    - **Deployment**: a data-independent decorrelating rotation (the
+      structured-rotation trick public PQ/OPQ variants use) where fitting
+      PCA is not worth a pass — it spreads each input coordinate across
+      all output coordinates without touching norms or dot products.
+
+    It does NOT front-load variance (it is data-blind); for recall lift
+    use ``pca_fit``."""
+    if dim < 1 or dim & (dim - 1):
+        raise ValueError(
+            f"hadamard_model: dim must be a power of two, got {dim}"
+        )
+    h = np.array([[1.0]])
+    while h.shape[0] < dim:
+        h = np.block([[h, h], [h, -h]])
+    r = h / np.sqrt(dim)
+    return {
+        "rotation": r.tolist(),
+        "mean": [0.0] * dim,
+        "eigenvalues": [1.0] * dim,
+        "explained": [1.0 / dim] * dim,
+        "center": False,
+        "n": 0,
+        "kind": "hadamard",
+    }
+
+
+def pca_model_write(spark, model: dict, path: str) -> None:
+    """Persist a ``pca_fit``/``hadamard_model`` rotation (VERDICT r13 #4)
+    — the same FROZEN-GEOMETRY contract as ``ivf_index_write``'s centers:
+    fit once, rotate forever. Without it, every run of a prefix-rerank
+    deployment re-fits on whatever the corpus has drifted to, silently
+    changing the coarse pass's basis between runs (and making persisted
+    rotated corpora unjoinable with freshly rotated queries). The model is
+    dim² doubles — control-plane sized — written as ONE parquet row
+    through a Spark writer so ``path`` may be any Hadoop-visible
+    filesystem, same as every other index sidecar. Doubles round-trip
+    parquet bit-exactly, so the read-back rotation is bit-identical
+    (pinned in test_round14_ops)."""
+    row = [
+        (
+            [[float(x) for x in r] for r in model["rotation"]],
+            [float(x) for x in model["mean"]],
+            [float(x) for x in model["eigenvalues"]],
+            [float(x) for x in model["explained"]],
+            bool(model.get("center")),
+            int(model.get("n", 0)),
+            str(model.get("kind", "pca")),
+        )
+    ]
+    schema = (
+        "rotation array<array<double>>, mean array<double>, "
+        "eigenvalues array<double>, explained array<double>, "
+        "center boolean, n long, kind string"
+    )
+    spark.createDataFrame(row, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path.rstrip("/"))
+
+
+def pca_model_read(spark, path: str) -> dict:
+    """Load a persisted rotation model (``pca_model_write``) back into the
+    plain-dict shape ``pca_rotate``/``prefix_rerank_topk(rotate=)``
+    consume. Bit-identical to the dict that was written."""
+    rows = spark.read.parquet(path.rstrip("/")).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"pca_model_read: expected exactly one model row at {path!r}, "
+            f"found {len(rows)}"
+        )
+    r = rows[0]
+    return {
+        "rotation": [list(c) for c in r["rotation"]],
+        "mean": list(r["mean"]),
+        "eigenvalues": list(r["eigenvalues"]),
+        "explained": list(r["explained"]),
+        "center": bool(r["center"]),
+        "n": int(r["n"]),
+        "kind": r["kind"],
+    }
+
+
 def _hyperplane(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component j =
     (hex64(md5("t:p:j")) % 2001 - 1000) / 1000 ∈ [-1, 1]. Computed driver-side

@@ -641,6 +641,30 @@ def _check_weights_df(weights: DataFrame) -> None:
         )
 
 
+def _check_weights_unique(weights: DataFrame) -> None:
+    """Reject duplicated ``tok`` keys LOUDLY (ADVICE r13): the closure
+    scorer builds a dict (collect-order last-wins — nondeterministic) while
+    the join scorer SUMS all rows per token, so a duplicated vocabulary
+    silently changes ``wsum`` when ``strategy='auto'`` flips paths at the
+    size thresholds. The bit-identical contract between the two scorers
+    only holds for unique keys, so enforce it where the join path starts
+    (one limit-1 aggregate probe — inference-setup cost, not per-row)."""
+    dup = (
+        weights.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cs_n"))
+        .filter(F.col("__cs_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "classifier weights DataFrame has duplicated tok keys (e.g. "
+            f"{dup[0]['tok']!r} x{dup[0]['__cs_n']}); the closure and join "
+            "scorers would disagree on it — pre-aggregate the vocabulary "
+            "to one row per token"
+        )
+
+
 def _join_weight_sum(
     df: DataFrame, colname: str, weights: DataFrame, id_col: str
 ) -> DataFrame:
@@ -669,6 +693,7 @@ def _join_weight_sum(
 
     Returns ``df`` plus ``wsum`` (BIGINT for an integer weight column,
     DOUBLE otherwise)."""
+    _check_weights_unique(weights)
     wtype = dict(weights.dtypes)["w"]
     integral = wtype in ("tinyint", "smallint", "int", "bigint")
     wtab = weights.select(
@@ -717,7 +742,17 @@ def _closure_weight_sum(colname: str, weights: dict | DataFrame) -> Column:
 
     if isinstance(weights, DataFrame):
         _check_weights_df(weights)
-        wmap = {r["tok"]: r["w"] for r in weights.select("tok", "w").collect()}
+        rows = weights.select("tok", "w").collect()
+        wmap = {r["tok"]: r["w"] for r in rows}
+        if len(wmap) != len(rows):
+            # Free after the collect; mirrors _check_weights_unique so the
+            # closure and join scorers agree (both raise) on duplicated
+            # vocabularies instead of silently diverging (ADVICE r13).
+            raise ValueError(
+                f"classifier weights DataFrame has duplicated tok keys "
+                f"({len(rows)} rows, {len(wmap)} distinct); pre-aggregate "
+                "the vocabulary to one row per token"
+            )
     elif isinstance(weights, dict):
         if len(weights) > MAX_CLASSIFIER_VOCAB:
             raise ValueError(

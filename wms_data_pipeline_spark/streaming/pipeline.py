@@ -370,7 +370,18 @@ def overlap_monitor_stream(
     never double-count and need no reader-side dedup. (A replayed
     snapshot can carry slightly HIGHER containment than the lost
     original — the index already holds the batch's shingles — which is
-    the honest 'as of the index now' reading.)"""
+    the honest 'as of the index now' reading.)
+
+    LAYOUT MIGRATION (ADVICE r13): before r13 the snapshots were flat
+    ``mode('append')`` files at the ``matrix_out`` root with ``batch_id``
+    as a data column. A root that still holds old-layout files cannot be
+    read together with ``batch_id=`` partition dirs (partition discovery
+    fails or drops rows), so the monitor REFUSES such a root at start —
+    move the old flat files into ``batch_id=<n>/`` dirs (dropping the now
+    partition-valued column) or point the stream at a fresh root. Read
+    the series back with ``read_overlap_matrix``, which pins the
+    partition column's type (directory-name inference would otherwise
+    pick int-vs-long by the ids it happens to see)."""
     from wms_data_pipeline_spark.operators.dedup import (
         source_overlap_index_update,
         source_overlap_probe,
@@ -386,6 +397,23 @@ def overlap_monitor_stream(
             "source_overlap_index_write(corpus, index_path) before "
             "starting the monitor stream"
         )
+    mp = spark._jvm.org.apache.hadoop.fs.Path(matrix_out)
+    mfs = mp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if mfs.exists(mp):
+        flat = [
+            st.getPath().getName()
+            for st in mfs.listStatus(mp)
+            if st.isFile()
+            and not st.getPath().getName().startswith(("_", "."))
+        ]
+        if flat:
+            raise ValueError(
+                f"matrix_out {matrix_out!r} holds pre-r13 flat snapshot "
+                f"files at the root (e.g. {flat[0]!r}); they cannot be "
+                "read together with the batch_id= partition layout. Move "
+                "them into batch_id=<n>/ subdirs (dropping the batch_id "
+                "data column) or start the monitor on a fresh root."
+            )
 
     def _probe_then_update(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -413,6 +441,18 @@ def overlap_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_overlap_matrix(spark: SparkSession, matrix_out: str) -> DataFrame:
+    """Read the ``overlap_monitor_stream`` snapshot series with the
+    ``batch_id`` partition column PINNED to LONG. Partition values live in
+    directory names, not parquet footers, so readers get whatever type
+    inference picks from the ids it sees (int for small runs, long past
+    2^31) — a schema that silently changes as the stream ages. The explicit
+    cast makes the series' schema stable for downstream unions/joins
+    (ADVICE r13)."""
+    df = spark.read.parquet(matrix_out)
+    return df.withColumn("batch_id", F.col("batch_id").cast("long"))
 
 
 def curation_ingest_stream(

@@ -336,3 +336,114 @@ def test_quantile_store_defaults_256_and_warns_past_512(spark, tmp_path):
     q.ks_reference_write_quantized(ref, "g", "v", str(tmp_path / "w"))
     wstore = spark.read.parquet(str(tmp_path / "w"))
     assert wstore.agg(F.max("_nb")).collect()[0][0] == 1024
+
+
+# ---------------------------------- s3a conditional-create gate (r13 #5)
+def test_s3_family_refused_without_conditional_create(spark, tmp_path):
+    """An s3-family resolved filesystem with no conditional-create signal
+    must REFUSE create_exclusive loudly (check-then-put would let two
+    publishers claim the same marker)."""
+    fs = fsio.TableFS(spark, str(tmp_path))
+    fs._scheme = "s3a"  # emulate the resolved store (local FS underneath)
+    fs._cond_create = None
+    with pytest.raises(IOError, match="SINGLE-WRITER-ONLY"):
+        fs.create_exclusive(fsio.join(str(tmp_path), "_commits", "1"), "v=1-x")
+
+
+def test_s3_conditional_create_conf_assertion(spark, tmp_path):
+    """With the operator's conf assertion the Hadoop create-exclusive leg
+    runs: first claim wins, an existing marker reads as a lost race.
+    (True concurrent atomicity is the STORE's conditional-PUT contract —
+    the emulating local FS cannot exhibit it; the close-time-loss tests
+    below pin how the engine reads the store's verdict.)"""
+    conf = spark._jsc.hadoopConfiguration()
+    conf.set(fsio.S3A_CONDITIONAL_CREATE_CONF, "true")
+    try:
+        fs = fsio.TableFS(spark, str(tmp_path))
+        fs._scheme = "s3a"
+        fs._cond_create = None
+        target = fsio.join(str(tmp_path), "_commits", "5")
+        assert fs.create_exclusive(target, "v=5-w0") is True
+        assert fs.create_exclusive(target, "v=5-w1") is False
+        assert fs.read_text(target) == "v=5-w0"
+        ok, how = fs._conditional_create_support(target)
+        assert ok and fsio.S3A_CONDITIONAL_CREATE_CONF in how
+    finally:
+        conf.unset(fsio.S3A_CONDITIONAL_CREATE_CONF)
+
+
+def test_s3_conditional_create_capability_probe(spark, tmp_path):
+    """hasPathCapability announcing conditional-create unlocks the leg
+    without any conf; an un-announcing store stays refused."""
+    fs = fsio.TableFS(spark, str(tmp_path))
+    fs._scheme = "s3a"
+
+    class CapFS:
+        def __init__(self, inner, caps):
+            self._inner = inner
+            self._caps = caps
+
+        def hasPathCapability(self, p, cap):
+            return cap in self._caps
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    real = fs._fs
+    fs._fs = CapFS(real, set(fsio.CONDITIONAL_CREATE_CAPS))
+    fs._cond_create = None
+    ok, how = fs._conditional_create_support(str(tmp_path))
+    assert ok and "path capability" in how
+    assert fs.create_exclusive(
+        fsio.join(str(tmp_path), "_commits", "8"), "v=8-a"
+    ) is True
+    fs._fs = CapFS(real, set())
+    fs._cond_create = None
+    ok, how = fs._conditional_create_support(str(tmp_path))
+    assert not ok and "no conditional-create" in how
+
+
+def test_close_time_race_loss_returns_false(spark, tmp_path):
+    """Object stores upload at close(): a conditional-PUT loss surfacing
+    at close on an already-existing path reads as losing the race, not as
+    an I/O error."""
+    fs = fsio.TableFS(spark, str(tmp_path))
+
+    class LoserStream:
+        def write(self, b):
+            pass
+
+        def close(self):
+            raise RuntimeError("RemoteFileChangedException: precondition failed")
+
+    class LoserFS:
+        def create(self, p, overwrite):
+            return LoserStream()
+
+        def exists(self, p):
+            return True  # the winner's object is there
+
+    fs._fs = LoserFS()
+    assert fs._create_exclusive_hadoop(str(tmp_path / "m"), "v=1-x") is False
+
+
+def test_close_time_real_failure_still_raises(spark, tmp_path):
+    fs = fsio.TableFS(spark, str(tmp_path))
+
+    class BadStream:
+        def write(self, b):
+            pass
+
+        def close(self):
+            raise RuntimeError("socket reset")
+
+    class BadFS:
+        def create(self, p, overwrite):
+            return BadStream()
+
+        def exists(self, p):
+            return False  # nothing landed: a genuine failure
+
+    fs._fs = BadFS()
+    with pytest.raises(RuntimeError, match="socket reset"):
+        fs._create_exclusive_hadoop(str(tmp_path / "m"), "v=1-x")

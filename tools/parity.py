@@ -38,56 +38,88 @@ def _rowset(cols, rows):
     return sorted("|".join(_canon(r[i]) for i in idx) for r in rows)
 
 
+def make_duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata ships single files; tools/make_scale_data.py
+        # tiles into Spark-style part-file DIRECTORIES — glob those
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def check_query(spark, con, name: str, sf_dir: str) -> "str | None":
+    """Run one registry query on Spark and its oracle on DuckDB; return
+    None on pass (or rows-only), else a one-line failure description."""
+    spec = REGISTRY[name]
+    try:
+        sdf = spec.fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+    except Exception as e:
+        return f"spark error: {type(e).__name__}: {str(e)[:300]}"
+    if spec.oracle is None:
+        return None
+    try:
+        ddf = con.sql(spec.oracle)
+        dcols = [d[0] for d in ddf.description]
+        drows = ddf.fetchall()
+    except Exception as e:
+        return f"duckdb error: {type(e).__name__}: {str(e)[:300]}"
+    if sorted(scols) != sorted(dcols):
+        return f"schema {sorted(scols)} vs {sorted(dcols)}"
+    if len(srows) != len(drows):
+        return f"rowcount {len(srows)} vs {len(drows)}"
+    s_set = _rowset(scols, [tuple(r) for r in srows])
+    d_set = _rowset(dcols, drows)
+    if s_set != d_set:
+        diff = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]
+        return f"value mismatch; first diffs: {diff}"
+    return None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or list(REGISTRY)
     spark = get_spark("parity")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TESTDATA_TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = make_duck(sf_dir)
 
     failures = []
     for name in names:
-        spec = REGISTRY[name]
-        try:
-            sdf = spec.fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
-        except Exception as e:
+        err = check_query(spark, con, name, sf_dir)
+        if err is not None:
             failures.append(name)
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
-            continue
-        if spec.oracle is None:
-            print(f"ok   {name}: rows-only ({len(srows)} rows, no oracle)")
-            continue
-        try:
-            ddf = con.sql(spec.oracle)
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
-        except Exception as e:
-            failures.append(name)
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
-            continue
-        if sorted(scols) != sorted(dcols):
-            failures.append(name)
-            print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
-            continue
-        if len(srows) != len(drows):
-            failures.append(name)
-            print(f"FAIL {name}: rowcount {len(srows)} vs {len(drows)}")
-            continue
-        s_set = _rowset(scols, [tuple(r) for r in srows])
-        d_set = _rowset(dcols, drows)
-        if s_set != d_set:
-            failures.append(name)
-            diff = [(a, b) for a, b in zip(s_set, d_set) if a != b][:3]
-            print(f"FAIL {name}: value mismatch; first diffs: {diff}")
-            continue
-        print(f"ok   {name}: {len(srows)} rows match")
+            print(f"FAIL {name}: {err}")
+        elif REGISTRY[name].oracle is None:
+            print(f"ok   {name}: rows-only (no oracle)")
+        else:
+            print(f"ok   {name}: rows match")
 
     print(f"\n{len(names) - len(failures)}/{len(names)} pass")
     _record_results(names, failures, sf_dir)
+    out = os.environ.get("PARITY_OUT")
+    if out:
+        # standalone per-run artifact (e.g. PARITY_SF01.json — the r14
+        # certification that the oracle gate holds ABOVE the size-dispatch
+        # thresholds, not just at sf0.01)
+        bad = set(failures)
+        payload = {
+            "sf_dir": sf_dir,
+            "checked": len(names),
+            "pass": sum(1 for n in names if n not in bad),
+            "rows_only": [n for n in names if REGISTRY[n].oracle is None],
+            "fail": sorted(failures),
+            "results": {
+                n: ("fail" if n in bad else
+                    "rows_only" if REGISTRY[n].oracle is None else "pass")
+                for n in names
+            },
+        }
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
     spark.stop()
     return 1 if failures else 0
 

@@ -45,10 +45,20 @@ primitive behind ``concurrent_writers=True`` commit markers:
   racing claimants get exactly one winner.
 - ``hdfs://``: ``FileSystem.create(path, overwrite=false)`` — the
   existence check is namenode-side and atomic with the create.
-- ``s3a://``: the same call is check-then-put — NOT conditional at the
-  store, so two racers can both "win". Do not enable
-  ``concurrent_writers`` on s3a; it remains single-writer-only pending a
-  real table format.
+- ``s3a://`` (r14): S3 supports conditional PUTs (``If-None-Match: *``)
+  and Hadoop's conditional-create support (HADOOP-19256, in the 3.4.2
+  line — the ``fs.option.create.conditional.overwrite`` createFile option
+  this build ships) makes ``create(path, overwrite=false)`` an atomic
+  store-side claim, with a losing racer surfacing at CLOSE (object
+  stores upload on close). ``create_exclusive`` probes the capability at
+  runtime (``hasPathCapability``) and treats a close-time failure on an
+  existing path as losing the race; operators on connector builds that
+  perform the conditional PUT but predate the capability announcement
+  can assert it with ``wms.fsio.s3a.conditional.create=true`` in the
+  Hadoop conf. WITHOUT either signal the old check-then-put behavior
+  cannot claim exclusively, so ``create_exclusive`` REFUSES s3-family
+  roots loudly — single-writer-only, graduate to Delta/Iceberg (the
+  pre-r14 docstring caveat, now enforced in code).
 
 Each call is one py4j round-trip; fine for control-plane files, never used
 on the data path.
@@ -60,6 +70,24 @@ import os
 import urllib.parse
 
 from pyspark.sql import SparkSession
+
+#: Path-capability names announcing that ``create(path, overwrite=false)``
+#: executes as an ATOMIC conditional write on the resolved store. Hadoop's
+#: conditional-create work (HADOOP-19256, 3.4.2 line) registers the
+#: createFile option name as a path capability on stores where it is
+#: active; extend the tuple as connectors publish more names.
+CONDITIONAL_CREATE_CAPS = ("fs.option.create.conditional.overwrite",)
+
+#: Hadoop-conf override: set "true" when the deployed connector+store pair
+#: performs create(overwrite=false) as a conditional PUT but predates the
+#: capability announcement (or uses a custom connector). The operator is
+#: asserting atomicity — document it in the deployment.
+S3A_CONDITIONAL_CREATE_CONF = "wms.fsio.s3a.conditional.create"
+
+#: Schemes whose FileSystem.create(overwrite=false) is a client-side
+#: check-then-put UNLESS the store+connector announces conditional-create:
+#: two racers can both "win" a commit marker, which is silent lost commits.
+_CHECK_THEN_PUT_SCHEMES = ("s3a", "s3n", "s3")
 
 
 def join(base: str, *parts: str) -> str:
@@ -94,6 +122,11 @@ class TableFS:
         except Exception:
             pass
         self._fs = fs
+        try:
+            self._scheme = fs.getUri().getScheme()
+        except Exception:
+            self._scheme = None
+        self._cond_create = None  # lazy (bool, reason) cache
 
     def _p(self, path: str):
         return self._jpath_cls(path)
@@ -181,13 +214,51 @@ class TableFS:
         # every concurrent publisher "winning" the same version (ADVICE r13
         # high). Only a root that actually resolves to the local/raw-local
         # filesystem takes the kernel O_EXCL fast path.
-        try:
-            resolved_scheme = self._fs.getUri().getScheme()
-        except Exception:
-            resolved_scheme = None
-        if resolved_scheme == "file":
+        if self._scheme == "file":
             return self._create_exclusive_local(path, text)
+        if self._scheme in _CHECK_THEN_PUT_SCHEMES:
+            ok, how = self._conditional_create_support(path)
+            if not ok:
+                raise IOError(
+                    f"create_exclusive on {self._scheme}://: {how}. "
+                    "FileSystem.create(overwrite=false) is check-then-put "
+                    "on this store — two racing publishers can both claim "
+                    "the same commit marker (silent lost commits). This "
+                    "table root is SINGLE-WRITER-ONLY here: upgrade to a "
+                    "connector+store with conditional-create (the "
+                    f"{CONDITIONAL_CREATE_CAPS[0]!r} path capability), "
+                    f"assert it via {S3A_CONDITIONAL_CREATE_CONF}=true, or "
+                    "graduate to Delta/Iceberg optimistic commit."
+                )
         return self._create_exclusive_hadoop(path, text)
+
+    def _conditional_create_support(self, path: str) -> "tuple[bool, str]":
+        """Whether the resolved store claims create(overwrite=false) is an
+        atomic conditional write: the operator's conf assertion first,
+        then the published path capability (cached — control-plane
+        round-trips, but create_exclusive is called per publish)."""
+        if self._cond_create is None:
+            conf = self.spark._jsc.hadoopConfiguration()
+            if str(conf.get(S3A_CONDITIONAL_CREATE_CONF, "")).lower() == "true":
+                self._cond_create = (
+                    True, f"asserted via {S3A_CONDITIONAL_CREATE_CONF}"
+                )
+            else:
+                got = None
+                for cap in CONDITIONAL_CREATE_CAPS:
+                    try:
+                        if self._fs.hasPathCapability(self._p(path), cap):
+                            got = (True, f"path capability {cap!r}")
+                            break
+                    except Exception:
+                        continue
+                self._cond_create = got or (
+                    False,
+                    "store announces no conditional-create path capability "
+                    f"(probed {list(CONDITIONAL_CREATE_CAPS)}) and "
+                    f"{S3A_CONDITIONAL_CREATE_CONF} is unset",
+                )
+        return self._cond_create
 
     def _create_exclusive_local(self, path: str, text: str) -> bool:
         parsed = urllib.parse.urlparse(path)
@@ -215,8 +286,19 @@ class TableFS:
             raise
         try:
             out.write(bytearray(text.encode("utf-8")))
-        finally:
             out.close()
+        except Exception:
+            # Object stores upload at close(): a conditional-PUT race loss
+            # surfaces HERE, not at create(). An existing object under the
+            # path means another writer won; anything else is a real I/O
+            # failure.
+            try:
+                out.close()
+            except Exception:
+                pass
+            if self.exists(path):
+                return False
+            raise
         return True
 
     # -- mutation -----------------------------------------------------------

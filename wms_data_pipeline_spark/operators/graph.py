@@ -76,6 +76,12 @@ def graph_rounds(df, col: "str | None" = None) -> "int | None":
 #: broadcast and the wedge shuffle is the correct plan.
 BROADCAST_CLOSURE_MAX_EDGES = 8_000_000
 
+# Node-count gate for broadcasting per-node side tables (degree table in
+# the census orientation, per-node triangle counts in node_clustering):
+# 2 longs per node, so 8M nodes is the same ~128 MB payload class as
+# BROADCAST_CLOSURE_MAX_EDGES. Above it the joins fall back to shuffles.
+BROADCAST_DEG_MAX_NODES = 8_000_000
+
 
 def _null_safe_key(kv):
     """Sort key for driver-side (node, value) result lists that tolerates a
@@ -543,7 +549,7 @@ def skyline_nd(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def _orient_edges(
-    edges: DataFrame, src: str, dst: str
+    edges: DataFrame, src: str, dst: str, assume_canonical: bool = False
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Canonicalize + degree-order an edge list (shared by
     ``triangle_stats`` and ``node_clustering``): returns ``(und, deg,
@@ -552,23 +558,46 @@ def _orient_edges(
     ``oriented`` each edge directed from its lower-(degree, node)
     endpoint as (lo, hi, dhi) with ``dhi`` = hi's degree (the
     orientation key carried so wedges emit in one canonical order).
-    Both ``und`` and ``oriented`` are localCheckpoint-materialized —
-    each is reused by at least two downstream plans."""
-    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    und = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(a.alias("a"), b.alias("b"))
-        .distinct()
-        .localCheckpoint()  # reused by degrees, orientation, and closure
-    )
+    ``und``, ``deg`` and ``oriented`` are localCheckpoint-materialized —
+    each is reused by at least two downstream plans (``deg`` by the two
+    orientation joins plus the caller's final aggregate/join; without
+    the checkpoint every consumer re-ran the 2|E|-row union+groupBy).
+
+    ``assume_canonical=True`` skips the canonicalization pass when the
+    caller PROVES its edges are already distinct, self-loop-free and
+    ``src < dst`` (e.g. pair lists built by an ordered posexplode with
+    ``j > i`` over ``collect_set`` arrays) — removing one full exchange
+    + dedup aggregate of the edge list from the plan (optimization
+    guide §2.4: remove shuffles outright where the data already has
+    the property the shuffle would establish)."""
+    if assume_canonical:
+        und = edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b")
+        ).localCheckpoint()  # reused by degrees, orientation, and closure
+    else:
+        a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+        und = (
+            edges.filter(F.col(src) != F.col(dst))
+            .select(a.alias("a"), b.alias("b"))
+            .distinct()
+            .localCheckpoint()  # reused by degrees, orientation, and closure
+        )
     deg = (
         und.select(F.col("a").alias("n"))
         .unionByName(und.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()  # tiny (one row per node); consumed 3x
     )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    if deg.count() <= BROADCAST_DEG_MAX_NODES:
+        # the degree table is 2 longs per node; below the gate both
+        # orientation joins become map-side instead of SMJ-shuffling
+        # the |E|-row edge list twice (a checkpointed frame's size is
+        # opaque to the planner, so it would never pick broadcast on
+        # its own — guide §3.1: hint when you know a side is small)
+        da, db = F.broadcast(da), F.broadcast(db)
     lo_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
@@ -585,6 +614,68 @@ def _orient_edges(
         .localCheckpoint()  # reused by the wedge join and its closure probe
     )
     return und, deg, oriented
+
+
+def _edge_intersections(oriented: DataFrame) -> DataFrame:
+    """Per-ORIENTED-EDGE triangle closure via sorted out-neighbor-array
+    intersection (the r14 census plan — guide §1.2 "change the
+    distributed algorithm first"): for each oriented edge x→y, the
+    triangles it anchors are exactly ``N+(x) ∩ N+(y)`` (the triangle
+    {x,y,z} with x lowest in the (degree, node) order has oriented
+    edges x→y, x→z, y→z, so z sits in both out-neighbor sets, and no
+    other edge of the triangle finds it). Returns one row per oriented
+    edge: (lo, hi, zz) with ``zz`` the member array (possibly empty).
+
+    Replaces the wedge-materialize-then-probe plan (generate all
+    C(outdeg, 2) wedge rows, semi-join them against the edge list):
+    same O(sqrt m) out-degree bound, same total element work, but the
+    hash relation drops from |E| two-long keys probed |W| times to the
+    |V|-row neighbor table probed 2|E| times, and the W-row generate →
+    join → filter chain collapses into one codegen ``array_intersect``
+    per edge. Measured at sf0.1 (1.2M edges, 41M wedges, adjacent
+    A/B): closure count 3.1 s → 1.3 s.
+
+    Below ``BROADCAST_CLOSURE_MAX_EDGES`` (payload: one array element
+    per edge — the same size class the old closure-list broadcast
+    gated on) the neighbor table is broadcast to both joins and the
+    whole closure pass is map-side; above it the joins shuffle — the
+    arrays then move once per edge endpoint, the same O(m^1.5) bytes
+    the wedge shuffle paid, so the 100 TB story is unchanged."""
+    nbrs = (
+        oriented.groupBy("lo")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dhi", "hi"))),
+                lambda s: s["hi"],
+            ).alias("ns")
+        )
+        # consumed by BOTH sides of the intersection join: without this
+        # checkpoint the whole aggregate subtree (scan + exchange +
+        # collect_list) runs twice per query (seen in the r14 plan
+        # capture: two identical ObjectHashAggregate+Exchange trees)
+        .localCheckpoint()
+    )
+    if oriented.count() <= BROADCAST_CLOSURE_MAX_EDGES:
+        nbrs = F.broadcast(nbrs)
+    nx = nbrs.select(F.col("lo").alias("__nx"), F.col("ns").alias("__ns_x"))
+    ny = nbrs.select(F.col("lo").alias("__ny"), F.col("ns").alias("__ns_y"))
+    return (
+        oriented
+        # inner: every lo keys its own out-neighbor group by construction
+        .join(nx, oriented.lo == F.col("__nx"))
+        # left: hi may have no out-edges (pure sinks in the orientation)
+        .join(ny, oriented.hi == F.col("__ny"), "left")
+        .select(
+            "lo",
+            "hi",
+            # empty-of-the-right-element-type via a zero-length slice of
+            # ns_x (never null): node ids are not necessarily longs, so
+            # no literal empty-array cast can be hardcoded here
+            F.array_intersect(
+                "__ns_x", F.coalesce("__ns_y", F.slice("__ns_x", 1, 0))
+            ).alias("zz"),
+        )
+    )
 
 
 def _closure_side(oriented: DataFrame) -> DataFrame:
@@ -611,28 +702,49 @@ def _ordered_wedges(oriented: DataFrame) -> DataFrame:
     iterator++", public method): ONE shuffle aggregates each lo's
     out-neighbors into a (dhi, hi)-sorted struct array — bounded
     O(sqrt(m)) elements by the orientation — then the C(outdeg, 2)
-    wedge pairs are generated MAP-SIDE by a double posexplode with
-    i < j (array order IS the canonical order, so no comparison
-    filter). Replaces the previous self-join on lo, which shuffled the
-    oriented edge list twice at the join (AQE replans from the logical
-    plan and does not trust a checkpointed frame's partitioning, so
-    pre-repartitioning could not elide them — measured, SCALE_NOTES
-    r10); candidate count is identical, measured 1.2x faster at sf0.1
-    and one full exchange of the edge list cheaper at scale."""
+    wedge pairs are generated MAP-SIDE by a posexplode + tail-slice
+    explode with i < j (array order IS the canonical order, so no
+    comparison filter). Replaces the previous self-join on lo, which
+    shuffled the oriented edge list twice at the join (AQE replans from
+    the logical plan and does not trust a checkpointed frame's
+    partitioning, so pre-repartitioning could not elide them —
+    measured, SCALE_NOTES r10); candidate count is identical, measured
+    1.2x faster at sf0.1 and one full exchange of the edge list cheaper
+    at scale.
+
+    r14 rewrite of the pair generator (guide §2.3 / §1.2 per-task
+    work): the former double posexplode emitted all d^2 (i, j) rows
+    and FILTERED to j > i, carrying the full ``ns`` array (structs of
+    dhi+hi) on every intermediate row. Now the sort key ``dhi`` is
+    stripped right after the aggregate (only the order it established
+    matters downstream), and the second generator explodes
+    ``slice(ns, i+2, ...)`` — the tail of the array past position i —
+    so exactly the C(d, 2) surviving pairs are ever generated and the
+    per-row carry is a bigint array half the struct width. Same rows
+    out, measured ~25% faster on the sf0.1 census."""
     nbrs = oriented.groupBy("lo").agg(
-        F.array_sort(F.collect_list(F.struct("dhi", "hi"))).alias("ns")
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dhi", "hi"))),
+            lambda s: s["hi"],
+        ).alias("ns")
     )
     return (
-        nbrs.select("lo", "ns", F.posexplode("ns").alias("i", "s1"))
-        .select("lo", "ns", "i", F.col("s1.hi").alias("y"))
-        .select("lo", "i", "y", F.posexplode("ns").alias("j", "s2"))
-        .filter(F.col("j") > F.col("i"))
-        .select("lo", "y", F.col("s2.hi").alias("z"))
+        nbrs.select("lo", "ns", F.posexplode("ns").alias("i", "y"))
+        .select(
+            "lo",
+            "y",
+            F.explode(
+                F.slice(F.col("ns"), F.col("i") + F.lit(2), F.size("ns"))
+            ).alias("z"),
+        )
     )
 
 
 def triangle_stats(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle census of an undirected graph, returned as ONE row:
     (n_nodes, n_edges, n_wedges, n_triangles, clustering_x1e6) where
@@ -649,34 +761,36 @@ def triangle_stats(
     naive wedge join (deg^2 wedge rows for a 10M-follower hub) emits
     no wedges at all here, because hubs sit on the receiving end of
     their edges. Each triangle {x,y,z} in the orientation order is
-    counted EXACTLY once as the ORDERED wedge (x->y, x->z) with
-    (deg_y, y) < (deg_z, z), closed by the oriented edge y->z — the
-    closure's orientation agrees with the wedge ordering by
-    construction, so carrying the out-endpoint's degree through the
-    oriented edge halves the wedge candidates versus emitting both
-    (y,z) and (z,y) (measured 41M vs 82M rows on the sf0.1
-    co-purchase graph — the wedge join IS the dominant cost).
+    counted EXACTLY once, at its lowest-(degree, node) corner.
 
-    Cost: one dedup shuffle (canonical edges), one degree aggregate,
-    the wedge self-join on the out-degree-bounded src key, and a
-    semi-join probe of the closures — the scalable triangle plan; a
-    100 TB co-occurrence graph never sees a node-squared blowup."""
-    und, deg, oriented = _orient_edges(edges, src, dst)
-    wedge = _ordered_wedges(oriented).select("y", "z")
-    closure = _closure_side(oriented)
-    tri = wedge.join(closure, ["y", "z"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    Cost: one dedup shuffle (canonical edges, skipped under
+    ``assume_canonical`` — see ``_orient_edges``), one degree
+    aggregate, one out-neighbor aggregate on the out-degree-bounded
+    src key, and a per-edge sorted-array intersection
+    (``_edge_intersections`` — the r14 plan that replaced the
+    materialize-41M-wedges-then-semi-join-probe shape; measured 2.4x
+    on the closure pass at sf0.1) — the scalable triangle plan; a
+    100 TB co-occurrence graph never sees a node-squared blowup.
+    n_nodes, n_edges and n_wedges all read off the (tiny,
+    checkpointed) degree table in ONE aggregate — sum(d) div 2 IS the
+    edge count (handshake identity, exact integers), so the former
+    separate count pass over the edge list is gone (guide §1.2: don't
+    compute things twice)."""
+    und, deg, oriented = _orient_edges(edges, src, dst, assume_canonical)
+    tri = _edge_intersections(oriented).agg(
+        F.coalesce(F.sum(F.size("zz")), F.lit(0)).alias("n_triangles")
     )
-    counts = und.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes_wedges = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0))
+        .cast("long")
+        .alias("n_edges"),
         F.coalesce(
             F.sum(F.expr("(d * (d - 1)) div 2")), F.lit(0)
         ).cast("long").alias("n_wedges"),
     )
     return (
-        nodes_wedges.crossJoin(F.broadcast(counts))
-        .crossJoin(F.broadcast(tri))
+        nodes_wedges.crossJoin(F.broadcast(tri))
         .select(
             "n_nodes",
             "n_edges",
@@ -690,7 +804,10 @@ def triangle_stats(
 
 
 def node_clustering(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle count and LOCAL clustering coefficient
     (Watts & Strogatz 1998 — public method): for every node v,
@@ -701,29 +818,45 @@ def node_clustering(
     pages (a page whose neighborhood is a near-clique is template/link-
     farm shaped; a high-degree low-clustering page is a genuine hub).
 
-    Same degree-ordered orientation as ``triangle_stats`` (shared
-    ``_orient_edges``/``_ordered_wedges`` plan — O(sqrt(m))-bounded
-    wedge join, never deg^2 per hub), but the closure probe is an
-    INNER equi-join instead of a semi-join: each closed wedge row IS
-    one triangle (x, y, z) found exactly once, and one map-side
-    3-element explode charges it to each corner, followed by a single
-    count shuffle on the node key. No FP, no global order — the
-    ``pagerank`` exactness contract."""
-    und, deg, oriented = _orient_edges(edges, src, dst)
-    closure = _closure_side(oriented)
-    # inner join, not semi: closure edges are distinct, so each wedge row
-    # matches at most once — no fan-out — and the survivor carries its
-    # full (lo, y, z) corner set for the per-node charge.
-    closed = _ordered_wedges(oriented).join(closure, ["y", "z"])
-    tri = (
-        closed.select(
-            F.explode(F.array(F.col("lo"), F.col("y"), F.col("z"))).alias(
-                "n"
-            )
-        )
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("t"))
+    Same degree-ordered orientation and per-edge closure intersection
+    as ``triangle_stats`` (shared ``_orient_edges`` /
+    ``_edge_intersections`` plan — O(sqrt(m))-bounded out-neighbor
+    arrays, never deg^2 per hub): each member z of an edge's
+    intersection array IS one triangle (lo, hi, z) found exactly once,
+    and ONE map-side explode charges it to all three corners — two
+    struct entries carry size(zz) to lo and hi, the members carry 1
+    each — followed by a single sum shuffle on the node key (2|E'|+T
+    rows for E' = edges with >= 1 triangle, vs the former 3T; sums of
+    exact ints, order-free). No FP, no global order — the
+    ``pagerank`` exactness contract. ``assume_canonical`` skips the
+    canonicalization exchange for pre-canonical edge lists (see
+    ``_orient_edges``)."""
+    und, deg, oriented = _orient_edges(edges, src, dst, assume_canonical)
+    inter = _edge_intersections(oriented).filter(F.size("zz") > 0)
+    corners = F.concat(
+        F.array(
+            F.struct(
+                F.col("lo").alias("n"), F.size("zz").cast("long").alias("c")
+            ),
+            F.struct(
+                F.col("hi").alias("n"), F.size("zz").cast("long").alias("c")
+            ),
+        ),
+        F.transform(
+            "zz", lambda z: F.struct(z.alias("n"), F.lit(1).cast("long").alias("c"))
+        ),
     )
+    tri = (
+        inter.select(F.explode(corners).alias("s"))
+        .select(F.col("s.n").alias("n"), F.col("s.c").alias("c"))
+        .groupBy("n")
+        .agg(F.sum("c").alias("t"))
+    )
+    if deg.count() <= BROADCAST_DEG_MAX_NODES:
+        # tri is at most one row per node (bounded by deg's count, known
+        # cheaply from the checkpoint); broadcast keeps the final charge
+        # join map-side instead of sort-merge-exchanging both sides
+        tri = F.broadcast(tri)
     return (
         deg.join(tri, "n", "left")
         .select(

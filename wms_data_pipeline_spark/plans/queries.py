@@ -7293,9 +7293,16 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         baskets.select("its", F.posexplode("its").alias("i", "src"))
-        .select("src", "i", F.posexplode("its").alias("j", "dst"))
-        .filter(F.col("j") > F.col("i"))
-        .select("src", "dst")
+        # r14: tail-slice explode emits exactly the C(size, 2) ordered
+        # pairs instead of generating all size^2 (i, j) rows and
+        # filtering to j > i (same rewrite as the census wedge
+        # generator — guide §1.2 per-task work; rows out unchanged)
+        .select(
+            "src",
+            F.explode(
+                F.slice(F.col("its"), F.col("i") + F.lit(2), F.size("its"))
+            ).alias("dst"),
+        )
         .distinct()
     )
 
@@ -7317,7 +7324,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "coefficient is exact scaled-integer (3*tri*1e6 div wedges).",
 )
 def rel_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gr.triangle_stats(_copurchase_edges(spark, sf_dir))
+    # assume_canonical: _copurchase_edges emits distinct src < dst pairs
+    # (ordered posexplode over collect_set arrays, nulls pre-filtered), so
+    # the census skips its re-canonicalization exchange (r14, guide §2.4).
+    return gr.triangle_stats(
+        _copurchase_edges(spark, sf_dir), assume_canonical=True
+    )
 
 
 @query(
@@ -7637,9 +7649,10 @@ _NODE_CLUSTERING_ORACLE = (
     "exactly one — same count, naive form.",
 )
 def rel_node_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gr.node_clustering(_copurchase_edges(spark, sf_dir)).select(
-        "node", "degree", "n_tri", "clustering_x1e6"
-    )
+    # assume_canonical: same proof as rel_copurchase_triangles (r14).
+    return gr.node_clustering(
+        _copurchase_edges(spark, sf_dir), assume_canonical=True
+    ).select("node", "degree", "n_tri", "clustering_x1e6")
 
 
 @query(

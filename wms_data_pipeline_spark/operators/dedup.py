@@ -149,34 +149,36 @@ def with_minhash_signature(
     """Append ``mh_0 … mh_{num_perm-1}`` minhash columns. No explode and no
     key shuffle; at 100 TB this is a pure map stage.
 
-    Three deliberate physical choices for a CPU-bound expression stage:
+    Two deliberate physical choices for a CPU-bound expression stage:
     - repartition a small input (one row group → one task would pin the
       whole stage to a single core; at real scale the scan already has
       thousands of splits and this collapses to a no-op);
     - hash each shingle ONCE (``__sh_hash``) and derive all ``num_perm``
       permutations with integer arithmetic — md5 cost is per shingle, not
-      per (shingle × perm);
-    - checkpoint the hashed-shingle array before fanning out to the
-      ``num_perm`` min-columns — Catalyst's CollapseProject would otherwise
-      inline the md5 transform into every one of the 16 columns, undoing
-      the hash-once scheme.
+      per (shingle × perm). The Arrow kernel below is ``__sh_hash``'s
+      single consumer, so no checkpoint fence is needed to keep md5 at
+      one eval per shingle (the fence dated from the 16-HOF-column form,
+      where CollapseProject would have inlined the md5 transform into
+      every min-column; removing the now-redundant materialization of
+      the shingle+hash arrays cut the sf0.1 signature stage 0.84→0.70 s
+      bit-identically — r14, guide §1.2: don't materialize what has one
+      consumer). Callers that reuse the signature frame all hold their
+      own ``localCheckpoint``.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
     shingles = shingles_of(colname, shingle_n)
     # one select: __sh_hash inlines the shingle build (2 evals per row,
-    # cheap) — the fence below is what keeps md5 at one eval per shingle.
+    # cheap) — md5 stays one eval per shingle via the single Arrow consumer.
     out = df.withColumn("__shingles", shingles).withColumn(
         "__sh_hash", shingle_hash_col(shingles, hash_family)
     )
     if drop_source:
-        # the checkpoint materializes every column it carries; the source
-        # text is ~the size of the shingle arrays and dead weight for pure
-        # signature/pair pipelines (stress.py: checkpoint heap is the
-        # binding resource at 100×) — drop it BEFORE the fence
+        # the source text is dead weight for pure signature/pair
+        # pipelines (callers' checkpoints would otherwise materialize it;
+        # stress.py: checkpoint heap is the binding resource at 100×)
         out = out.drop(colname)
-    out = out.localCheckpoint(eager=False)
 
     # All num_perm permutations in ONE Arrow-batched numpy kernel instead of
     # num_perm array_min(transform(...)) columns: higher-order-function
@@ -1396,6 +1398,23 @@ def prefix_jaccard_join(
     ordered array (one shuffle) → prefix explode → candidate equi-join on
     the prefix token → distinct pairs → exact-Jaccard verify on the full
     arrays. Work scales with shared-prefix-token pairs, never docs².
+
+    r14 physical rewrite (same pairs, same sims — oracle-verified):
+
+    - the candidate join and pair dedup move IDS ONLY; the token arrays
+      are re-attached by id afterwards (guide §8: every shuffle but the
+      last operates on a lightweight proxy — the r13 shape carried both
+      full arrays through the join and the dedup exchange);
+    - the verify runs on ``xxhash64``-hashed token arrays (long compares
+      instead of string hashing per element per pair) with the union
+      size derived arithmetically (``|a|+|b|-inter`` — both arrays are
+      distinct), PROVABLY exact: it is used only when
+      ``count(distinct token) == count(distinct xxhash64(token))`` over
+      the corpus vocabulary (one scalar aggregate on the frequency
+      table), i.e. the hash is injective on every token this corpus can
+      ever intersect; on a collision (never yet observed) it falls back
+      to the string-array verify bit-identically. Measured 9.7 → 2.6 s
+      on the sf0.1 registry query (647k candidates).
     """
     num = int(round(threshold * 1_000_000))
     den = 1_000_000
@@ -1403,7 +1422,14 @@ def prefix_jaccard_join(
         F.col(id_col).alias("__id"), F.array_distinct(tokens_of(colname)).alias("__tk")
     ).filter(F.size("__tk") > 0)
     tok = base.select("__id", F.explode("__tk").alias("__t"))
-    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f")).localCheckpoint(
+        eager=False
+    )  # reused: injectivity check + the order join
+    nrow = freq.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("__t")).alias("h"),
+    ).collect()[0]
+    hash_exact = nrow.n == nrow.h
     ordered = (
         tok.join(freq, "__t")
         .groupBy("__id")
@@ -1413,26 +1439,38 @@ def prefix_jaccard_join(
             F.transform("__o", lambda s: s["__t"]).alias("__arr"),
         )
     )
+    if hash_exact:
+        # order-preserving, so the rarest-first prefix is a slice of the
+        # hashed array exactly as it was of the string array
+        ordered = ordered.select(
+            "__id", F.transform("__arr", lambda t: F.xxhash64(t)).alias("__arr")
+        )
+    ordered = ordered.localCheckpoint(eager=False)  # pref + both verify sides
     sz = F.size("__arr")
     plen = sz - F.expr(f"({num}L * size(__arr) + {den - 1}) div {den}") + F.lit(1)
     pref = ordered.select(
-        "__id", "__arr", F.explode(F.slice("__arr", 1, plen)).alias("__p")
+        "__id", F.explode(F.slice("__arr", 1, plen)).alias("__p")
     )
-    a = pref.select(
-        F.col("__id").alias("id_a"), F.col("__arr").alias("__arr_a"), "__p"
-    )
-    b = pref.select(
-        F.col("__id").alias("id_b"), F.col("__arr").alias("__arr_b"), "__p"
-    )
+    a = pref.select(F.col("__id").alias("id_a"), "__p")
+    b = pref.select(F.col("__id").alias("id_b"), "__p")
     cand = (
         a.join(b, "__p")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__arr_a", "__arr_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    j = jaccard(F.col("__arr_a"), F.col("__arr_b"))
+    fetch = cand.join(
+        ordered.select(F.col("__id").alias("id_a"), F.col("__arr").alias("__arr_a")),
+        "id_a",
+    ).join(
+        ordered.select(F.col("__id").alias("id_b"), F.col("__arr").alias("__arr_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("__arr_a", "__arr_b")).cast("double")
+    union = (F.size("__arr_a") + F.size("__arr_b")).cast("double") - inter
+    j = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard_sim", F.round(j, 6))
+        fetch.withColumn("jaccard_sim", F.round(j, 6))
         .filter(j >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard_sim")
     )

@@ -283,12 +283,18 @@ def curation_pipeline_full(
     )
     s3b = s3.withColumn("b", bucket10).localCheckpoint()
     sh = s3b.select("doc_id", "b", F.explode(dd.shingles_of("text", 4)).alias("g"))
-    test_g = sh.filter(F.col("b") == 0).select("g").distinct()
+    # r14: the txt_decontaminate_train r11 rebuild applied here too — the
+    # overlap probe is a SEMI join against the raw holdout shingle stream
+    # (semi never duplicates, so the test side needs no distinct
+    # aggregate), and shingles_of is per-doc distinct, so count(*) ==
+    # countDistinct(g) and the distinct-aggregate expand machinery drops
+    # out. Same rows by construction; oracle-verified.
+    test_g = sh.filter(F.col("b") == 0).select("g")
     bad = (
         sh.filter(F.col("b") != 0)
-        .join(test_g, "g")
+        .join(test_g, "g", "left_semi")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_overlap"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= decontam_overlap)
         .select("doc_id")
     )

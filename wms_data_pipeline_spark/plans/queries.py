@@ -6613,10 +6613,15 @@ def txt_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_g = sh.filter(F.col("b") == 0).select("g").distinct().localCheckpoint()
     train_sh = sh.filter(F.col("b") != 0)
     maybe = txt.bloom_semi_prefilter(train_sh, "g", eval_g, "g")
+    # r14: exact confirm as a SEMI join + plain count — eval_g is distinct
+    # and shingles_of is per-doc distinct, so the inner join matched each
+    # (doc_id, g) at most once and count(*) == countDistinct(g); the semi
+    # form drops the distinct-aggregate expand machinery (same rebuild as
+    # txt_decontaminate_train r11; oracle-verified).
     return (
-        maybe.join(eval_g, "g")
+        maybe.join(eval_g, "g", "left_semi")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_overlap"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= 3)
     )
 

@@ -1514,7 +1514,9 @@ def containment_join(
         F.array_distinct(tokens_of(colname)).alias("__tkb"),
     ).filter(F.size("__tkb") > 0)
     ctok = c.select("id_b", F.explode("__tkb").alias("__t"))
-    freq = ctok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f"))
+    freq = ctok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f")).localCheckpoint(
+        eager=False
+    )  # reused: injectivity check (as the corpus vocabulary) + order join
     ordered = (
         p.select("id_a", F.explode("__tka").alias("__t"))
         .join(freq, "__t", "left")
@@ -1537,9 +1539,35 @@ def containment_join(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # r14: verify on xxhash64-hashed token arrays (long compares instead
+    # of per-pair string hashing — same rewrite as prefix_jaccard_join,
+    # measured 7.5 → 2.9 s on dd_containment_pairs at sf0.1). Exactness
+    # gate: injectivity is checked over the UNION of probe and corpus
+    # vocabularies (a probe-only ↔ corpus collision would fabricate an
+    # intersection member); string fallback is bit-identical. The hashed
+    # sides are checkpointed so each doc's array hashes once, not per
+    # candidate pair.
+    vocab = p.select(F.explode("__tka").alias("__t")).unionByName(
+        freq.select("__t")  # already the distinct corpus vocabulary
+    )
+    chk = vocab.agg(
+        F.countDistinct("__t").alias("n"),
+        F.countDistinct(F.xxhash64("__t")).alias("h"),
+    ).collect()[0]
+    if chk.n == chk.h:
+        pv = p.select(
+            "id_a", F.transform("__tka", lambda t: F.xxhash64(t)).alias("__tka")
+        )
+        cv = c.select(
+            "id_b", F.transform("__tkb", lambda t: F.xxhash64(t)).alias("__tkb")
+        )
+    else:  # pragma: no cover - no 64-bit collision corpus known
+        pv, cv = p, c
+    pv = pv.localCheckpoint(eager=False)
+    cv = cv.localCheckpoint(eager=False)
     verified = (
-        cand.join(p, "id_a")
-        .join(c, "id_b")
+        cand.join(pv, "id_a")
+        .join(cv, "id_b")
         .withColumn("__inter", F.size(F.array_intersect("__tka", "__tkb")))
         .filter(F.col("__inter") * den >= F.lit(num) * F.size("__tka"))
     )

@@ -1281,12 +1281,21 @@ def with_bmp_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     @pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
+        # pure function of id % 256 (byte formula period 256; 8 and 4
+        # divide 256, so w/h ride along) — memoized per batch so the
+        # Python encoder runs once per distinct image, not per row
+        # (r14, guide §4.5; bytes identical by construction)
+        cache: dict = {}
         out = []
         for i in ids:
             i = int(i)
-            w, h = i % 8 + 2, i % 4 + 2
-            pixels = bytes(((i + j) * 37) % 256 for j in range(3 * w * h))
-            out.append(encode_bmp(w, h, pixels))
+            key = i % 256
+            blob = cache.get(key)
+            if blob is None:
+                w, h = i % 8 + 2, i % 4 + 2
+                pixels = bytes(((i + j) * 37) % 256 for j in range(3 * w * h))
+                blob = cache[key] = encode_bmp(w, h, pixels)
+            out.append(blob)
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))
@@ -1350,12 +1359,20 @@ def with_gif_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     @pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
+        # pure function of (id % 251, id % 8) — index formula period 251
+        # (prime), w/h read id mod 8 / mod 4 (4 divides 8); see
+        # with_bmp_content for the memo rationale
+        cache: dict = {}
         out = []
         for i in ids:
             i = int(i)
-            w, h = i % 8 + 2, i % 4 + 2
-            idx = bytes(((i + p) * 41) % 251 for p in range(w * h))
-            out.append(encode_gif(w, h, idx, palette))
+            key = (i % 251, i % 8)
+            blob = cache.get(key)
+            if blob is None:
+                w, h = i % 8 + 2, i % 4 + 2
+                idx = bytes(((i + p) * 41) % 251 for p in range(w * h))
+                blob = cache[key] = encode_gif(w, h, idx, palette)
+            out.append(blob)
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))
@@ -3236,17 +3253,28 @@ def with_jpeg_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     @pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
+        # the blob is a pure function of (id % 256, id % 3, id % 2): the
+        # block value ((id + 13b)*37) % 256 has period 256 in id, and
+        # only w/h read id mod 3 / mod 2 — memoizing on that exact key
+        # amortizes the Python encoder across the batch (r14, guide
+        # §4.5: heavyweight work once per task, not per row; bytes
+        # identical by construction)
+        cache: dict = {}
         out = []
         for i in ids:
             i = int(i)
-            w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
-            bw = w // 8
-            gray = bytes(
-                ((i + 13 * ((y // 8) * bw + x // 8)) * 37) % 256
-                for y in range(h)
-                for x in range(w)
-            )
-            out.append(encode_jpeg(w, h, gray))
+            key = (i % 256, i % 3, i % 2)
+            blob = cache.get(key)
+            if blob is None:
+                w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
+                bw = w // 8
+                gray = bytes(
+                    ((i + 13 * ((y // 8) * bw + x // 8)) * 37) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                blob = cache[key] = encode_jpeg(w, h, gray)
+            out.append(blob)
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))
@@ -3267,18 +3295,25 @@ def with_jpeg_color_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     @pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
+        # pure function of (id % 256, id % 2) — value period 256, width
+        # reads id mod 2; see with_jpeg_content for the memo rationale
+        cache: dict = {}
         out = []
         for i in ids:
             i = int(i)
-            w, h = (i % 2 + 1) * 16, 16
-            bw = w // 8
-            rgb = bytes(
-                c
-                for y in range(h)
-                for x in range(w)
-                for c in [((i + 17 * ((y // 8) * bw + x // 8)) * 53) % 256] * 3
-            )
-            out.append(encode_jpeg_color(w, h, rgb, subsampling=(2, 2)))
+            key = (i % 256, i % 2)
+            blob = cache.get(key)
+            if blob is None:
+                w, h = (i % 2 + 1) * 16, 16
+                bw = w // 8
+                rgb = bytes(
+                    c
+                    for y in range(h)
+                    for x in range(w)
+                    for c in [((i + 17 * ((y // 8) * bw + x // 8)) * 53) % 256] * 3
+                )
+                blob = cache[key] = encode_jpeg_color(w, h, rgb, subsampling=(2, 2))
+            out.append(blob)
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))
@@ -3298,20 +3333,27 @@ def with_jpeg_progressive_content(
 
     @pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
+        # pure function of (id % 256, id % 3) — value period 256, width
+        # reads id mod 3; see with_jpeg_content for the memo rationale
+        cache: dict = {}
         out = []
         for i in ids:
             i = int(i)
-            w, h = (i % 3 + 1) * 16, 16
-            bw = w // 8
-            rgb = bytes(
-                c
-                for y in range(h)
-                for x in range(w)
-                for c in [((i + 19 * ((y // 8) * bw + x // 8)) * 59) % 256] * 3
-            )
-            out.append(
-                encode_jpeg_progressive(w, h, rgb, subsampling=(2, 2))
-            )
+            key = (i % 256, i % 3)
+            blob = cache.get(key)
+            if blob is None:
+                w, h = (i % 3 + 1) * 16, 16
+                bw = w // 8
+                rgb = bytes(
+                    c
+                    for y in range(h)
+                    for x in range(w)
+                    for c in [((i + 19 * ((y // 8) * bw + x // 8)) * 59) % 256] * 3
+                )
+                blob = cache[key] = encode_jpeg_progressive(
+                    w, h, rgb, subsampling=(2, 2)
+                )
+            out.append(blob)
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))

@@ -999,6 +999,54 @@ def shortest_paths(
     )
 
 
+def _personalized_pagerank_local(
+    e: DataFrame, seed_nodes: DataFrame, iterations: int, damping_pct: int
+) -> DataFrame:
+    """Driver-side fixed point for broadcast-sized graphs — the seeded
+    twin of ``_pagerank_local``: one bounded collect of the aggregated
+    edges and the (curated, bounded) seed set, then the IDENTICAL
+    integer formula as the distributed loop (Python ``//`` on
+    non-negative ints == Spark ``div``), so results are bit-for-bit
+    equal. Node set is graph ∪ seeds; teleport and dangling mass return
+    to the seeds, split evenly — exactly the distributed expressions."""
+    from pyspark.sql import types as T
+
+    rows = e.collect()
+    seed_set = {r.node for r in seed_nodes.collect()}
+    if not seed_set:
+        raise ValueError("personalized_pagerank: empty seed set")
+    node_field = seed_nodes.schema.fields[0]
+    out_schema = T.StructType(
+        [node_field, T.StructField("rank_scaled", T.LongType(), False)]
+    )
+    spark = e.sparkSession
+    node_set = {r.src for r in rows} | {r.dst for r in rows} | seed_set
+    n_seeds = len(seed_set)
+    out_w: dict = {}
+    for r in rows:
+        out_w[r.src] = out_w.get(r.src, 0) + int(r.w)
+    init = PR_SCALE // n_seeds
+    teleport = ((100 - damping_pct) * init) // 100
+    ranks = {v: (init if v in seed_set else 0) for v in node_set}
+    for _ in range(iterations):
+        contrib = dict.fromkeys(node_set, 0)
+        for r in rows:
+            contrib[r.dst] += (ranks[r.src] * int(r.w)) // out_w[r.src]
+        dangling = sum(ranks[v] for v in node_set if v not in out_w)
+        ranks = {
+            v: (teleport if v in seed_set else 0)
+            + (
+                damping_pct
+                * (contrib[v] + (dangling // n_seeds if v in seed_set else 0))
+            )
+            // 100
+            for v in node_set
+        }
+    return spark.createDataFrame(
+        sorted(ranks.items(), key=_null_safe_key), out_schema
+    )
+
+
 def personalized_pagerank(
     edges: DataFrame,
     seeds: DataFrame,
@@ -1009,6 +1057,7 @@ def personalized_pagerank(
     weight: str = "weight",
     node: str = "node",
     checkpoint_every: int = 4,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Personalized (seeded-teleport) PageRank — the random walk restarts
     at the SEED set instead of uniformly (Haveliwala's topic-sensitive
@@ -1028,7 +1077,22 @@ def personalized_pagerank(
     are nodes; their teleport mass leaks only through their out-edges,
     of which they have none — it re-teleports). Returns every node of
     graph ∪ seeds with its rank; non-seed components unreachable from
-    the seeds converge to 0."""
+    the seeds converge to 0.
+
+    ``strategy`` mirrors ``pagerank`` (r14 — the seeded variant was the
+    only iterative op without the local dispatch, paying N distributed
+    iterations of scheduling overhead on broadcast-sized transition
+    graphs; measured 2.6 → 1.3 s on evt_personalized_pagerank at sf0.1,
+    the residual being the query's own transition-edge window build):
+    ``"auto"`` counts edges and runs the IDENTICAL integer
+    fixed point driver-side when the aggregated edge list is at or
+    under ``MAX_LOCAL_GRAPH_EDGES`` — bit-identical by the shared
+    formula (tested, not assumed). The local path also collects the
+    seed set; seed sets are curated/bounded by contract."""
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(
+            f"personalized_pagerank: unknown strategy {strategy!r}"
+        )
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
@@ -1050,6 +1114,15 @@ def personalized_pagerank(
             "arithmetic requires weights >= 1"
         )
     seed_nodes = seeds.select(F.col(node).alias("node")).distinct()
+    if strategy == "auto":
+        strategy = (
+            "local" if stats["n"] <= MAX_LOCAL_GRAPH_EDGES
+            else "distributed"
+        )
+    if strategy == "local":
+        return _personalized_pagerank_local(
+            e, seed_nodes, iterations, damping_pct
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

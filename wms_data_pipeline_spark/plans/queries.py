@@ -4499,6 +4499,18 @@ def dd_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dd.with_minhash_signature(
         docs, "text", 16, keep_shingles=True, drop_source=True
     ).localCheckpoint(eager=False)
+    # r14: the ~n_probe x n_docs exact-Jaccard audit intersects shingle
+    # arrays per pair — hashed (long) arrays cut the per-pair string
+    # hashing exactly as in prefix_jaccard_join, gated on the same
+    # vocabulary-injectivity proof with a bit-identical string fallback.
+    chk = sig.select(F.explode("__shingles").alias("s")).agg(
+        F.countDistinct("s").alias("n"),
+        F.countDistinct(F.xxhash64("s")).alias("h"),
+    ).collect()[0]
+    if chk.n == chk.h:
+        sig = sig.withColumn(
+            "__shingles", F.transform("__shingles", lambda s: F.xxhash64(s))
+        )
     a = sig.select(
         F.col("doc_id").alias("id_a"),
         F.col("__shingles").alias("sh_a"),

@@ -1237,21 +1237,30 @@ def w1_drift_windows_quantized(
         F.col(window_col).alias("_w"),
         F.col(value_col).cast("double").alias("_v"),
     )
-    windows = cur.select("_g", "_w").distinct()
+    # r14: same cur-aggregate-first restructure as
+    # ks_drift_windows_quantized (one batch scan, windows derived from
+    # the tiny aggregate, merge + downstream share one (group, window)
+    # repartition). Inner geometry joins drop non-store groups in both
+    # shapes identically.
     if "_e" in store.columns:
         geom, bucket, counts = _store_grid(store, n_bins)
+        cur_agg = (
+            cur.join(geom, "_g")
+            .select("_g", "_w", bucket.alias("_b"))
+            .groupBy("_g", "_w", "_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+            .localCheckpoint(eager=False)  # feeds windows + the merge
+        )
+        windows = cur_agg.select("_g", "_w").distinct()
         ref_rows = counts.join(F.broadcast(windows), "_g").select(
             "_g", "_w", "_b", "_r", F.lit(0).cast("long").alias("_c")
         )
-        cur_rows = cur.join(geom, "_g").select(
-            "_g",
-            "_w",
-            bucket.alias("_b"),
-            F.lit(0).cast("long").alias("_r"),
-            F.lit(1).cast("long").alias("_c"),
+        cur_rows = cur_agg.select(
+            "_g", "_w", "_b", F.lit(0).cast("long").alias("_r"), "_c"
         )
         merged = (
             ref_rows.unionByName(cur_rows)
+            .repartition("_g", "_w")
             .groupBy("_g", "_w", "_b")
             .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
         )
@@ -1264,21 +1273,28 @@ def w1_drift_windows_quantized(
             F.max("_mn").alias("_mn"), F.max("_mx").alias("_mx")
         )
     )
+    cur_agg = (
+        cur.join(edges, "_g")
+        .select("_g", "_w", _psi_bucket(n_bins).alias("_b"))
+        .groupBy("_g", "_w", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)  # feeds windows + the merge
+    )
+    windows = cur_agg.select("_g", "_w").distinct()
     ref_rows = store.join(F.broadcast(windows), "_g").select(
         "_g", "_w", "_b", "_r", F.lit(0).cast("long").alias("_c"),
         "_mn", "_mx",
     )
-    cur_rows = cur.join(edges, "_g").select(
-        "_g",
-        "_w",
-        _psi_bucket(n_bins).alias("_b"),
+    cur_rows = cur_agg.select(
+        "_g", "_w", "_b",
         F.lit(0).cast("long").alias("_r"),
-        F.lit(1).cast("long").alias("_c"),
+        "_c",
         F.lit(None).cast("double").alias("_mn"),
         F.lit(None).cast("double").alias("_mx"),
     )
     merged = (
         ref_rows.unionByName(cur_rows)
+        .repartition("_g", "_w")
         .groupBy("_g", "_w", "_b")
         .agg(
             F.sum("_r").alias("_r"),
@@ -1486,8 +1502,12 @@ def psi_drift_windows(
         .select("_g", "_w", bucket.alias("_b"))
         .groupBy("_g", "_w", "_b")
         .agg(F.count(F.lit(1)).alias("_curn"))
+        .localCheckpoint(eager=False)  # feeds windows + the fill join
     )
-    windows = cur.select("_g", "_w").distinct()
+    # r14: derive the audited-window set from the aggregate instead of a
+    # second batch scan — groups absent from the store vanish in either
+    # shape (store ⋈ windows is inner on _g), so the output is identical.
+    windows = cur_counts.select("_g", "_w").distinct()
     filled = (
         store.join(windows, "_g")
         .join(cur_counts, ["_g", "_w", "_b"], "left")
@@ -1541,17 +1561,29 @@ def ks_drift_windows(
     # map-side combine and surface as n_ref = 0, and the tail filter
     # drops them — saving the store-distinct exchange + broadcast the
     # semi joins cost (r12 planlint sweep, 5 -> 4).
-    windows = cur.select("_g", "_w").distinct()
+    # r14 (guide §2.3/§2.4, same restructure as the quantized sibling):
+    # aggregate the batch per (group, window, value) FIRST — one scan,
+    # map-side partials — and derive the audited-window set from that
+    # aggregate instead of re-scanning the batch. Unknown-group rows
+    # survive the pre-aggregation unchanged (no geometry join here), so
+    # the window set and the n_ref = 0 collapse are identical. The
+    # merge repartitions by (group, window) once; the merge aggregate,
+    # ECDF window and statistic aggregate all reuse that clustering.
+    cur_agg = (
+        cur.groupBy("_g", "_w", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)  # feeds windows + the merge
+    )
+    windows = cur_agg.select("_g", "_w").distinct()
     ref_rows = store.join(F.broadcast(windows), "_g").select(
         "_g", "_w", "_v", "_r", F.lit(0).cast("long").alias("_c")
     )
-    cur_rows = cur.select(
-        "_g", "_w", "_v",
-        F.lit(0).cast("long").alias("_r"),
-        F.lit(1).cast("long").alias("_c"),
+    cur_rows = cur_agg.select(
+        "_g", "_w", "_v", F.lit(0).cast("long").alias("_r"), "_c"
     )
     merged = (
         ref_rows.unionByName(cur_rows)
+        .repartition("_g", "_w")
         .groupBy("_g", "_w", "_v")
         .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
     )
@@ -1590,20 +1622,35 @@ def ks_drift_windows_quantized(
         F.col(window_col).alias("_w"),
         F.col(value_col).cast("double").alias("_v"),
     )
-    windows = cur.select("_g", "_w").distinct()
+    # r14 (guide §2.3/§2.4): quantize + aggregate the batch per
+    # (group, window, bin) FIRST — one scan with map-side partial
+    # aggregation — and derive the audited-window set from that tiny
+    # aggregate instead of a second scan of the batch. The grid merge
+    # then repartitions by (group, window) once; the final merge
+    # aggregate, the ECDF window and the statistic aggregate all reuse
+    # that partitioning (subset-key clustering), so the former separate
+    # merge-agg and window exchanges collapse into one tiny post-agg
+    # exchange. Groups absent from the store vanish identically in both
+    # shapes (the geom/counts joins are inner). Per-window results
+    # unchanged — oracle-verified.
+    cur_agg = (
+        cur.join(geom, "_g")
+        .select("_g", "_w", bucket.alias("_v"))
+        .groupBy("_g", "_w", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .localCheckpoint(eager=False)  # feeds windows + the merge
+    )
+    windows = cur_agg.select("_g", "_w").distinct()
     ref_rows = counts.join(F.broadcast(windows), "_g").select(
         "_g", "_w", F.col("_b").alias("_v"), "_r",
         F.lit(0).cast("long").alias("_c"),
     )
-    cur_rows = cur.join(geom, "_g").select(
-        "_g",
-        "_w",
-        bucket.alias("_v"),
-        F.lit(0).cast("long").alias("_r"),
-        F.lit(1).cast("long").alias("_c"),
+    cur_rows = cur_agg.select(
+        "_g", "_w", "_v", F.lit(0).cast("long").alias("_r"), "_c"
     )
     merged = (
         ref_rows.unionByName(cur_rows)
+        .repartition("_g", "_w")
         .groupBy("_g", "_w", "_v")
         .agg(F.sum("_r").alias("_r"), F.sum("_c").alias("_c"))
     )
@@ -1636,16 +1683,24 @@ def chi2_drift_windows(
             "_c"
         ),
     )
-    windows = cur.select("_w").distinct()
+    # r14: same cur-aggregate-first restructure as the continuous
+    # windowed probes — one batch scan, windows derived from the tiny
+    # aggregate, merge keyed once by window.
+    cur_agg = (
+        cur.groupBy("_w", "_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("_q"))
+        .localCheckpoint(eager=False)  # feeds windows + the merge
+    )
+    windows = cur_agg.select("_w").distinct()
     ref_rows = store.join(F.broadcast(windows)).select(
         "_w", "_c", "_r", F.lit(0).cast("long").alias("_q")
     )
-    cur_rows = cur.select(
-        "_w", "_c", F.lit(0).cast("long").alias("_r"),
-        F.lit(1).cast("long").alias("_q"),
+    cur_rows = cur_agg.select(
+        "_w", "_c", F.lit(0).cast("long").alias("_r"), "_q"
     )
     merged = (
         ref_rows.unionByName(cur_rows)
+        .repartition("_w")
         .groupBy("_w", "_c")
         .agg(F.sum("_r").alias("_r"), F.sum("_q").alias("_q"))
     )

@@ -3462,15 +3462,23 @@ def with_gif_animation_content(
 
     @pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
+        # pure function of (id % 251, id % 12) — frame indices period 251,
+        # nf/w/h read id mod 4/6/3 (all divide 12); see with_bmp_content
+        # for the memo rationale
+        cache: dict = {}
         out = []
         for i in ids:
             i = int(i)
-            nf, w, h = i % 4 + 2, i % 6 + 2, i % 3 + 2
-            frames = [
-                bytes(((i + p + 7 * f) * 41) % 251 for p in range(w * h))
-                for f in range(nf)
-            ]
-            out.append(encode_gif_animation(w, h, frames, palette))
+            key = (i % 251, i % 12)
+            blob = cache.get(key)
+            if blob is None:
+                nf, w, h = i % 4 + 2, i % 6 + 2, i % 3 + 2
+                frames = [
+                    bytes(((i + p + 7 * f) * 41) % 251 for p in range(w * h))
+                    for f in range(nf)
+                ]
+                blob = cache[key] = encode_gif_animation(w, h, frames, palette)
+            out.append(blob)
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))
@@ -3500,9 +3508,18 @@ def with_gif_composed_content(
 
     @pandas_udf("binary")
     def _blob(ids: pd.Series) -> pd.Series:
+        # pure function of (id % 249, id % 3, id % 5) — index formulas
+        # period 249, transparency mask id mod 3, dims id mod 5 / mod 3;
+        # see with_bmp_content for the memo rationale
+        cache: dict = {}
         out = []
         for i in ids:
             i = int(i)
+            key = (i % 249, i % 3, i % 5)
+            blob = cache.get(key)
+            if blob is not None:
+                out.append(blob)
+                continue
             nf, w, h = i % 3 + 2, i % 5 + 4, i % 3 + 3
             rw, rh = w - 2, h - 2
             specs = [
@@ -3530,7 +3547,8 @@ def with_gif_composed_content(
                         ),
                     }
                 )
-            out.append(encode_gif_animation_frames(w, h, specs, palette))
+            blob = cache[key] = encode_gif_animation_frames(w, h, specs, palette)
+            out.append(blob)
         return pd.Series(out)
 
     return df.withColumn("content", _blob(F.col(id_col)))

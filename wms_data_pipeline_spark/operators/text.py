@@ -203,7 +203,13 @@ def bigram_lm_score(
     across engines; the mean-of-logs is rounded to 6 dp (the established
     cross-engine FP contract, same as tf-idf/cosine).
     """
-    bg = doc_bigrams(df, colname, id_col)
+    # r14: the raw bigram stream feeds BOTH the count aggregate and the
+    # scoring join — checkpointing it stops the tokenize+explode chain
+    # running twice (measured 1.10 → 0.94 s at sf0.1, bit-identical).
+    # The materialization is batch-sized, the same class as the curation
+    # pipeline's stage barriers; a 100 TB run lands this projection as a
+    # table between the two jobs anyway.
+    bg = doc_bigrams(df, colname, id_col).localCheckpoint(eager=False)
     cab = (
         bg.groupBy("head", "word")
         .agg(F.count(F.lit(1)).alias("__cab"))

@@ -25,6 +25,7 @@ Headline numbers:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -66,6 +67,16 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         rep_times[name] = times
+        # r14 hygiene (NOT a methodology change — the timed region is
+        # untouched): drop the orphaned DataFrames of the finished
+        # query's reps NOW so the ContextCleaner frees their
+        # localCheckpoint blocks before the next query runs. Without
+        # this, 30 queries x 4 executions of checkpoint-bearing plans
+        # accumulate gigabytes of dead blocks in the block manager and
+        # checkpoint-heavy queries late in the run read 2-3x their
+        # fresh-session cost (measured: txt_curation_pipeline_full
+        # 5.55 s in-bench vs 2.84 s fresh, same code/same data).
+        gc.collect()
 
     timings = {n: round(statistics.median(t), 3) for n, t in rep_times.items()}
     total = round(sum(timings.values()), 3)

@@ -106,3 +106,42 @@ def test_prefix_jaccard_hashed_verify_matches_semantics(spark):
         if j >= 0.7:
             want.append((a.doc_id, b.doc_id, round(j, 6)))
     assert got == sorted(want)
+
+
+def test_containment_length_filter_loses_no_pairs(spark):
+    """The r14 PPJoin length bound (|b| >= ceil(t*|a|)) must be a pure
+    candidate prune: results equal the all-pairs brute force, including
+    short-b pairs right at the boundary."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from wms_data_pipeline_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # |a|=5, t=0.8 -> need |b| >= 4
+            (2, "a b c d"),            # |b|=4: candidate only via bound edge
+            (3, "a b c d e f g h"),    # superset of 1
+            (4, "a b c"),              # |b|=3: must be pruned for probe 1
+            (5, "x y z w v"),
+        ],
+        "doc_id long, text string",
+    )
+    probe = docs.filter(F.col("doc_id").isin(1, 4))
+    got = sorted(
+        map(tuple, dd.containment_join(probe, docs, threshold=0.8).collect())
+    )
+    prows = {r.doc_id: set(r.tk) for r in probe.select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("tk")).collect()}
+    crows = {r.doc_id: set(r.tk) for r in docs.select(
+        "doc_id", F.array_distinct(F.split("text", r"\s+")).alias("tk")).collect()}
+    want = []
+    for ia, sa in prows.items():
+        for ib, sb in crows.items():
+            if ia == ib:
+                continue
+            cont = len(sa & sb) / len(sa)
+            if cont >= 0.8:
+                want.append((ia, ib, round(cont, 6)))
+    assert got == sorted(want)

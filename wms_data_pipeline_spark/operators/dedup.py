@@ -1513,7 +1513,9 @@ def containment_join(
         F.col(id_col).alias("id_b"),
         F.array_distinct(tokens_of(colname)).alias("__tkb"),
     ).filter(F.size("__tkb") > 0)
-    ctok = c.select("id_b", F.explode("__tkb").alias("__t"))
+    ctok = c.select(
+        "id_b", F.size("__tkb").alias("__szb"), F.explode("__tkb").alias("__t")
+    )
     freq = ctok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f")).localCheckpoint(
         eager=False
     )  # reused: injectivity check (as the corpus vocabulary) + order join
@@ -1531,11 +1533,21 @@ def containment_join(
         + F.lit(1)
     )
     pref = ordered.select(
-        "id_a", F.explode(F.slice("__arr", 1, plen)).alias("__t")
+        "id_a",
+        F.size("__arr").alias("__sza"),
+        F.explode(F.slice("__arr", 1, plen)).alias("__t"),
     )
+    # r14 length filter (PPJoin's size bound, lossless by definition):
+    # C(a,b) >= t forces |b| >= |a ∩ b| >= ceil(t*|a|), so corpus docs
+    # shorter than that can never verify — drop them AT the candidate
+    # join (same exact integer-rational compare as the verify) before
+    # they reach the pair dedup exchange.
     cand = (
         pref.join(ctok, "__t")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("__szb") * den >= F.col("__sza") * num)
+        )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )

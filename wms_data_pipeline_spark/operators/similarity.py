@@ -253,9 +253,18 @@ def prefix_rerank_topk(
                 "changes full-dimension cosine, so the exact re-rank "
                 "would no longer rank by the original similarities"
             )
-        corpus = pca_rotate(corpus, rotate, vec_col=vec_col)
+        # r14: the coarse pass reads the rotated corpus (one kernel pass
+        # over the scan), but the RE-RANK rotates only the rows the
+        # shortlist join keeps — the former shape ran the rotation
+        # kernel over the whole corpus a second time just to fetch
+        # |queries| × shortlist vectors. Same kernel on the same rows ⇒
+        # bitwise-identical scores (oracle-verified); queries are
+        # closure-bounded, so rotating them up front stays cheap.
+        coarse_corpus = pca_rotate(corpus, rotate, vec_col=vec_col)
         queries = pca_rotate(queries, rotate, vec_col=vec_col)
-    pre_corpus = corpus.select(
+    else:
+        coarse_corpus = corpus
+    pre_corpus = coarse_corpus.select(
         id_col, F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
     )
     pre_queries = queries.select(
@@ -271,9 +280,11 @@ def prefix_rerank_topk(
     full_q = queries.select(
         query_id_col, F.col(vec_col).alias("__qv")
     )
+    fetched = corpus.select(id_col, vec_col).join(F.broadcast(short), id_col)
+    if rotate is not None:
+        fetched = pca_rotate(fetched, rotate, vec_col=vec_col)
     reranked = (
-        corpus.select(id_col, vec_col)
-        .join(F.broadcast(short), id_col)
+        fetched
         .join(F.broadcast(full_q), query_id_col)
         .select(
             query_id_col,

@@ -18,6 +18,7 @@ super-linear and gets investigated by name.
 Run: python tools/bench_scale.py [sf01_dir] [sf1_dir]
 """
 
+import gc
 import json
 import os
 import statistics
@@ -48,6 +49,11 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
+        # same GC hygiene as bench.py r14: release orphaned DataFrames so
+        # their localCheckpoint blocks are freed before the next timing
+        # (30 queries x 8 executions otherwise accumulate dead blocks and
+        # late queries read 2-3x their fresh-session cost)
+        gc.collect()
         return round(statistics.median(times), 3)
 
     out = {}

@@ -95,7 +95,7 @@ def leg_wedges(spark):
     from wms_data_pipeline_spark.operators.graph import _orient_edges
 
     edges = _copurchase_edges(spark)
-    _und, _deg, oriented = _orient_edges(edges, "src", "dst")
+    _und, _deg, oriented, _nn, _ne = _orient_edges(edges, "src", "dst")
     n_or = oriented.count()
     results = {}
     for label, fn in (("join", _wedges_join), ("explode", _wedges_explode)):
@@ -144,7 +144,7 @@ def leg_scaling(spark):
             .localCheckpoint()
         )
         m = edges.count()
-        _und, _deg, oriented = gr._orient_edges(edges, "src", "dst")
+        _und, _deg, oriented, _nn, _ne = gr._orient_edges(edges, "src", "dst")
         wedge_work = (
             oriented.groupBy("lo")
             .agg(F.count(F.lit(1)).alias("od"))

@@ -550,14 +550,21 @@ def skyline_nd(df: DataFrame, cols: list[str]) -> DataFrame:
 
 def _orient_edges(
     edges: DataFrame, src: str, dst: str, assume_canonical: bool = False
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
     """Canonicalize + degree-order an edge list (shared by
     ``triangle_stats`` and ``node_clustering``): returns ``(und, deg,
-    oriented)`` where ``und`` is the distinct undirected edge set
-    (a < b, self-loops dropped), ``deg`` its degree table (n, d), and
-    ``oriented`` each edge directed from its lower-(degree, node)
-    endpoint as (lo, hi, dhi) with ``dhi`` = hi's degree (the
-    orientation key carried so wedges emit in one canonical order).
+    oriented, n_nodes, n_edges)`` where ``und`` is the distinct
+    undirected edge set (a < b, self-loops dropped), ``deg`` its degree
+    table (n, d), ``oriented`` each edge directed from its
+    lower-(degree, node) endpoint as (lo, hi, dhi) with ``dhi`` = hi's
+    degree (the orientation key carried so wedges emit in one canonical
+    order), and ``n_nodes`` / ``n_edges`` the exact graph sizes every
+    downstream dispatch gate needs — computed in ONE action on the
+    tiny checkpointed degree table (count + sum(d) div 2, the
+    handshake identity), r15: previously each gate re-counted its own
+    frame (deg.count() here, oriented.count() in the closure, another
+    deg.count() in node_clustering's charge join — three full passes
+    per census query at 100 TB; now one pass over the |V|-row table).
     ``und``, ``deg`` and ``oriented`` are localCheckpoint-materialized —
     each is reused by at least two downstream plans (``deg`` by the two
     orientation joins plus the caller's final aggregate/join; without
@@ -589,9 +596,14 @@ def _orient_edges(
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint()  # tiny (one row per node); consumed 3x
     )
+    sizes = deg.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.coalesce(F.expr("sum(d) div 2"), F.lit(0)).alias("ne"),
+    ).collect()[0]
+    n_nodes, n_edges = int(sizes.nn), int(sizes.ne)
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
-    if deg.count() <= BROADCAST_DEG_MAX_NODES:
+    if n_nodes <= BROADCAST_DEG_MAX_NODES:
         # the degree table is 2 longs per node; below the gate both
         # orientation joins become map-side instead of SMJ-shuffling
         # the |E|-row edge list twice (a checkpointed frame's size is
@@ -613,10 +625,12 @@ def _orient_edges(
         )
         .localCheckpoint()  # reused by the wedge join and its closure probe
     )
-    return und, deg, oriented
+    return und, deg, oriented, n_nodes, n_edges
 
 
-def _edge_intersections(oriented: DataFrame) -> DataFrame:
+def _edge_intersections(
+    oriented: DataFrame, n_edges: "int | None" = None
+) -> DataFrame:
     """Per-ORIENTED-EDGE triangle closure via sorted out-neighbor-array
     intersection (the r14 census plan — guide §1.2 "change the
     distributed algorithm first"): for each oriented edge x→y, the
@@ -640,7 +654,27 @@ def _edge_intersections(oriented: DataFrame) -> DataFrame:
     gated on) the neighbor table is broadcast to both joins and the
     whole closure pass is map-side; above it the joins shuffle — the
     arrays then move once per edge endpoint, the same O(m^1.5) bytes
-    the wedge shuffle paid, so the 100 TB story is unchanged."""
+    the wedge shuffle paid, so the 100 TB story is unchanged.
+
+    r15 fallback tuning (guide §3.1), from measurement, not conjecture:
+    the sf1 event log shows the shuffled joins are perfectly BALANCED
+    (task max/median 1.02-1.03 across 32 tasks on both intersection
+    stages — the degree orientation caps out-degree at O(sqrt m) and
+    hash partitioning spreads hub in-edges, so no salting is needed),
+    and the time goes to sorting 12M edge rows plus the array-carrying
+    intermediate for two SortMergeJoins. The nbrs side now carries a
+    ``shuffle_hash`` hint on the fallback branch: the join builds the
+    hash table on the |V|-row neighbor side (per-partition build is
+    ~8·m/P bytes — scales with the shuffle-partition count) and
+    streams the edges unsorted. Interleaved in-session A/B at sf1
+    (12M edges, forced fallback): triangles 20.7/22.4 -> 18.1/14.0 s,
+    clustering 24.6/30.1 -> 19.7/22.4 s, value parity exact.
+
+    ``n_edges`` (exact, from ``_orient_edges``'s single gate action)
+    picks the dispatch; passing None keeps the old per-call count for
+    standalone use."""
+    if n_edges is None:
+        n_edges = oriented.count()
     nbrs = (
         oriented.groupBy("lo")
         .agg(
@@ -655,8 +689,13 @@ def _edge_intersections(oriented: DataFrame) -> DataFrame:
         # capture: two identical ObjectHashAggregate+Exchange trees)
         .localCheckpoint()
     )
-    if oriented.count() <= BROADCAST_CLOSURE_MAX_EDGES:
+    if n_edges <= BROADCAST_CLOSURE_MAX_EDGES:
         nbrs = F.broadcast(nbrs)
+    else:
+        # shuffled-hash instead of sort-merge: skips the per-partition
+        # sorts of the edge list and of the array-carrying intermediate
+        # (see docstring — measured at sf1, no skew to trade against)
+        nbrs = nbrs.hint("shuffle_hash")
     nx = nbrs.select(F.col("lo").alias("__nx"), F.col("ns").alias("__ns_x"))
     ny = nbrs.select(F.col("lo").alias("__ny"), F.col("ns").alias("__ns_y"))
     return (
@@ -776,8 +815,10 @@ def triangle_stats(
     edge count (handshake identity, exact integers), so the former
     separate count pass over the edge list is gone (guide §1.2: don't
     compute things twice)."""
-    und, deg, oriented = _orient_edges(edges, src, dst, assume_canonical)
-    tri = _edge_intersections(oriented).agg(
+    und, deg, oriented, n_nodes, n_edges = _orient_edges(
+        edges, src, dst, assume_canonical
+    )
+    tri = _edge_intersections(oriented, n_edges).agg(
         F.coalesce(F.sum(F.size("zz")), F.lit(0)).alias("n_triangles")
     )
     nodes_wedges = deg.agg(
@@ -831,8 +872,10 @@ def node_clustering(
     ``pagerank`` exactness contract. ``assume_canonical`` skips the
     canonicalization exchange for pre-canonical edge lists (see
     ``_orient_edges``)."""
-    und, deg, oriented = _orient_edges(edges, src, dst, assume_canonical)
-    inter = _edge_intersections(oriented).filter(F.size("zz") > 0)
+    und, deg, oriented, n_nodes, n_edges = _orient_edges(
+        edges, src, dst, assume_canonical
+    )
+    inter = _edge_intersections(oriented, n_edges).filter(F.size("zz") > 0)
     corners = F.concat(
         F.array(
             F.struct(
@@ -852,10 +895,11 @@ def node_clustering(
         .groupBy("n")
         .agg(F.sum("c").alias("t"))
     )
-    if deg.count() <= BROADCAST_DEG_MAX_NODES:
-        # tri is at most one row per node (bounded by deg's count, known
-        # cheaply from the checkpoint); broadcast keeps the final charge
-        # join map-side instead of sort-merge-exchanging both sides
+    if n_nodes <= BROADCAST_DEG_MAX_NODES:
+        # tri is at most one row per node (n_nodes came free with the
+        # orientation's single gate action — r15, no re-count);
+        # broadcast keeps the final charge join map-side instead of
+        # sort-merge-exchanging both sides
         tri = F.broadcast(tri)
     return (
         deg.join(tri, "n", "left")

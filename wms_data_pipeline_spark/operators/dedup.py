@@ -45,6 +45,18 @@ DEFAULT_BANDS = 4  # rows per band = NUM_PERM / BANDS
 MAX_BROADCAST_DROP_IDS = 50_000_000
 EXPECTED_DUP_FRACTION = 0.25
 
+#: containment_join collects the probe side into a broadcast scoring
+#: closure when it is delta-sized (the operator's documented use case —
+#: "the probe side should be the small/delta side"): one corpus scan,
+#: ZERO pair shuffles. Same contract class as similarity's
+#: MAX_CLOSURE_QUERIES guard. Above either gate the generic
+#: prefix-filter join runs unchanged (the 100 TB any-sized-probe path).
+MAX_BROADCAST_PROBE_DOCS = 4096
+#: bound on the probe-vocabulary × probe-docs membership matrix each
+#: task holds (uint8 cells): 256 MB keeps the closure broadcastable and
+#: the per-task footprint bounded even for token-heavy probes.
+MAX_PROBE_MEMBERSHIP_BYTES = 1 << 28
+
 
 def broadcast_drop_list_ok(n_docs: int) -> bool:
     """Whether a keep-canonical drop list over ``n_docs`` documents is
@@ -1448,16 +1460,60 @@ def prefix_jaccard_join(
     ordered = ordered.localCheckpoint(eager=False)  # pref + both verify sides
     sz = F.size("__arr")
     plen = sz - F.expr(f"({num}L * size(__arr) + {den - 1}) div {den}") + F.lit(1)
+    # r15: carry the doc size and the 0-based prefix position through the
+    # candidate join — they fund PPJoin's two lossless pair prunes (the
+    # r14 containment length bound, measured 1.3% there, prunes 3.4x HERE:
+    # 11.3M -> 3.3M candidate pairs on the sf0.1 registry query, where the
+    # 31-token vocabulary makes the bare prefix rule nearly non-selective).
     pref = ordered.select(
-        "__id", F.explode(F.slice("__arr", 1, plen)).alias("__p")
+        F.col("__id"),
+        F.size("__arr").cast("long").alias("__sz"),
+        F.posexplode(F.slice("__arr", 1, plen)).alias("__pp", "__p"),
     )
-    a = pref.select(F.col("__id").alias("id_a"), "__p")
-    b = pref.select(F.col("__id").alias("id_b"), "__p")
+    a = pref.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sz").alias("__sza"),
+        F.col("__pp").alias("__pa"),
+        "__p",
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sz").alias("__szb"),
+        F.col("__pp").alias("__pb"),
+        "__p",
+    )
+    # positional bound (PPJoin, public literature): both arrays share ONE
+    # global (freq, token) order, so for a match at 0-based positions
+    # (pa, pb) the common tokens before it number at most min(pa, pb) and
+    # after it at most min(|a|-pa-1, |b|-pb-1); with the match itself,
+    # inter <= min(pa,pb) + 1 + min(|a|-pa-1, |b|-pb-1) — an upper bound
+    # valid for EVERY shared token, so the min over the observed matches
+    # bounds the true intersection and pruning on it is lossless. All
+    # compares in exact integer arithmetic on longs (an int32 product
+    # overflows at |doc| >= 2148 tokens x the e6 rational).
+    ub = (
+        F.least("__pa", "__pb")
+        + 1
+        + F.least(
+            F.col("__sza") - F.col("__pa") - 1,
+            F.col("__szb") - F.col("__pb") - 1,
+        )
+    )
     cand = (
         a.join(b, "__p")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J >= t forces t*|a| <= |b| <= |a|/t
+            & (F.col("__sza") * num <= F.col("__szb") * den)
+            & (F.col("__szb") * num <= F.col("__sza") * den)
+        )
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(F.min(ub).alias("__ub"))
+        # J >= t  <=>  inter*(den+num) >= num*(|a|+|b|)
+        .filter(
+            F.col("__ub") * (den + num) >= num * (F.col("__sza") + F.col("__szb"))
+        )
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     fetch = cand.join(
         ordered.select(F.col("__id").alias("id_a"), F.col("__arr").alias("__arr_a")),
@@ -1473,6 +1529,104 @@ def prefix_jaccard_join(
         fetch.withColumn("jaccard_sim", F.round(j, 6))
         .filter(j >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def _containment_probe_broadcast(
+    probe: DataFrame,
+    corpus: DataFrame,
+    p_rows: list,
+    a_sets: list,
+    vocab: set,
+    num: int,
+    den: int,
+    id_col: str,
+    colname: str,
+) -> DataFrame:
+    """Small-probe containment dispatch (see ``containment_join``): the
+    probe token sets ride the task closure as a (vocabulary × probes)
+    uint8 membership matrix; each corpus doc maps its tokens onto the
+    probe vocabulary (tokens outside it cannot contribute to any
+    ``|a ∩ b|``) and one integer column-sum yields the EXACT
+    intersection size against every probe at once. Integer threshold
+    compare in the kernel; id mapping, the ``a != b`` filter and the
+    HALF_UP 6dp round stay JVM-side — the same value path as the join
+    form, so results are bit-identical."""
+    spark = probe.sparkSession
+    a_type = probe.schema[id_col].dataType
+    if not p_rows:
+        b_t = corpus.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            schema=f"id_a {a_type.simpleString()}, id_b {b_t}, containment double",
+        )
+    a_ids = [r[0] for r in p_rows]
+    vmap = {t: i for i, t in enumerate(sorted(vocab))}
+    member = np.zeros((len(vmap), len(a_ids)), dtype=np.uint8)
+    for j, s in enumerate(a_sets):
+        for t in s:
+            member[vmap[t], j] = 1
+    sza = np.array([len(s) for s in a_sets], dtype=np.int64)
+    thr = num * sza  # inter * den >= num * |a|, exact in int64
+
+    c = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.array_distinct(tokens_of(colname)).alias("__tkb"),
+    )
+    par = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
+    b_type = c.schema["id_b"].dataType.simpleString()
+    out_schema = f"__aidx int, id_b {b_type}, __inter long, __sza long"
+
+    def _score(batches):
+        for pdf in batches:
+            ids_b = pdf["id_b"]
+            hit_aidx, hit_bpos, hit_inter = [], [], []
+            for pos, tks in enumerate(pdf["__tkb"]):
+                if tks is None:  # null text -> null token array
+                    continue
+                idxs = [vmap[t] for t in set(tks) if t in vmap]
+                if not idxs:
+                    continue
+                inter = member[idxs].sum(axis=0, dtype=np.int64)
+                hit = np.nonzero((inter >= 1) & (inter * den >= thr))[0]
+                if hit.size:
+                    hit_aidx.append(hit)
+                    hit_bpos.append(np.full(hit.size, pos, dtype=np.int64))
+                    hit_inter.append(inter[hit])
+            if not hit_aidx:
+                continue
+            # one columnar emit per batch — the per-hit Python tuple loop
+            # was the kernel's cost at dense output (565k pairs, sf0.1)
+            aidx = np.concatenate(hit_aidx)
+            bpos = np.concatenate(hit_bpos)
+            yield pd.DataFrame(
+                {
+                    "__aidx": aidx.astype(np.int32),
+                    "id_b": ids_b.iloc[bpos].to_numpy(),
+                    "__inter": np.concatenate(hit_inter),
+                    "__sza": sza[aidx],
+                }
+            )
+
+    aid_arr = F.array(*[F.lit(x) for x in a_ids])
+    return (
+        c.mapInPandas(_score, schema=out_schema)
+        .select(
+            # cast: the lit-array element type is inferred from Python
+            # values and can narrow (e.g. small longs -> int); pin it to
+            # the probe's declared id type (ADVICE r14)
+            F.element_at(aid_arr, F.col("__aidx") + 1)
+            .cast(a_type)
+            .alias("id_a"),
+            "id_b",
+            F.round(
+                F.col("__inter").cast("double") / F.col("__sza").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
     )
 
 
@@ -1502,19 +1656,46 @@ def containment_join(
     prefix and drop pairs); the threshold compare is integer too
     (``inter * den >= num * |a|``), so no pair is lost to a double
     rounding at the boundary. Work scales with prefix-token document
-    frequency, never |probe| × |corpus|."""
+    frequency, never |probe| × |corpus|.
+
+    r15 dispatch (guide §8: shuffle a lightweight proxy — here, nothing):
+    when the probe fits the closure gates (``MAX_BROADCAST_PROBE_DOCS``
+    docs, ``MAX_PROBE_MEMBERSHIP_BYTES`` vocabulary × docs matrix) the
+    join runs as ONE ``mapInPandas`` pass over the corpus against the
+    collected probe token sets — only tokens of ``a`` can contribute to
+    ``|a ∩ b|``, so each corpus doc projects onto the probe vocabulary
+    and every intersection size falls out of one integer matrix sum.
+    No corpus-frequency pass, no candidate join, no pair-dedup
+    exchange, no verify joins: the r14 shape shuffled 757k candidate
+    pairs on the sf0.1 registry query; this shape shuffles none. The
+    threshold compare stays exact integer (``inter * den >= num *
+    |a|``), the division + HALF_UP round stay JVM-side, so the output
+    is bit-identical (pinned both-paths in test_round15_opt). Above the
+    gates the r14 prefix-filter join runs unchanged."""
     num = int(round(threshold * 1_000_000))
     den = 1_000_000
     p = probe.select(
         F.col(id_col).alias("id_a"),
         F.array_distinct(tokens_of(colname)).alias("__tka"),
     ).filter(F.size("__tka") > 0)
+    p_rows = p.limit(MAX_BROADCAST_PROBE_DOCS + 1).collect()
+    if len(p_rows) <= MAX_BROADCAST_PROBE_DOCS:
+        a_sets = [set(r[1]) for r in p_rows]
+        vocab = {t for s in a_sets for t in s}
+        if len(vocab) * max(len(a_sets), 1) <= MAX_PROBE_MEMBERSHIP_BYTES:
+            return _containment_probe_broadcast(
+                probe, corpus, p_rows, a_sets, vocab, num, den, id_col, colname
+            )
     c = corpus.select(
         F.col(id_col).alias("id_b"),
         F.array_distinct(tokens_of(colname)).alias("__tkb"),
     ).filter(F.size("__tkb") > 0)
     ctok = c.select(
-        "id_b", F.size("__tkb").alias("__szb"), F.explode("__tkb").alias("__t")
+        "id_b",
+        # long: the e6-rational length-bound product overflows int32 at
+        # |doc| >= 2148 tokens
+        F.size("__tkb").cast("long").alias("__szb"),
+        F.explode("__tkb").alias("__t"),
     )
     freq = ctok.groupBy("__t").agg(F.count(F.lit(1)).alias("__f")).localCheckpoint(
         eager=False
@@ -1534,7 +1715,7 @@ def containment_join(
     )
     pref = ordered.select(
         "id_a",
-        F.size("__arr").alias("__sza"),
+        F.size("__arr").cast("long").alias("__sza"),
         F.explode(F.slice("__arr", 1, plen)).alias("__t"),
     )
     # r14 length filter (PPJoin's size bound, lossless by definition):
@@ -1580,8 +1761,10 @@ def containment_join(
     verified = (
         cand.join(pv, "id_a")
         .join(cv, "id_b")
-        .withColumn("__inter", F.size(F.array_intersect("__tka", "__tkb")))
-        .filter(F.col("__inter") * den >= F.lit(num) * F.size("__tka"))
+        .withColumn(
+            "__inter", F.size(F.array_intersect("__tka", "__tkb")).cast("long")
+        )
+        .filter(F.col("__inter") * den >= F.lit(num) * F.size("__tka").cast("long"))
     )
     return verified.select(
         "id_a",

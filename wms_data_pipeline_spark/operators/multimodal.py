@@ -2772,8 +2772,22 @@ def encode_jpeg_progressive(
                         put(eobrun - (1 << r), r)
                     eobrun = 0
 
+            # r15 fast skip: a block whose whole band quantizes to zero at
+            # this precision only extends the EOB run — the common case
+            # for near-constant blocks (DC-only). One vectorized integer
+            # pass applies the IDENTICAL |v| >> AL significance test, so
+            # the emitted bytes cannot change; per-block Python list work
+            # runs only for blocks that actually code coefficients.
+            zeroband = ~(
+                (np.abs(cf[:bh, :bw, ss : se + 1]) >> AL) != 0
+            ).any(axis=2)
             for by in range(bh):
                 for bx in range(bw):
+                    if zeroband[by, bx]:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
                     blk = cf[by, bx]
                     t = [
                         (1 if blk[k] > 0 else -1) * (abs(int(blk[k])) >> AL)
@@ -2832,8 +2846,21 @@ def encode_jpeg_progressive(
                     eobrun = 0
 
             band = se - ss + 1
+            # r15 fast skip (mirror of ac_first's): no significant history
+            # AND no newly-significant coefficient in the band means the
+            # block contributes nothing but an EOB-run increment — no
+            # correction bits either, so skipping the per-block list work
+            # is byte-exact. Same integer significance tests, vectorized.
+            bandv = cf[:bh, :bw, ss : se + 1]
+            histM = (np.abs(bandv) >> AL) != 0
+            inert = ~(histM.any(axis=2) | ((~histM) & (bandv != 0)).any(axis=2))
             for by in range(bh):
                 for bx in range(bw):
+                    if inert[by, bx]:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
                     blk = cf[by, bx]
                     # significant-so-far = nonzero at the PREVIOUS scan's
                     # precision (Ah = AL): |c| >> AL != 0
@@ -3259,6 +3286,8 @@ def with_jpeg_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         # amortizes the Python encoder across the batch (r14, guide
         # §4.5: heavyweight work once per task, not per row; bytes
         # identical by construction)
+        import numpy as np
+
         cache: dict = {}
         out = []
         for i in ids:
@@ -3268,11 +3297,10 @@ def with_jpeg_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if blob is None:
                 w, h = (i % 3 + 1) * 8, (i % 2 + 1) * 8
                 bw = w // 8
-                gray = bytes(
-                    ((i + 13 * ((y // 8) * bw + x // 8)) * 37) % 256
-                    for y in range(h)
-                    for x in range(w)
-                )
+                # r15: same integer formula, vectorized (values < 2^63,
+                # so int64 matches Python ints bit-for-bit)
+                b = (np.arange(h)[:, None] // 8) * bw + np.arange(w) // 8
+                gray = (((i + 13 * b) * 37) % 256).astype(np.uint8).tobytes()
                 blob = cache[key] = encode_jpeg(w, h, gray)
             out.append(blob)
         return pd.Series(out)
@@ -3297,6 +3325,8 @@ def with_jpeg_color_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def _blob(ids: pd.Series) -> pd.Series:
         # pure function of (id % 256, id % 2) — value period 256, width
         # reads id mod 2; see with_jpeg_content for the memo rationale
+        import numpy as np
+
         cache: dict = {}
         out = []
         for i in ids:
@@ -3306,12 +3336,9 @@ def with_jpeg_color_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             if blob is None:
                 w, h = (i % 2 + 1) * 16, 16
                 bw = w // 8
-                rgb = bytes(
-                    c
-                    for y in range(h)
-                    for x in range(w)
-                    for c in [((i + 17 * ((y // 8) * bw + x // 8)) * 53) % 256] * 3
-                )
+                b = (np.arange(h)[:, None] // 8) * bw + np.arange(w) // 8
+                gray = (((i + 17 * b) * 53) % 256).astype(np.uint8)
+                rgb = np.repeat(gray.reshape(-1), 3).tobytes()
                 blob = cache[key] = encode_jpeg_color(w, h, rgb, subsampling=(2, 2))
             out.append(blob)
         return pd.Series(out)
@@ -3335,6 +3362,8 @@ def with_jpeg_progressive_content(
     def _blob(ids: pd.Series) -> pd.Series:
         # pure function of (id % 256, id % 3) — value period 256, width
         # reads id mod 3; see with_jpeg_content for the memo rationale
+        import numpy as np
+
         cache: dict = {}
         out = []
         for i in ids:
@@ -3344,12 +3373,9 @@ def with_jpeg_progressive_content(
             if blob is None:
                 w, h = (i % 3 + 1) * 16, 16
                 bw = w // 8
-                rgb = bytes(
-                    c
-                    for y in range(h)
-                    for x in range(w)
-                    for c in [((i + 19 * ((y // 8) * bw + x // 8)) * 59) % 256] * 3
-                )
+                b = (np.arange(h)[:, None] // 8) * bw + np.arange(w) // 8
+                gray = (((i + 19 * b) * 59) % 256).astype(np.uint8)
+                rgb = np.repeat(gray.reshape(-1), 3).tobytes()
                 blob = cache[key] = encode_jpeg_progressive(
                     w, h, rgb, subsampling=(2, 2)
                 )

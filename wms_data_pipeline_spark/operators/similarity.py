@@ -181,7 +181,9 @@ def cosine_topk(
         corpus.select(id_col, vec_col)
         .mapInPandas(_score_partition, schema=out_schema)
         .select(
-            F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+            F.element_at(qid_map, F.col("__qidx") + 1)
+        .cast(queries.schema[query_id_col].dataType)
+        .alias(query_id_col),
             id_col,
             F.round(F.col("__raw_sim"), 6).alias("cosine_sim"),
         )
@@ -1519,7 +1521,9 @@ def pq_adc_topk(
 
     qid_map = F.array(*[F.lit(q) for q in q_ids])
     scored = codes.mapInPandas(_scan, schema=out_schema).select(
-        F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+        F.element_at(qid_map, F.col("__qidx") + 1)
+        .cast(queries.schema[query_id_col].dataType)
+        .alias(query_id_col),
         id_col,
         F.round(F.col("__raw"), 6).alias("adc_dist"),
     )
@@ -1707,7 +1711,9 @@ def ivfpq_topk(
 
     qid_map = F.array(*[F.lit(q) for q in q_ids])
     scored = enc.mapInPandas(_scan, schema=out_schema).select(
-        F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+        F.element_at(qid_map, F.col("__qidx") + 1)
+        .cast(queries.schema[query_id_col].dataType)
+        .alias(query_id_col),
         id_col,
         F.round(F.col("__raw"), 6).alias("adc_dist"),
     )
@@ -1969,7 +1975,9 @@ def ivfpq_index_topk(
 
     qid_map = F.array(*[F.lit(q) for q in q_ids])
     scored = data.mapInPandas(_scan, schema=out_schema).select(
-        F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+        F.element_at(qid_map, F.col("__qidx") + 1)
+        .cast(queries.schema[query_id_col].dataType)
+        .alias(query_id_col),
         id_col,
         F.round(F.col("__raw"), 6).alias("adc_dist"),
     )
@@ -2067,8 +2075,13 @@ def sq8_topk(
     bit-for-bit — ``127/max|x|`` scale, ``floor(x*sc+0.5)/sc`` grid —
     and accumulates the squared distance dim-sequentially, the
     identical IEEE-754 op sequence as the HOF fold and the oracle's
-    list_sum. Non-finite scores become SQL NULL and rank first under
-    the ascending order, exactly as the HOF form's null distances did.
+    list_sum. Non-finite ELEMENT VALUES become SQL NULL scores and rank
+    first under the ascending order, as the HOF form's null distances
+    did. Degenerate-input contract (ADVICE r14): corpus rows whose
+    vector is NULL or not ``dim``-sized are EXCLUDED from the ranking
+    (the same contract as the sibling top-k kernels), and a NULL query
+    vector is rejected at collect — unlike the pre-r14 HOF form, which
+    emitted such rows with NULL distances occupying top-k slots.
     Rounding stays JVM-side (HALF_UP). Measured 1.9 → 0.9 s on
     sim_sq8_topk at sf0.1; oracle hash unchanged."""
     q_rows = (
@@ -2143,7 +2156,9 @@ def sq8_topk(
         corpus.select(id_col, vec_col)
         .mapInPandas(_score_partition, schema=out_schema)
         .select(
-            F.element_at(qid_map, F.col("__qidx") + 1).alias(query_id_col),
+            F.element_at(qid_map, F.col("__qidx") + 1)
+        .cast(queries.schema[query_id_col].dataType)
+        .alias(query_id_col),
             id_col,
             F.round(F.col("__raw"), 6).alias("sq8_dist"),
         )

@@ -37,6 +37,7 @@ rerunnable via ``tools/stress.py --stateful`` / ``--fbmerge``):
 
 from __future__ import annotations
 
+import gc
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,35 @@ from pyspark.sql.streaming import StreamingQuery
 
 from wms_data_pipeline_spark.operators.merge import ParquetTable
 from wms_data_pipeline_spark.operators.payload import with_payload_and_hash
+
+
+def _pin(held: list, df: DataFrame) -> DataFrame:
+    """Materialize a multi-consumer batch frame and TRACK it for
+    deterministic end-of-batch release (r15). The batch bodies formerly
+    ``localCheckpoint``-ed these frames and relied on Python GC + the
+    async ContextCleaner to free the blocks — the production twin of the
+    r14 bench contamination bug: a 120-batch soak left ~60 orphaned
+    checkpoint RDDs pinned in the block manager (localCheckpoint blocks
+    can spill but never evict, because their lineage is truncated).
+    ``persist`` keeps the same reuse semantics with an UNPERSIST that
+    actually releases, and an evictable storage level as the backstop."""
+    df = df.persist()
+    held.append(df)
+    return df
+
+
+def _release(held: list) -> None:
+    """Unpersist every pinned batch frame (end of foreachBatch body, in a
+    ``finally``), then drop Python-side cycles so the py4j proxies of any
+    operator-internal lazy checkpoints detach promptly too (the bench.py
+    r14 lesson applied to long-running streams)."""
+    for df in held:
+        try:
+            df.unpersist(False)
+        except Exception:  # release must never fail a committed batch
+            pass
+    held.clear()
+    gc.collect()
 
 
 def incremental_merge_stream(
@@ -320,15 +350,21 @@ def neardup_ingest_stream(
     def _probe_then_append(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch = batch.localCheckpoint()  # two passes: probe + append
-        pairs = neardup_incremental(
-            spark, batch, index_path, threshold=threshold,
-            id_col=id_col, colname=colname,
-        )
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(pairs_out)
-        neardup_index_append(batch, index_path, id_col=id_col, colname=colname)
+        held: list = []
+        try:
+            batch = _pin(held, batch)  # two passes: probe + append
+            pairs = neardup_incremental(
+                spark, batch, index_path, threshold=threshold,
+                id_col=id_col, colname=colname,
+            )
+            pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(pairs_out)
+            neardup_index_append(
+                batch, index_path, id_col=id_col, colname=colname
+            )
+        finally:
+            _release(held)
 
     return (
         stream_df.writeStream.foreachBatch(_probe_then_append)
@@ -418,22 +454,26 @@ def overlap_monitor_stream(
     def _probe_then_update(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch = batch.localCheckpoint()  # two passes: probe + update
-        matrix = source_overlap_probe(
-            spark, batch, index_path,
-            source_col=source_col, text_col=text_col,
-        )
-        (
-            matrix.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(matrix_out)
-        )
-        source_overlap_index_update(
-            spark, batch, index_path,
-            source_col=source_col, text_col=text_col,
-        )
+        held: list = []
+        try:
+            batch = _pin(held, batch)  # two passes: probe + update
+            matrix = source_overlap_probe(
+                spark, batch, index_path,
+                source_col=source_col, text_col=text_col,
+            )
+            (
+                matrix.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(matrix_out)
+            )
+            source_overlap_index_update(
+                spark, batch, index_path,
+                source_col=source_col, text_col=text_col,
+            )
+        finally:
+            _release(held)
 
     return (
         stream_df.writeStream.foreachBatch(_probe_then_update)
@@ -502,11 +542,18 @@ def curation_ingest_stream(
     def _curate(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        passed = (
+        held: list = []
+        try:
+            _curate_once(batch, batch_id, held)
+        finally:
+            _release(held)
+
+    def _curate_once(batch: DataFrame, batch_id: int, held: list) -> None:
+        passed = _pin(
+            held,
             quality_features(batch, colname)
             .filter(F.col("quality_score") >= quality_cutoff)
-            .select(*batch.columns)
-            .localCheckpoint()
+            .select(*batch.columns),
         )
         if passed.isEmpty():
             return
@@ -530,13 +577,16 @@ def curation_ingest_stream(
             .filter(F.col("sb").isin(sbs))
             .select(id_col)
         )
-        passed = passed.join(seen, id_col, "left_anti").localCheckpoint()
+        passed = _pin(held, passed.join(seen, id_col, "left_anti"))
         if passed.isEmpty():
             return
-        pairs = neardup_incremental(
-            spark, passed, index_path, threshold=threshold,
-            id_col=id_col, colname=colname,
-        ).localCheckpoint()
+        pairs = _pin(
+            held,
+            neardup_incremental(
+                spark, passed, index_path, threshold=threshold,
+                id_col=id_col, colname=colname,
+            ),
+        )
         # novelty is against the INDEX, not against id order: the probe
         # normalizes pairs to id_a < id_b, so when batch ids happen to be
         # SMALLER than corpus ids the corpus doc lands on the id_b side —
@@ -544,7 +594,7 @@ def curation_ingest_stream(
         # corpus. A batch doc in any pair with a NON-batch doc is a
         # duplicate regardless of side; within-batch pairs keep the
         # smallest id (the SemDeDup rule among genuinely new content).
-        bids = passed.select(F.col(id_col).alias("__bid")).localCheckpoint()
+        bids = _pin(held, passed.select(F.col(id_col).alias("__bid")))
         sides = pairs.select(
             F.explode(
                 F.array(
@@ -564,7 +614,7 @@ def curation_ingest_stream(
             .select(F.col("id_b").alias(id_col))
         )
         dupes = vs_corpus.unionByName(within).distinct()
-        novel = passed.join(dupes, id_col, "left_anti").localCheckpoint()
+        novel = _pin(held, passed.join(dupes, id_col, "left_anti"))
         if novel.isEmpty():
             return  # all-duplicate batch: no empty parquet commit churn
         novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
